@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with results drained executor-side
+(count over a fully materialized plan) so the measurement is engine time,
+not driver-transfer time. A warm-up action first absorbs JVM/session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openmrs_module_mamba_etl_spark.session import get_spark  # noqa: E402
+from openmrs_module_mamba_etl_spark import registry  # noqa: E402
+
+#: Headline set: the flagship aggregate, a multiway broadcast join chain,
+#: the signature EAV pivot, window dedup idiom, incremental merge sink,
+#: and the LLM-ops (dedup / ANN / text) at full table scale.
+HEADLINE = [
+    "agg_group_by",
+    "join_multiway",
+    "join_inner_eq",
+    "pivot_eav_flatten",
+    "window_latest_per_key",
+    "sink_incremental",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry.load_all()
+
+    spark = get_spark(app_name="mamba-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM + codegen + parquet footer reads out of the measurement.
+    registry.QUERIES["agg_count_star"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Vector / set similarity primitives as JVM-side Column expressions.
+
+Everything here is built from higher-order functions (``zip_with`` /
+``aggregate`` / ``transform``) so the hot path stays inside whole-stage
+codegen — no Python UDFs. These primitives back dedup (llm/dedup.py) and
+ANN search (llm/ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm vectors instead of NaN/null."""
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty-string safe)."""
+    t = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Built as transform over token-start offsets + slice/join — stays in
+    codegen, no explode needed until the caller wants posting lists.
+    """
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, min over shingle xxhash64(shingle, seed).
+
+    xxhash64 is Spark's stable 64-bit hash (same value on every executor,
+    every run) so signatures are reproducible cluster-wide.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+            ).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to one bucket key.
+
+    Returns array<struct<band:int, bucket:bigint>> — explode + group on
+    (band, bucket) turns near-duplicate detection into an equi-join, which
+    Spark shuffles/hash-joins like any other key: the O(n²) pair space never
+    materializes.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def simhash_bits(text: Column, n_bits: int = 64) -> Column:
+    """SimHash: per-bit signed token-hash votes → array<int> of 0/1 bits.
+
+    One fold over tokens accumulating 64 counters, all in codegen. The bit
+    array form (instead of a packed long) keeps hamming distance expressible
+    as a zip_with/aggregate, avoiding 64-bit sign pitfalls.
+    """
+    toks = tokens(text)
+    bit_votes = lambda t: F.transform(  # noqa: E731 — per-token ±1 votes
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda j: F.when(F.bit_get(F.xxhash64(t), j) == 1, F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+    )
+    return F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pack_bit_bands(bits: Column, bands: int) -> Column:
+    """Pack a bit array into ``bands`` integer band-keys for hamming LSH.
+
+    Two signatures within hamming distance < bands share ≥1 identical band
+    (pigeonhole), so an equi-join on (band, value) finds all candidates.
+    """
+    n = 64  # caller guarantees 64-bit signatures
+    per = n // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.slice(bits, b * per + 1, per),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
+            ).alias("value"),
+        ),
+    )

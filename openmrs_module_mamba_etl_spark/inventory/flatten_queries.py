@@ -1,0 +1,112 @@
+"""EAV-flattening inventory — the signature operator (SURVEY.md §2.D D6/D7).
+
+The ``events`` table plays the obs EAV long table: entity=user_id,
+attribute=event_type, value=value, ts=ts (FIXTURES.md §B). The ANSI oracle
+reproduces latest-wins pivot semantics with ROW_NUMBER + MAX(CASE WHEN) —
+the SQL a human would write in an engine without a pivot operator, which is
+exactly what the one-shuffle ``pivot + max_by`` plan must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.operators.flatten import (
+    FlattenSpec,
+    auto_flatten_by_type,
+    flatten,
+)
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+EVENTS_SPEC = FlattenSpec(
+    entity_col="user_id", attr_col="event_type", value_col="value", order_col="ts"
+)
+
+_LATEST_CTE = """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events
+    )
+"""
+
+
+@query(
+    "pivot_eav_flatten",
+    oracle=_LATEST_CTE
+    + """
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           MAX(CASE WHEN event_type = 'error'    THEN value END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           MAX(CASE WHEN event_type = 'view'     THEN value END) AS view
+    FROM latest WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def pivot_eav_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic two-phase pivot: discover attributes, then one-shuffle
+    ``groupBy(entity).pivot(attr, values).agg(max_by(value, ts))``
+    (reference semantics: README.md:8-12,246-253)."""
+    return flatten(table(spark, sf_dir, "events"), EVENTS_SPEC)
+
+
+@query(
+    "pivot_eav_config",
+    oracle=_LATEST_CTE
+    + """
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click'    THEN value END) AS clicks,
+           MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchases
+    FROM latest WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def pivot_eav_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven pivot: declarative column↦attribute mapping restricts
+    and renames the flat table (reference: README.md:249-253 JSON config)."""
+    return flatten(
+        table(spark, sf_dir, "events"),
+        EVENTS_SPEC,
+        column_mapping={"clicks": "click", "purchases": "purchase"},
+    )
+
+
+@query(
+    "pivot_agg_sum",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a SUM measure (wide metrics table per entity)."""
+    ev = table(spark, sf_dir, "events")
+    attrs = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", attrs)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return wide
+
+
+@query("flatten_auto_by_type")  # no single-statement ANSI equivalent: N tables
+def flatten_auto_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated flattening (reference: README.md:136-137,246-248): one flat
+    table per attribute-domain partition; the check returns the union of
+    per-type row counts + schema widths (rows-only driver check)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "etype", F.when(F.col("user_id") % 2 == 0, "even_users").otherwise("odd_users")
+    )
+    res = auto_flatten_by_type(ev, "etype", EVENTS_SPEC)
+    rows = [
+        (name, df.count(), len(df.columns)) for name, df in sorted(res.tables.items())
+    ]
+    return spark.createDataFrame(rows, "table_name string, n_rows long, n_cols int")

@@ -1,0 +1,402 @@
+"""Training-data pipeline inventory (SURVEY.md §2.I): dedup, similarity
+search, text analysis, multimodal columns.
+
+Oracles replicate the exact arithmetic of the Spark expressions (same
+tokenization regex, same fold order, double-cast accumulations) so value
+hashes match bit-for-bit; xxhash64-based operators (MinHash/SimHash/LSH)
+have no DuckDB equivalent and register rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.functions import text as T
+from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk, knn_join, lsh_topk
+from openmrs_module_mamba_etl_spark.llm.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    token_jaccard_pairs,
+)
+from openmrs_module_mamba_etl_spark.llm.multimodal import (
+    decode_images,
+    documents_as_media,
+    media_metadata,
+    sample_frames,
+)
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+#: DuckDB expression mirroring functions.similarity.tokens().
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+# --- deduplication -------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS content_hash,
+           MIN(doc_id) AS kept_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash (hash-groupBy)."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_token_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(t) AS n FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(t) AS token FROM toks
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM posting a JOIN posting b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (inverted-index join)."""
+    return token_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64 signatures — no DuckDB equivalent
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified (rows-only check;
+    the verification step itself bounds false positives to zero)."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_len=3,
+        verify_threshold=0.5,
+    )
+
+
+@query("dedup_simhash")  # xxhash64 signatures — no DuckDB equivalent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-LSH near-dup pairs (rows-only check)."""
+    return simhash_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", hamming_max=7
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding,
+                                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (brute force at test scale; the
+    hyperplane-LSH variant is `dedup_embedding_lsh`)."""
+    return embedding_cosine_pairs(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        brute_force=True,
+    )
+
+
+@query("dedup_embedding_lsh")  # bucketing uses driver-seeded hyperplanes
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed cosine dedup — the 100 TB path (candidates
+    restricted to same sign-pattern bucket; rows-only check)."""
+    return embedding_cosine_pairs(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        brute_force=False,
+        lsh_planes=8,
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+    FROM embeddings b, q
+    ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query vector (scan + TakeOrdered)."""
+    qv = _query_vec(spark, sf_dir, 0)
+    return brute_force_topk(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", qv, k=10
+    )
+
+
+@query("ann_topk_lsh")  # multiprobe LSH recall is engine-specific
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (bucket-pruned scan; rows-only check)."""
+    qv = _query_vec(spark, sf_dir, 0)
+    return lsh_topk(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        planes=8,
+        multiprobe_hamming=2,
+    )
+
+
+@query(
+    "ann_knn_join",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS lid, b.vec_id AS rid,
+             ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 20
+    )
+    SELECT lid, rid, cosine FROM (
+      SELECT lid, rid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY lid
+                                ORDER BY cosine DESC, rid ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 20 query vectors × full table, top-3 neighbors each."""
+    emb = table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 20)
+    return knn_join(left, emb, "vec_id", "vec_id", "embedding", k=3)
+
+
+# --- text analysis -------------------------------------------------------
+
+_STOP_SQL = {
+    code: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for code, words in T.STOPWORDS.items()
+}
+
+_RATIOS = ",\n".join(
+    f"""CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> x IN {_STOP_SQL[code]})) * 1.0 / len(toks)
+         ELSE 0.0 END AS r_{code}"""
+    for code in sorted(T.STOPWORDS)
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    r AS (SELECT doc_id, {_RATIOS} FROM t),
+    g AS (SELECT *, GREATEST(r_de, r_en, r_es, r_fr) AS best FROM r)
+    SELECT doc_id,
+           CASE WHEN r_de = best AND best >= 0.05 THEN 'de'
+                WHEN r_en = best AND best >= 0.05 THEN 'en'
+                WHEN r_es = best AND best >= 0.05 THEN 'es'
+                WHEN r_fr = best AND best >= 0.05 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM g
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID (n-gram heuristic)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN {_STOP_SQL['en']})) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
+             2) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/stopword/word-shape/punct bands)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pretokens."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 4
+                  THEN list_transform(range(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+3], ' '))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, x -> md5(x))) AS fp,
+           md5(array_to_string(toks, ' ')) AS content_hash
+    FROM s JOIN t USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint + exact content hash."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.fingerprint(F.col("text"), 4).alias("fp"),
+        T.content_hash(F.col("text")).alias("content_hash"),
+    )
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS sha256,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + JVM-side typed metadata (size, sha256)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return media_metadata(media)
+
+
+@query("multimodal_decode")  # fake-decode kernel is engine-internal
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing (deterministic stub kernel;
+    rows-only check — real decoders plug into the same seam)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return decode_images(media, n_features=16, fake=True).drop("features")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           LEAST(8, GREATEST(1, octet_length(CAST(text AS BLOB)) // 1024))
+             AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: frames per media item (count per id is
+    oracle-checkable even though frame bytes are kernel-internal)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=1024, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )

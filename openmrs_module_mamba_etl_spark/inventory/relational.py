@@ -1,0 +1,441 @@
+"""Relational operator inventory: scans, filters, joins, set ops, sorts.
+
+Covers SURVEY.md §2.A (A1), §2.B (B1-B7), §2.C (C1-C4), §2.F (F1-F3).
+Each query is the minimal declarative plan for its operator; Catalyst does
+pushdown/pruning (verified in tests via explain) and AQE picks join
+strategies — small dimensions are additionally hinted with ``broadcast``
+because at 100 TB the dim/fact size asymmetry is structural, not statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+
+# --- A1: source scan with projection + pushdown-able predicate -----------
+
+
+@query(
+    "scan_source",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def scan_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter reaching the parquet scan (PushedFilters/ReadSchema).
+
+    Reference analog: the JDBC scan of OpenMRS source tables
+    (reference: pom.xml:279-280)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --- B: projections / filters -------------------------------------------
+
+
+@query(
+    "project_alias",
+    oracle="SELECT o_orderkey AS id, o_totalprice AS amount FROM orders",
+)
+def project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT x AS y (reference: README.md:296 aliased projections)."""
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount")
+    )
+
+
+@query(
+    "filter_eq_literal",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def filter_eq_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality on a literal (reference: README.md:313 uuid = '...')."""
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "filter_eq_param",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def filter_eq_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality on a *bound named parameter* via Spark parameterized SQL —
+    the report-param surface (reference: README.md:297-307)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = :prio",
+        args={"prio": "1-URGENT"},
+    )
+
+
+@query(
+    "filter_gt_expr",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '1999-06-15'
+    """,
+)
+def filter_gt_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate over an expression (reference: README.md:313
+    ``DATE(e.encounter_datetime) > ...``)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") > F.lit("1999-06-15").cast("date"))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@query(
+    "filter_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN over datetimes (reference: README.md:321)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@query(
+    "filter_in",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "filter_like",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS amt
+    FROM orders
+    WHERE (CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END) IS NOT NULL
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL over a computed nullable column."""
+    amt = F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", amt.alias("amt"))
+        .where(F.col("amt").isNotNull())
+    )
+
+
+@query(
+    "filter_or_not",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+      AND NOT o_orderstatus = 'P'
+    """,
+)
+def filter_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            (
+                (F.col("o_orderstatus") == "F")
+                | (F.col("o_orderpriority") == "1-URGENT")
+            )
+            & ~(F.col("o_orderstatus") == "P")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- C: joins ------------------------------------------------------------
+
+
+@query(
+    "join_inner_eq",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim inner equi-join; dim broadcast (reference: README.md:296).
+
+    At 100 TB customer-scale dims may exceed broadcast size — AQE then falls
+    back to sort-merge; the hint is advisory, not load-bearing."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+@query(
+    "join_dim_dim",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_dim_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim⋈dim (reference: README.md:313 encounter⋈encounter_type)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_fact_dim",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_quantity
+    FROM lineitem l INNER JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    """,
+)
+def join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with a dim-side filter applied *before* the join (Catalyst
+    pushes it below the broadcast anyway; written explicitly for clarity)."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    return lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select("l_orderkey", "l_linenumber", "p_name", "l_quantity")
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, COALESCE(oc.cnt, 0) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+      ON c.c_custkey = oc.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving dimension rows with no facts."""
+    customer = table(spark, sf_dir, "customer")
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — no fact-side row multiplication."""
+    customer = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — also the incremental-diff primitive
+    (SURVEY.md §2.A A3)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake chain region⋈nation⋈customer + aggregate; both small dims
+    broadcast so the plan is two broadcast joins + one hash aggregate."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    GROUP BY p.p_brand
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a non-equi residual (theta) condition."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            (lineitem.l_partkey == part.p_partkey)
+            & (lineitem.l_quantity > part.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --- F: sorts / limits / set ops ----------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject (per-partition heap + driver
+    merge), never a full sort — the right shape at any scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) via unionByName + distinct."""
+    a = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("id"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("id"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("id"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("id"))
+    )
+    return a.subtract(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("id"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("id"))
+    )
+    return a.intersect(b)

@@ -1,0 +1,147 @@
+"""Report-service inventory: the three golden README reports re-expressed
+over the star schema (FIXTURES.md §A3), executed through the real report
+registry — reports.json shape, typed param binding, MySQL dialect shim
+(reference: README.md:288-328).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmrs_module_mamba_etl_spark.plans.clinical import PIPELINE
+from openmrs_module_mamba_etl_spark.plans.reports import ReportRegistry
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.config import (
+    ReportDefinition,
+    ReportParam,
+)
+
+#: The three README report shapes (reference: README.md:296,313,321) with
+#: MySQL-dialect SQL over the pipeline's dim/flat/fact views.
+REPORTS = ReportRegistry(
+    [
+        ReportDefinition(
+            report_name="Latest purchase by user (mother_hiv_status shape)",
+            report_id="latest_purchase_by_user",
+            # flat⋈dim inner join + two bound params
+            # (reference: README.md:296 mother_hiv_status).
+            sql_query="""
+                SELECT f.user_id, f.purchase AS latest_purchase_value,
+                       p.segment
+                FROM mamba_flat_user_activity f
+                INNER JOIN mamba_dim_person p ON f.user_id = p.person_id
+                WHERE p.segment = :segment AND f.user_id <= :max_user_id
+            """,
+            query_params=(
+                ReportParam("segment", "VARCHAR(255)"),
+                ReportParam("max_user_id", "INT"),
+            ),
+        ),
+        ReportDefinition(
+            report_name="Total orders 1997 (total_deliveries shape)",
+            report_id="total_orders_1997",
+            # dim⋈dim join + literal filter + DATE()/CONCAT date expression +
+            # COUNT(*) (reference: README.md:313 total_deliveries).
+            sql_query="""
+                SELECT COUNT(*) AS total_orders_1997
+                FROM mamba_dim_encounter e
+                INNER JOIN mamba_dim_person p ON e.person_id = p.person_id
+                WHERE p.segment = 'BUILDING'
+                  AND DATE(e.encounter_datetime) >= CONCAT('1997', '-01-01')
+                  AND DATE(e.encounter_datetime) <  CONCAT('1998', '-01-01')
+            """,
+        ),
+        ReportDefinition(
+            report_name="Distinct buyers in window (exposed_infants shape)",
+            report_id="distinct_buyers_window",
+            # fact⋈dim + BETWEEN + DATE_FORMAT %-tokens + COUNT(DISTINCT)
+            # (reference: README.md:321 total_hiv_exposed_infants).
+            sql_query="""
+                SELECT COUNT(DISTINCT e.person_id) AS total_buyers
+                FROM mamba_dim_encounter e
+                INNER JOIN mamba_dim_person p ON e.person_id = p.person_id
+                WHERE e.encounter_datetime
+                        BETWEEN DATE_FORMAT(DATE('1997-06-15'), '%Y-01-01')
+                            AND '1997-12-31'
+                  AND p.segment = 'MACHINERY'
+            """,
+        ),
+    ]
+)
+
+_FLAT_CTE = """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events
+    ), flat AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+      FROM latest WHERE rn = 1 GROUP BY user_id
+    )
+"""
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str, steps: list[str]) -> None:
+    """Materialize just the pipeline views a report needs (the report path
+    reads pre-built analysis tables — reference: README.md:285-287)."""
+    from openmrs_module_mamba_etl_spark.plans.pipeline import PipelineContext
+
+    ctx = PipelineContext(sf_dir=sf_dir)
+    for name, fn, publish in PIPELINE._steps:
+        if name in steps:
+            out = fn(spark, ctx)
+            if out is not None and publish:
+                ctx.tables[name] = out
+                out.createOrReplaceTempView(name)
+
+
+@query(
+    "report_latest_purchase",
+    oracle=_FLAT_CTE
+    + """
+    SELECT f.user_id, f.purchase AS latest_purchase_value,
+           c.c_mktsegment AS segment
+    FROM flat f
+    JOIN customer c ON f.user_id = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND f.user_id <= 100
+    """,
+)
+def report_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(
+        spark, sf_dir, ["mamba_dim_person", "mamba_flat_user_activity"]
+    )
+    return REPORTS.run(
+        spark, "latest_purchase_by_user", segment="BUILDING", max_user_id=100
+    )
+
+
+@query(
+    "report_total_orders",
+    oracle="""
+    SELECT COUNT(*) AS total_orders_1997
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+    """,
+)
+def report_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir, ["mamba_dim_person", "mamba_dim_encounter"])
+    return REPORTS.run(spark, "total_orders_1997")
+
+
+@query(
+    "report_distinct_buyers",
+    oracle="""
+    SELECT COUNT(DISTINCT o.o_custkey) AS total_buyers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+      AND c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def report_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir, ["mamba_dim_person", "mamba_dim_encounter"])
+    return REPORTS.run(spark, "distinct_buyers_window")

@@ -1,0 +1,161 @@
+"""Scalar-function inventory: SURVEY.md §2.G (the MySQL dialect the report
+surface uses, re-expressed with Spark built-ins).
+
+``fn_date_format`` runs through the dialect shim (functions/dialect.py) to
+prove the MySQL ``%``-token translation end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.functions.dialect import translate_mysql
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           DAY(o_orderdate) AS order_dom
+    FROM orders
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE()/YEAR()/... extraction (reference: README.md:313)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+    )
+
+
+@query(
+    "fn_date_format",
+    oracle="""
+    SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-01') AS month_start
+    FROM orders
+    """,
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL DATE_FORMAT with %-tokens through the dialect shim
+    (reference: README.md:321 ``DATE_FORMAT(NOW(), '%Y-01-01')``)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    sql = translate_mysql(
+        "SELECT o_orderkey, DATE_FORMAT(o_orderdate, '%Y-%m-01') AS month_start "
+        "FROM orders"
+    )
+    return spark.sql(sql)
+
+
+@query(
+    "fn_concat",
+    oracle="""
+    SELECT c_custkey, CONCAT(c_name, ':', c_mktsegment) AS label
+    FROM customer
+    """,
+)
+def fn_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAT (reference: README.md:313)."""
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias(
+            "label"
+        ),
+    )
+
+
+@query(
+    "fn_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregate."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "fn_string_math",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           ROUND(p_retailprice * 1.1, 2) AS price_with_tax,
+           ABS(p_size - 25) AS size_dev,
+           COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+    FROM part
+    """,
+)
+def fn_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/null-handling family: LOWER/SUBSTRING/ROUND/ABS/COALESCE
+    (SURVEY.md §2.G G7)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.coalesce(
+            F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")
+        ).alias("brand_or_other"),
+    )
+
+
+@query(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_cutoff
+    FROM orders
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + date difference."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")
+        ).alias("days_to_cutoff"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (MySQL JSON_EXTRACT analog, SURVEY.md §2.G G7)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

@@ -1,0 +1,114 @@
+"""Sink inventory: SURVEY.md §2.A (A2 overwrite, A3 incremental).
+
+These queries actually WRITE (to a repo-local scratch dir) and read the
+result back, so the sink path — not just the transformation — is what gets
+hash-checked against the oracle's relational definition of the final state.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.operators.incremental import merge_upsert
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+_SCRATCH = Path(__file__).resolve().parents[2] / "_scratch"
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _scratch_dir(name: str) -> str:
+    _SCRATCH.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH))
+    shutil.rmtree(d, ignore_errors=True)
+    return str(d)
+
+
+@query(
+    "sink_overwrite",
+    oracle="""
+    SELECT c_custkey AS person_id, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-refresh sink: overwrite-write a dim table, read it back
+    (reference: README.md:146-148 drop+recreate per run)."""
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("person_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    target = _scratch_dir("sink_overwrite")
+    dim.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
+@query(
+    "sink_incremental",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice * 2, 2) AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def sink_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert sink (reference: README.md:133-134 "only
+    add/modify what has changed"): simulated changed rows (keys ≡ 0 mod 97,
+    price doubled) merged into the base via broadcast anti-join + union,
+    written, and read back."""
+    orders = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 2, 2)
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    target = _scratch_dir("sink_incremental")
+    merged.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT YEAR(o_orderdate) AS order_year, o_orderkey, o_totalprice
+    FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1998
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink: partitionBy(year) — the layout that makes
+    incremental partition-overwrite and partition pruning work at 100 TB.
+    Read back with a partition filter (pruned scan)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    target = _scratch_dir("sink_partitioned")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(target)
+    out = spark.read.parquet(target).where(
+        F.col("order_year").between(1996, 1998)
+    )
+    # Partition column comes back as the inferred type + last position;
+    # normalize order and type so the oracle schema matches.
+    return out.select(
+        F.col("order_year").cast("int").alias("order_year"),
+        "o_orderkey",
+        "o_totalprice",
+    )

@@ -1,0 +1,139 @@
+"""Window-function inventory: SURVEY.md §2.E.
+
+All orderings carry a unique tiebreak column so ranks are deterministic —
+window results must hash identically across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from openmrs_module_mamba_etl_spark.operators.windows import latest_per_key, top_k_per_key
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+
+@query(
+    "window_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — the dedup idiom the EAV flattener relies on
+    (repeated obs per (encounter, concept) → latest wins, SURVEY.md §2.E)."""
+    return latest_per_key(
+        table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ),
+        keys=["o_custkey"],
+        order_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+
+
+@query(
+    "window_topk_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value."""
+    df = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    # top_k_per_key orders by one column; add the deterministic tiebreak here.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ROWS frame ⇒ deterministic accumulation
+    order ⇒ bit-stable doubles after rounding)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           DATE_DIFF('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate ASC, o_orderkey ASC),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + date arithmetic: days since the previous order per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_orderdate").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           RANK() OVER (ORDER BY ROUND(c_acctbal, 0) DESC) AS bal_rank,
+           DENSE_RANK() OVER (ORDER BY ROUND(c_acctbal, 0) DESC) AS bal_dense_rank
+    FROM customer
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK with intentional ties (rounded balances)."""
+    w = Window.orderBy(F.round(F.col("c_acctbal"), 0).desc())
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+# Re-export for API users; keeps operators/windows.py the canonical impl.
+__all__ = ["latest_per_key", "top_k_per_key"]

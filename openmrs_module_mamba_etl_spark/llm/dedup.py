@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each with a different recall/cost point, all expressed as
+shuffle-bounded DataFrame plans (the O(n²) pair space is never materialized
+except inside LSH buckets / shared-token groups):
+
+- exact: hash-groupBy on a canonical content hash.
+- token-Jaccard: inverted-index self-join (posting lists) + set-overlap.
+- MinHash+LSH: shingle → signature → band-bucket equi-join → verify.
+- SimHash: 64-bit signature → hamming-band equi-join → hamming verify.
+- embedding cosine: hyperplane-LSH bucketing (or brute force for small n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from openmrs_module_mamba_etl_spark.functions.similarity import (
+    band_hashes,
+    cosine,
+    hamming,
+    minhash_signature,
+    pack_bit_bands,
+    simhash_bits,
+    tokens,
+    word_shingles,
+)
+from openmrs_module_mamba_etl_spark.functions.text import content_hash
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) content.
+
+    One hash aggregate on a 128-bit content hash — at 100 TB this shuffles
+    (hash, id) pairs only, never the documents themselves.
+    """
+    return (
+        df.select(
+            F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def _pair_join(left_keyed: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Self-join a keyed exploded table into candidate id pairs (a < b)."""
+    a = left_keyed.alias("a")
+    b = left_keyed.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    joined = a.join(b, cond)
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via an inverted index.
+
+    Plan: explode distinct tokens → (drop degenerate posting lists longer
+    than ``max_posting`` — ubiquitous tokens generate quadratic candidate
+    blowup and zero discrimination, the classic skew guard) → self-join on
+    token → count shared tokens per pair → jaccard = inter/union ≥ threshold.
+    """
+    toked = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    sizes = toked.select(id_col, F.size("toks").alias("n_toks"))
+    posting = (
+        toked.select(F.col(id_col), F.explode("toks").alias("token"))
+        .withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("token")))
+        .where(F.col("df_") <= max_posting)
+        .drop("df_")
+    )
+    inter = (
+        _pair_join(posting, id_col, ["token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_toks", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_toks", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    bands=8 × rows=4 over 32 hashes ⇒ the classic S-curve with ~50%
+    candidate probability at J≈0.84^(1/4); candidates are verified with the
+    exact shingle-set Jaccard so the output has no false positives. Only
+    band-bucket groups are joined — the shuffle key is (band, bucket).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_len).alias("shingles"),
+    )
+    sigs = base.select(
+        id_col,
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+    buckets = sigs.select(
+        id_col,
+        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    candidates = _pair_join(buckets, id_col, ["band", "bucket"]).distinct()
+
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 8,
+    hamming_max: int = 7,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, hamming-band LSH.
+
+    With 8 bands of 8 bits, any pair within hamming distance ≤7 shares at
+    least one identical band (pigeonhole) ⇒ recall is exact for the
+    ``hamming_max`` default; distance is verified on the full signature.
+    """
+    sigs = df.select(
+        F.col(id_col), simhash_bits(F.col(text_col)).alias("bits")
+    )
+    buckets = sigs.select(
+        id_col, F.explode(pack_bit_bands(F.col("bits"), bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.value").alias("value"))
+
+    candidates = _pair_join(buckets, id_col, ["band", "value"]).distinct()
+    bits = sigs
+    return (
+        candidates.join(bits.withColumnRenamed(id_col, "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
+        .join(bits.withColumnRenamed(id_col, "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
+        .withColumn("hamming", hamming(F.col("bits_a"), F.col("bits_b")))
+        .where(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    brute_force: bool = True,
+    lsh_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine similarity.
+
+    ``brute_force=True``: full self-join (id<id) — O(n²), correct, only for
+    small n or within-bucket verification. ``False``: hyperplane-LSH
+    bucketing first (sign pattern of ``lsh_planes`` fixed random projections)
+    so only same-bucket pairs join — the 100 TB path; recall < 1 by design,
+    trade with ``lsh_planes``.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    if not brute_force:
+        from openmrs_module_mamba_etl_spark.llm.ann import hyperplane_bucket
+
+        dim = len(vecs.select("vec").first()[0])
+        vecs = vecs.withColumn(
+            "bucket", hyperplane_bucket(F.col("vec"), dim, lsh_planes, seed)
+        )
+        pairs = _pair_join(vecs, id_col, ["bucket"])
+    else:
+        a = vecs.alias("a")
+        b = vecs.alias("b")
+        pairs = a.join(
+            b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    v = vecs.select(F.col(id_col), F.col("vec"))
+    return (
+        pairs.join(v.withColumnRenamed(id_col, "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+        .join(v.withColumnRenamed(id_col, "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) column support.
+
+Media are opaque ``binary`` columns with typed metadata; heavy per-item work
+(decode, resize, frame-sample, feature-extract) runs as Arrow-batched
+``mapInPandas`` so bytes move executor-side in columnar batches — never
+through the driver, never row-at-a-time.
+
+The container has no codec libraries (PIL/cv2/ffmpeg), so the *decode
+kernels* are stubs: ``fake=True`` (default) produces deterministic
+byte-derived outputs with the real schema/batching/partitioning, and
+``fake=False`` raises ``NotImplementedError`` at the exact seam where a real
+decoder plugs in. Everything Spark-side — schemas, UDF signatures, batch
+iteration, partition sizing — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-table schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a media-shaped table from any table with an id + a payload
+    column (tests use documents.text encoded as bytes — the plumbing is
+    payload-agnostic)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).cast("binary").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.concat(F.lit("synthetic://"), F.col(id_col).cast("string")).alias(
+            "source_uri"
+        ),
+    )
+
+
+def _fake_decode(content: bytes, n_features: int) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for an image decoder: dimensions and features
+    derived from the payload bytes alone (stable across runs/executors)."""
+    digest = hashlib.sha256(content).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feats = [float(b) / 255.0 for b in digest[:n_features]]
+    return width, height, feats
+
+
+def decode_images(
+    media: DataFrame, n_features: int = 16, fake: bool = True
+) -> DataFrame:
+    """Decode + feature-extract media payloads via Arrow-batched mapInPandas.
+
+    Real-decoder seam: replace ``_fake_decode`` with a PIL/cv2 kernel — the
+    Spark plan (scan → repartition-free mapInPandas → columnar output) does
+    not change.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding requires PIL/cv2, not available in this "
+            "environment; run with fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)),
+                "sha256": pdf["content"].map(
+                    lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                ),
+            }
+            decoded = pdf["content"].map(
+                lambda b: (None, None, None)
+                if b is None
+                else _fake_decode(b, n_features)
+            )
+            out["width"] = decoded.map(lambda t: t[0])
+            out["height"] = decoded.map(lambda t: t[1])
+            out["features"] = decoded.map(lambda t: t[2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=DECODED_IMAGE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame.
+
+    The fake kernel slices the payload every ``every_n_bytes``; a real video
+    kernel (ffmpeg) would emit decoded keyframes with the same fan-out shape
+    (explode-style row multiplication inside mapInPandas, so frame blow-up
+    never inflates driver memory).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg bindings; use fake=True"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(content) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(content[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata extraction (no Python): size + content digest.
+
+    This is the oracle-checkable slice of the multimodal surface — byte
+    length and sha256 agree bit-for-bit with any engine.
+    """
+    return media.select(
+        "media_id",
+        F.octet_length("content").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        "mime",
+    )

@@ -1,0 +1,178 @@
+"""EAV flattening — the engine's signature operator.
+
+The reference's core job is transposing the OpenMRS ``obs`` EAV table
+("long format", 50+ rows per encounter — reference: README.md:8-12) into one
+wide row per encounter with a column per clinical concept
+(``mamba_flat_encounter_<type>`` — reference: README.md:252-253,296), either
+from a declarative JSON config (reference: README.md:249-253) or by
+discovering the column set from the data (reference: README.md:246-248).
+
+Spark-first realization — one shuffle, no self-joins:
+
+    obs.groupBy(entity).pivot(attr, values).agg(F.max_by(value, ts))
+
+- ``pivot`` with an *explicit, pre-discovered* value list keeps the plan
+  deterministic and avoids the ``spark.sql.pivotMaxValues`` surprise — the
+  two-phase dynamic pivot (distinct-scan then pivot) is the documented Spark
+  idiom for unknown key sets.
+- ``max_by(value, ts)`` gives latest-wins semantics for repeated obs per
+  (entity, attribute) inside the same hash aggregate — no extra window pass,
+  and partial aggregation runs map-side before the shuffle, so the shuffled
+  volume is ≤ one row per (entity, attr) per map task regardless of the EAV
+  blow-up factor. At 100 TB that map-side combine is the difference between
+  shuffling the obs table and shuffling the (much smaller) flattened table.
+- The reference's 40-column physical cap and >160-column failure
+  (reference: README.md:130-131,154) are MySQL row-width workarounds;
+  columnar Parquet needs no column partitioning, so the cap is accepted in
+  configs but intentionally not enforced.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class FlattenSpec:
+    """Column roles of the long (EAV) input + output naming rules."""
+
+    entity_col: str = "encounter_id"  # becomes one output row per value
+    attr_col: str = "concept"  # becomes output columns
+    value_col: str = "value"
+    order_col: str | None = "obs_datetime"  # latest-wins tiebreak; None=any
+    carry_cols: tuple[str, ...] = ()  # entity-level cols copied through
+    max_attrs: int = 10_000  # guard rail for runaway attribute domains
+
+
+def sanitize_column(name: str) -> str:
+    """Concept display name → safe, stable Spark/Parquet column name."""
+    norm = unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode()
+    norm = re.sub(r"[^0-9a-zA-Z]+", "_", norm).strip("_").lower()
+    if not norm:
+        norm = "col"
+    if norm[0].isdigit():
+        norm = f"_{norm}"
+    return norm
+
+
+def assign_column_names(attrs: list[str]) -> dict[str, str]:
+    """Deterministic attr→column mapping with collision-safe suffixes.
+
+    Attributes are processed in sorted order so the same attribute domain
+    always yields the same schema (stable across runs and partitions).
+    """
+    mapping: dict[str, str] = {}
+    used: set[str] = set()
+    for attr in sorted(attrs):
+        base = sanitize_column(attr)
+        name = base
+        i = 2
+        while name in used:
+            name = f"{base}_{i}"
+            i += 1
+        used.add(name)
+        mapping[attr] = name
+    return mapping
+
+
+def discover_attrs(df: DataFrame, spec: FlattenSpec) -> list[str]:
+    """Phase 1 of the dynamic pivot: distinct attribute scan.
+
+    A sorted-distinct over one column — Catalyst prunes the scan to just
+    ``attr_col`` (check ReadSchema), and partial distinct runs map-side.
+    """
+    rows = (
+        df.select(spec.attr_col)
+        .where(F.col(spec.attr_col).isNotNull())
+        .distinct()
+        .limit(spec.max_attrs + 1)
+        .collect()
+    )
+    if len(rows) > spec.max_attrs:
+        raise ValueError(
+            f"attribute domain exceeds max_attrs={spec.max_attrs}; "
+            "pass an explicit column mapping instead of dynamic discovery"
+        )
+    return sorted(r[0] for r in rows)
+
+
+def flatten(
+    df: DataFrame,
+    spec: FlattenSpec = FlattenSpec(),
+    attrs: list[str] | None = None,
+    column_mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Long EAV → one wide row per entity (phase 2: explicit pivot).
+
+    ``attrs``: pivot value list; discovered via :func:`discover_attrs` when
+    omitted. ``column_mapping`` (output column → attribute, the reference's
+    JSON config shape) restricts and renames the pivoted columns.
+    """
+    if column_mapping:
+        attrs = sorted(set(column_mapping.values()))
+        attr_to_col = {a: c for c, a in column_mapping.items()}
+    else:
+        if attrs is None:
+            attrs = discover_attrs(df, spec)
+        attr_to_col = assign_column_names(attrs)
+
+    if spec.order_col:
+        agg = F.max_by(F.col(spec.value_col), F.col(spec.order_col))
+    else:
+        agg = F.first(F.col(spec.value_col), ignorenulls=True)
+
+    group_cols = [spec.entity_col, *spec.carry_cols]
+    wide = (
+        df.groupBy(*group_cols)
+        .pivot(spec.attr_col, attrs)
+        .agg(agg.alias("v"))
+    )
+    # pivot names output columns by raw attribute value; apply sanitized names
+    renames = [F.col(c) for c in group_cols] + [
+        F.col(f"`{a}`").alias(attr_to_col[a]) for a in attrs
+    ]
+    return wide.select(*renames)
+
+
+@dataclass(frozen=True)
+class AutoFlattenResult:
+    """One flat table per attribute-domain partition (e.g. encounter type)."""
+
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def auto_flatten_by_type(
+    df: DataFrame,
+    type_col: str,
+    spec: FlattenSpec = FlattenSpec(),
+    table_prefix: str = "mamba_flat_encounter_",
+) -> AutoFlattenResult:
+    """Automated flattening: one wide table per encounter type.
+
+    The reference auto-generates one config per encounter type when
+    ``automated_flattening`` is on (reference: README.md:136-137,246-248).
+    Spark analog: one distinct scan over (type, attr) drives N pivots; each
+    pivot is an independent job over a type-filtered slice, so types
+    parallelize trivially across a cluster and each per-type plan keeps its
+    own narrow attribute list.
+    """
+    pairs = (
+        df.select(type_col, spec.attr_col)
+        .where(F.col(type_col).isNotNull() & F.col(spec.attr_col).isNotNull())
+        .distinct()
+        .collect()
+    )
+    by_type: dict[str, list[str]] = {}
+    for r in pairs:
+        by_type.setdefault(str(r[0]), []).append(r[1])
+
+    tables = {}
+    for etype, attrs in sorted(by_type.items()):
+        name = table_prefix + sanitize_column(etype)
+        sliced = df.where(F.col(type_col) == etype)
+        tables[name] = flatten(sliced, spec, attrs=sorted(attrs))
+    return AutoFlattenResult(tables=tables)

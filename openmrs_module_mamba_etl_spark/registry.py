@@ -1,0 +1,58 @@
+"""Query + oracle registry behind ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``(spark, sf_dir) -> DataFrame`` callable, optionally paired with the
+ANSI/DuckDB SQL that computes the same result on the same parquet tables.
+The driver hash-compares the two at sf0.01 (CORRECTNESS gate).
+
+Registration happens at import of the inventory modules; ``load_all()`` is
+idempotent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name``; ``oracle`` is DuckDB SQL or None for
+    non-SQL-expressible operators (driver then does a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_loaded = False
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    # Import order is irrelevant; each module self-registers.
+    from openmrs_module_mamba_etl_spark.inventory import (  # noqa: F401
+        aggregates,
+        flatten_queries,
+        llm_queries,
+        relational,
+        report_queries,
+        scalars,
+        sink_queries,
+        window_queries,
+    )
+
+    _loaded = True

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates all execution to a single MySQL server
+(reference: README.md:31, api/src/main/resources/mamba/mamba_main.sql:1-14).
+Here the execution engine is Spark: AQE handles runtime re-planning
+(partition coalescing, skew joins), Arrow accelerates any Python exchange,
+and the session timezone is pinned to UTC so timestamp semantics are stable
+across drivers, executors, and the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for correctness + 100 TB-mindset scale behavior.
+#: - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+#:   dynamic join-strategy switching (broadcast small sides discovered late).
+#: - Arrow on: every toPandas()/pandas_udf exchange is columnar-batched.
+#: - UTC session tz: deterministic timestamp arithmetic everywhere.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+    # At 100 TB this is sized per-cluster; locally keep partitions ≈ cores so
+    # small-SF shuffles don't fragment into thousands of empty tasks.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "mamba-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test/bench
+    environment; on a real cluster callers pass ``yarn``/``k8s://...`` or let
+    spark-submit inject it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
