@@ -49,13 +49,18 @@ def main() -> None:
     # Warm-up: JVM + codegen + parquet footer reads out of the measurement.
     registry.QUERIES["agg_count_star"](spark, sf_dir).collect()
 
+    # Min of two runs per query: the second run amortizes codegen/JIT and
+    # task-dispatch cold start, so min ≈ steady-state engine time.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -53,8 +53,13 @@ def brute_force_topk(
     Deterministic tiebreak on id so results are stable under reordering.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # Single-file inputs arrive as one partition; spread so the (interpreted
+    # higher-order-function) scoring runs on all cores. At real scale the
+    # split count already exceeds cores and this repartition is skippable —
+    # but it is one round-robin shuffle of (id, vec), cheap either way.
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
-        df.select(
+        spread.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
         )

@@ -28,12 +28,26 @@ from openmrs_module_mamba_etl_spark.functions.similarity import (
 from openmrs_module_mamba_etl_spark.functions.text import content_hash
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition ahead of expression-heavy per-row work.
+
+    Small corpora often arrive as one parquet file ⇒ one input partition ⇒
+    single-threaded signature computation no matter how many cores exist.
+    At 100 TB the file count provides parallelism and AQE coalesces; this
+    explicit spread only matters when input splits < cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, id_col)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) content.
 
     One hash aggregate on a 128-bit content hash — at 100 TB this shuffles
     (hash, id) pairs only, never the documents themselves.
     """
+    # No repartition here: md5-of-tokens is cheap enough that the extra
+    # shuffle stage costs more than single-pass hashing saves (measured).
     return (
         df.select(
             F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
@@ -72,9 +86,9 @@ def token_jaccard_pairs(
     blowup and zero discrimination, the classic skew guard) → self-join on
     token → count shared tokens per pair → jaccard = inter/union ≥ threshold.
     """
-    toked = df.select(
+    toked = _spread(df, id_col).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    )
+    ).persist()
     sizes = toked.select(id_col, F.size("toks").alias("n_toks"))
     posting = (
         toked.select(F.col(id_col), F.explode("toks").alias("token"))
@@ -116,15 +130,18 @@ def minhash_lsh_pairs(
     band-bucket groups are joined — the shuffle key is (band, bucket).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_len).alias("shingles"),
     )
+    # The signature subtree feeds three consumers (band buckets + both sides
+    # of the verification join); persist so higher-order-function evaluation
+    # (interpreted, not codegen) runs once per document, not three times.
     sigs = base.select(
         id_col,
         "shingles",
         minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    )
+    ).persist()
     buckets = sigs.select(
         id_col,
         F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("bb"),
@@ -163,9 +180,9 @@ def simhash_pairs(
     least one identical band (pigeonhole) ⇒ recall is exact for the
     ``hamming_max`` default; distance is verified on the full signature.
     """
-    sigs = df.select(
+    sigs = _spread(df, id_col).select(
         F.col(id_col), simhash_bits(F.col(text_col)).alias("bits")
-    )
+    ).persist()
     buckets = sigs.select(
         id_col, F.explode(pack_bit_bands(F.col("bits"), bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.value").alias("value"))
