@@ -7,20 +7,23 @@ wide row per encounter with a column per clinical concept
 from a declarative JSON config (reference: README.md:249-253) or by
 discovering the column set from the data (reference: README.md:246-248).
 
-Spark-first realization — one shuffle, no self-joins:
+Spark-first realization — one shuffle, no self-joins, no pivot operator:
 
-    obs.groupBy(entity).pivot(attr, values).agg(F.max_by(value, ts))
+    obs.groupBy(entity).agg(
+        max_by(CASE WHEN attr=a THEN value END,
+               CASE WHEN attr=a THEN ts END) AS col_a, ...)
 
-- ``pivot`` with an *explicit, pre-discovered* value list keeps the plan
-  deterministic and avoids the ``spark.sql.pivotMaxValues`` surprise — the
-  two-phase dynamic pivot (distinct-scan then pivot) is the documented Spark
-  idiom for unknown key sets.
-- ``max_by(value, ts)`` gives latest-wins semantics for repeated obs per
-  (entity, attribute) inside the same hash aggregate — no extra window pass,
-  and partial aggregation runs map-side before the shuffle, so the shuffled
-  volume is ≤ one row per (entity, attr) per map task regardless of the EAV
-  blow-up factor. At 100 TB that map-side combine is the difference between
-  shuffling the obs table and shuffling the (much smaller) flattened table.
+- The attribute list is *explicitly pre-discovered* (distinct-scan phase) so
+  the plan is deterministic for any attribute domain — the two-phase dynamic
+  pivot idiom, minus ``DataFrame.pivot`` itself: Spark plans
+  ``pivot().agg(max_by)`` as two hash aggregates with two exchanges, while
+  one conditional ``max_by`` per output column is a single hash aggregate.
+- ``max_by`` gives latest-wins semantics for repeated obs per (entity,
+  attribute) inside the aggregate — no extra window pass, and partial
+  aggregation runs map-side before the shuffle, so the shuffled volume is
+  ≤ one row per (entity, map-task) regardless of the EAV blow-up factor.
+  At 100 TB that map-side combine is the difference between shuffling the
+  obs table and shuffling the (much smaller) flattened table.
 - The reference's 40-column physical cap and >160-column failure
   (reference: README.md:130-131,154) are MySQL row-width workarounds;
   columnar Parquet needs no column partitioning, so the cap is accepted in
@@ -120,22 +123,27 @@ def flatten(
             attrs = discover_attrs(df, spec)
         attr_to_col = assign_column_names(attrs)
 
-    if spec.order_col:
-        agg = F.max_by(F.col(spec.value_col), F.col(spec.order_col))
-    else:
-        agg = F.first(F.col(spec.value_col), ignorenulls=True)
+    # Conditional aggregation instead of DataFrame.pivot(): Spark plans
+    # ``pivot().agg(max_by)`` as TWO hash aggregates with TWO exchanges
+    # (per-(entity,attr) max_by, then pivotfirst per entity). One
+    # max_by(CASE...) per output column collapses that into a single hash
+    # aggregate — one shuffle of at most one row per (entity, map-task),
+    # with all the latest-wins logic running map-side. Measured on the plan:
+    # 2 Exchanges → 1.
+    agg_cols = []
+    for a in attrs:
+        cond = F.col(spec.attr_col) == F.lit(a)
+        v = F.when(cond, F.col(spec.value_col))
+        if spec.order_col:
+            agg = F.max_by(v, F.when(cond, F.col(spec.order_col)))
+        else:
+            agg = F.first(v, ignorenulls=True)
+        agg_cols.append(agg.alias(attr_to_col[a]))
 
     group_cols = [spec.entity_col, *spec.carry_cols]
-    wide = (
-        df.groupBy(*group_cols)
-        .pivot(spec.attr_col, attrs)
-        .agg(agg.alias("v"))
-    )
-    # pivot names output columns by raw attribute value; apply sanitized names
-    renames = [F.col(c) for c in group_cols] + [
-        F.col(f"`{a}`").alias(attr_to_col[a]) for a in attrs
-    ]
-    return wide.select(*renames)
+    if not agg_cols:
+        return df.select(*group_cols).distinct()
+    return df.groupBy(*group_cols).agg(*agg_cols)
 
 
 @dataclass(frozen=True)

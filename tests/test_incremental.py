@@ -1,0 +1,86 @@
+"""Incremental refresh: merge semantics, watermark state, end-to-end ticks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_module_mamba_etl_spark.operators.incremental import (
+    WatermarkStore,
+    changed_since,
+    incremental_refresh_parquet,
+    merge_upsert,
+)
+
+
+def test_merge_upsert(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id long, v string"
+    )
+    merged = {r["id"]: r["v"] for r in merge_upsert(base, updates, ["id"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_multirow_update_keys(spark):
+    # two update rows for distinct keys must not fan out base rows
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    updates = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    out = merge_upsert(base, updates, ["id"]).collect()
+    assert len(out) == 2  # both update rows kept; base row replaced
+
+
+def test_watermark_store(tmp_path):
+    store = WatermarkStore(tmp_path / "wm.json")
+    assert store.get("t") is None
+    store.set("t", "2024-01-01 00:00:00")
+    assert store.get("t") == "2024-01-01 00:00:00"
+    store.set("u", "5")
+    assert store.get("t") == "2024-01-01 00:00:00"
+
+
+def test_changed_since(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, ts long")
+    assert changed_since(df, "ts", None).count() == 2
+    assert changed_since(df, "ts", "15").count() == 1
+
+
+def test_incremental_refresh_end_to_end(spark, tmp_path):
+    target = str(tmp_path / "tgt")
+    store = WatermarkStore(tmp_path / "wm.json")
+
+    src1 = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "id long, v string, audit long"
+    )
+    out1 = incremental_refresh_parquet(
+        spark, src1, target, ["id"], "audit", store, "t"
+    )
+    assert {tuple(r) for r in out1.collect()} == {(1, "a", 100), (2, "b", 200)}
+    assert store.get("t") == "200"
+
+    # tick 2: one updated row (id=2, newer audit), one new row (id=3),
+    # one stale row (id=1 unchanged, audit below watermark)
+    src2 = spark.createDataFrame(
+        [(1, "a", 100), (2, "B", 300), (3, "c", 250)],
+        "id long, v string, audit long",
+    )
+    out2 = incremental_refresh_parquet(
+        spark, src2, target, ["id"], "audit", store, "t"
+    )
+    assert {tuple(r) for r in out2.collect()} == {
+        (1, "a", 100),
+        (2, "B", 300),
+        (3, "c", 250),
+    }
+    assert store.get("t") == "300"
+
+
+def test_incremental_refresh_full_on_first_run(spark, tmp_path):
+    target = str(tmp_path / "tgt2")
+    store = WatermarkStore(tmp_path / "wm2.json")
+    src = spark.range(5).withColumn("audit", F.col("id"))
+    out = incremental_refresh_parquet(
+        spark, src, target, ["id"], "audit", store, "t2"
+    )
+    assert out.count() == 5

@@ -1,0 +1,146 @@
+"""LLM-ops correctness: planted duplicates must be found; scores must match
+independent (numpy) computation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk, knn_join, lsh_topk
+from openmrs_module_mamba_etl_spark.llm.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    token_jaccard_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+NEAR = BASE.replace("green trees", "green bushes")  # one-word edit
+OTHER = (
+    "completely different content about database engines shuffle joins "
+    "partitions aggregates and columnar storage formats for analytics work"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["kept_id"]: r["n_dupes"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == 2  # 0 and 1 identical
+    assert out[2] == 1
+    assert out[3] == 1
+
+
+def test_minhash_finds_planted_pair(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_token_jaccard_value(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # manual jaccard for the one-word edit pair
+    a = set(BASE.lower().split())
+    b = set(NEAR.lower().split())
+    expected = round(len(a & b) / len(a | b), 6)
+    assert pairs[(0, 2)] == expected
+
+
+def test_embedding_pairs_match_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[5] = vecs[3] + 0.01 * rng.normal(size=8).astype(np.float32)  # near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    assert (3, 5) in out
+    v3, v5 = vecs[3].astype(float), vecs[5].astype(float)
+    expected = float(v3 @ v5 / (np.linalg.norm(v3) * np.linalg.norm(v5)))
+    assert math.isclose(out[(3, 5)], expected, abs_tol=1e-6)
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=float)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids.tolist().index(0)]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-np.round(sims, 6), ids))[:10]
+    expected = [int(i) for _, i in order]
+
+    got = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", [float(x) for x in q], 10).collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()}
+    # sf0.001 has only ~50 vectors: use 4 planes (16 buckets) so the probe
+    # set (1 + 4 + 6 = 11 buckets) covers a meaningful candidate fraction.
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(
+            emb, "vec_id", "embedding", q, 10, planes=4, multiprobe_hamming=2
+        ).collect()
+    }
+    # ANN: require the query itself + ≥30% overlap with exact top-10
+    assert 0 in approx
+    assert len(exact & approx) >= 3
+
+
+def test_knn_join_self_nearest(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(30, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_join(df, df, "vec_id", "vec_id", "embedding", k=1).collect()
+    # every vector's 1-NN is itself (cosine 1.0)
+    for r in out:
+        assert r["lid"] == r["rid"]
+        assert r["cosine"] == 1.0

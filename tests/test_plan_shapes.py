@@ -1,0 +1,101 @@
+"""Physical-plan shape assertions — the 100 TB design contracts.
+
+These tests pin the properties that matter at scale: filters and projections
+reach the parquet scan, small dimensions broadcast, aggregates partial-agg
+map-side, top-k avoids a global sort. A refactor that silently loses one of
+these still passes value checks at sf0.01 but dies at 100 TB; this suite is
+the guard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "scan_source")
+    assert "PushedFilters" in p and "l_orderkey" in p.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the 3 projected columns
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_inner_eq")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiway_all_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_multiway")
+    # formatted explain lists each node in tree + details ⇒ 2 joins appear 4×
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_agg_partial_final(spark, sf_dir):
+    p = plan(spark, sf_dir, "agg_group_by")
+    # two HashAggregate nodes: map-side partial + reduce-side final
+    assert p.count("HashAggregate") >= 2
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pivot_single_shuffle(spark, sf_dir):
+    p = plan(spark, sf_dir, "pivot_eav_flatten")
+    # exactly one exchange node (tree + details each mention it once);
+    # no window pass, no join, no second aggregate-exchange from pivotfirst
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_anti_join_broadcast_in_incremental(spark, sf_dir):
+    # sink_incremental returns the read-back scan, so assert on the merge
+    # plan itself: base ANTI JOIN changed-keys must broadcast the key set.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import merge_upsert
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    orders = table(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 97 == 0)
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["agg_group_by"](spark, sf_dir).explain("codegen")
+    p = buf.getvalue()
+    # the scan→filter→project→partial-agg pipeline must be codegen'd
+    assert "WholeStageCodegen" in p
