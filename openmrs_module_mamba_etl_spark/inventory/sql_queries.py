@@ -1,0 +1,326 @@
+"""SQL-surface inventory: the free-form SELECT capability of the report
+path (reference: README.md:296 — ``sql_query`` is arbitrary MySQL), expressed
+through ``spark.sql`` over registered views: CTEs, subqueries (scalar /
+EXISTS / IN), GROUPING SETS, DISTINCT, UNION ALL, LIMIT/OFFSET, regex and
+string families, percentile/statistics aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_cte",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(co.total), 2) AS segment_total
+    FROM cust_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common table expression feeding a join + reaggregation."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(SUM(co.total), 2) AS segment_total
+        FROM cust_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+             AS delta_from_avg
+    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in projection and predicate."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+                 AS delta_from_avg
+        FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (planned as a left-semi join by Catalyst)."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09
+    )
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (
+          SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09
+        )
+        """
+    )
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "sql_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+    )
+
+
+@query(
+    "sql_union_all",
+    oracle="""
+    SELECT o_custkey AS id, 'order' AS src FROM orders WHERE o_totalprice > 450000
+    UNION ALL
+    SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_acctbal < -900
+    """,
+)
+def sql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_custkey AS id, 'order' AS src FROM orders WHERE o_totalprice > 450000
+        UNION ALL
+        SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_acctbal < -900
+        """
+    )
+
+
+@query(
+    "sql_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5 OFFSET 10
+    """,
+)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: deterministic total order + LIMIT/OFFSET."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5 OFFSET 10
+        """
+    )
+
+
+@query(
+    "sql_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(red|blue)') AS is_primary_color
+    FROM part
+    """,
+)
+def sql_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract group, replace-all, match test.
+
+    Spark regexp_replace replaces all occurrences by default; the DuckDB
+    oracle needs the explicit 'g' flag for the same semantics.
+    """
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+               regexp_replace(p_name, '[aeiou]', '_') AS devoweled,
+               p_name RLIKE '^(red|blue)' AS is_primary_color
+        FROM part
+        """
+    )
+
+
+@query(
+    "sql_string_family",
+    oracle="""
+    SELECT c_custkey,
+           TRIM(UPPER(c_name)) AS up,
+           REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           SPLIT_PART(c_name, '#', 2) AS name_num,
+           LEFT(c_mktsegment, 3) AS seg3,
+           REVERSE(c_mktsegment) AS seg_rev
+    FROM customer
+    """,
+)
+def sql_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               TRIM(UPPER(c_name)) AS up,
+               REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+               LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+               SPLIT_PART(c_name, '#', 2) AS name_num,
+               LEFT(c_mktsegment, 3) AS seg3,
+               REVERSE(c_mktsegment) AS seg_rev
+        FROM customer
+        """
+    )
+
+
+@query(
+    "sql_conditional_fns",
+    oracle="""
+    SELECT o_orderkey,
+           GREATEST(o_totalprice, 100000.0) AS floor_price,
+           LEAST(o_totalprice, 400000.0) AS cap_price,
+           IFNULL(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    """,
+)
+def sql_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               GREATEST(o_totalprice, 100000.0D) AS floor_price,
+               LEAST(o_totalprice, 400000.0D) AS cap_price,
+               IFNULL(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+        FROM orders
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The 100 TB variant is ``percentile_approx``
+    (t-digest sketch, mergeable map-side)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(percentile(o_totalprice, 0.5), 2) AS median_price,
+               ROUND(percentile(o_totalprice, 0.9), 2) AS p90_price
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / correlation."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query("agg_approx_distinct")  # HLL sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB replacement for exact COUNT
+    (DISTINCT): mergeable HLL, no global distinct shuffle. Sketch estimates
+    are engine-specific ⇒ rows-only check; the unit test bounds its error
+    against the exact count."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT approx_count_distinct(o_custkey) AS approx_customers
+        FROM orders
+        """
+    )

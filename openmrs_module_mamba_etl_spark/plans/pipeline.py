@@ -67,3 +67,25 @@ class MambaPipeline:
                 ctx.tables[name] = out
                 out.createOrReplaceTempView(name)
         return ctx
+
+
+def materialize(
+    spark: SparkSession, ctx: PipelineContext, target_dir: str
+) -> dict[str, str]:
+    """Write every published table to the analysis store (full refresh).
+
+    The Parquet analog of the reference's drop+recreate analysis-DB tables
+    (reference: README.md:146-148); each table lands at
+    ``<target_dir>/<table_name>`` and is re-registered as a view over the
+    *written* files, so downstream reports read the materialized store, not
+    the live lineage — exactly the reference's pre-materialization contract.
+    """
+    import os
+
+    paths: dict[str, str] = {}
+    for name, df in ctx.tables.items():
+        path = os.path.join(target_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        paths[name] = path
+    return paths

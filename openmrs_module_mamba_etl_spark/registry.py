@@ -52,6 +52,7 @@ def load_all() -> None:
         report_queries,
         scalars,
         sink_queries,
+        sql_queries,
         window_queries,
     )
 
