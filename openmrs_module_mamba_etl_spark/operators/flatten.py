@@ -146,6 +146,42 @@ def flatten(
     return df.groupBy(*group_cols).agg(*agg_cols)
 
 
+def apply_concept_locale(
+    obs: DataFrame,
+    concept_names: DataFrame,
+    spec: FlattenSpec,
+    locale: str = "en",
+    concept_id_col: str = "concept_id",
+    name_col: str = "name",
+    locale_col: str = "locale",
+) -> DataFrame:
+    """Resolve concept-id attributes to locale-preferred display names.
+
+    The reference configures a "preferred concepts locale" and resolves
+    flat-table column names in it (reference: README.md:127-128, compiler
+    flag ``-l en`` README.md:274-275). Spark realization: filter the concept
+    vocabulary to the locale and broadcast-join it onto the obs stream —
+    the vocabulary is dimension-sized, so this adds no shuffle to the
+    flatten; unresolved ids keep their raw attribute value.
+    """
+    names = (
+        concept_names.where(F.col(locale_col) == locale)
+        .select(
+            F.col(concept_id_col).cast("string").alias("__cid"),
+            F.col(name_col).alias("__cname"),
+        )
+        .dropDuplicates(["__cid"])
+    )
+    joined = obs.join(
+        F.broadcast(names),
+        obs[spec.attr_col].cast("string") == F.col("__cid"),
+        "left",
+    )
+    return joined.withColumn(
+        spec.attr_col, F.coalesce(F.col("__cname"), F.col(spec.attr_col))
+    ).drop("__cid", "__cname")
+
+
 @dataclass(frozen=True)
 class AutoFlattenResult:
     """One flat table per attribute-domain partition (e.g. encounter type)."""

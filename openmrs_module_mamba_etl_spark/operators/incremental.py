@@ -73,6 +73,75 @@ def changed_since(df: DataFrame, audit_col: str, watermark: str | None) -> DataF
     return df.where(F.col(audit_col) > F.lit(watermark))
 
 
+def incremental_flatten_parquet(
+    spark: SparkSession,
+    obs: DataFrame,
+    target_path: str,
+    spec,  # operators.flatten.FlattenSpec
+    audit_col: str,
+    store: WatermarkStore,
+    table: str,
+) -> DataFrame:
+    """Incrementally maintain a flattened (EAV→wide) table on Parquet.
+
+    The reference's incremental mode applied to its signature operator
+    (reference: README.md:133-134 + the flat tables of README.md:252-253).
+    A changed *obs row* invalidates its whole *entity row* in the wide
+    table, so the unit of recomputation is the entity:
+
+    1. watermark scan → changed obs (pushdown predicate);
+    2. changed-entity set (distinct, broadcast-sized in steady state);
+    3. left-semi join back to obs → ALL obs of changed entities (the wide
+       row needs every attribute, not just the new ones);
+    4. flatten only those entities; 5. upsert-merge into the wide table.
+
+    Attribute discovery runs on the full obs table each tick so new
+    concepts appear as new columns; pre-existing rows get NULL for them
+    (schema-drift alignment via unionByName allowMissingColumns).
+    Invariant (tested): result ≡ full re-flatten of the current obs.
+    """
+    from openmrs_module_mamba_etl_spark.operators.flatten import (
+        discover_attrs,
+        flatten,
+    )
+
+    wm = store.get(table)
+    attrs = discover_attrs(obs, spec)
+    target_exists = Path(target_path).exists()
+
+    if wm is None or not target_exists:
+        merged = flatten(obs, spec, attrs=attrs)
+    else:
+        changed_entities = (
+            obs.where(F.col(audit_col) > F.lit(wm))
+            .select(spec.entity_col)
+            .distinct()
+        )
+        changed_obs = obs.join(
+            F.broadcast(changed_entities), on=spec.entity_col, how="left_semi"
+        )
+        recomputed = flatten(changed_obs, spec, attrs=attrs)
+        base = spark.read.parquet(target_path)
+        # schema drift: new attrs missing in base → filled with NULL
+        kept = base.join(
+            F.broadcast(changed_entities), on=spec.entity_col, how="left_anti"
+        )
+        merged = kept.unionByName(recomputed, allowMissingColumns=True)
+
+    staging = f"{target_path}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if Path(target_path).exists():
+        import shutil
+
+        shutil.rmtree(target_path)
+    os.replace(staging, target_path)
+
+    new_wm = obs.agg(F.max(audit_col).cast("string")).first()[0]
+    if new_wm is not None:
+        store.set(table, new_wm)
+    return spark.read.parquet(target_path)
+
+
 def incremental_refresh_parquet(
     spark: SparkSession,
     source: DataFrame,
