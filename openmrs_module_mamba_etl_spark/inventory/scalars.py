@@ -126,6 +126,30 @@ def fn_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_date_trunc",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE()-style truncation rolled up to month grain (SURVEY.md §2.G G1;
+    reference: README.md:313 ``DATE(e.encounter_datetime)``). The truncation
+    is a scalar expression on the grouping key, so the plan stays one
+    partial+final hash aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "fn_datetime_arith",
     oracle="""
     SELECT o_orderkey,
