@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from openmrs_module_mamba_etl_spark.functions import text as T
-from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk, knn_join, lsh_topk
+from openmrs_module_mamba_etl_spark.llm.ann import (
+    brute_force_topk,
+    ivf_topk,
+    knn_join,
+    lsh_topk,
+)
 from openmrs_module_mamba_etl_spark.llm.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
@@ -202,6 +207,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         planes=8,
         multiprobe_hamming=2,
+    )
+
+
+@query("ann_topk_ivf")  # quantizer cells are engine-internal
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic coarse quantizer (seeded pick + one
+    distributed Lloyd step), probe the 4 nearest of 16 cells (rows-only
+    check). At scale the table is written partitionBy(ivf_cell) so the
+    probe filter is partition pruning, not a full scan."""
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_cells=16,
+        nprobe=4,
     )
 
 

@@ -116,6 +116,125 @@ def lsh_topk(
     )
 
 
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the centroid with max cosine to ``vec`` — pure JVM expression.
+
+    Builds an array of (score, idx) structs and takes ``array_max``; struct
+    ordering compares ``s`` first, so ties break toward the larger index —
+    deterministic either way. Centroid count × dim doubles embed as
+    literals (an IVF coarse quantizer is broadcast-sized by construction).
+    """
+    scored = [
+        F.struct(
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored))["i"]
+
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: deterministic seed pick + distributed
+    Lloyd refinement.
+
+    Seeds are the vectors of the ``n_cells`` rows with smallest
+    ``xxhash64(id)`` — a deterministic pseudo-random sample, no RNG state.
+    Each refinement iteration assigns every (sampled) vector to its nearest
+    seed JVM-side, then recomputes centroids as the element-wise mean via
+    ``posexplode`` + hash aggregation — one shuffle of (cell, pos) keyed
+    rows, result only n_cells × dim values. At 100 TB you train on a hash
+    sample (``sample_mod > 1``) — quantizer quality needs a sample, not the
+    corpus.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod > 1:
+        base = base.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    seeds = (
+        base.orderBy(F.xxhash64("_id").asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .select("_v")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in seeds]
+
+    for _ in range(refine_iters):
+        # Two projections: generator resolution strips struct-field aliases
+        # when the argmax expression shares a select with posexplode.
+        assigned = base.withColumn(
+            "_cell", nearest_cell(F.col("_v"), centroids)
+        ).select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+        means = (
+            assigned.groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+        centroids = [
+            [by_cell[i][p] for p in sorted(by_cell[i])] if i in by_cell else c
+            for i, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], cell_col: str = "ivf_cell"
+) -> DataFrame:
+    """Tag each row with its IVF cell. At scale, write the result
+    ``partitionBy(cell_col)`` so probe filters become partition pruning —
+    a top-k then scans nprobe/n_cells of the data instead of all of it.
+    """
+    return df.withColumn(cell_col, nearest_cell(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k: train coarse quantizer, score only the ``nprobe``
+    cells nearest the query.
+
+    The probe set is computed driver-side with numpy over the (tiny)
+    centroid matrix; the filter + scoring run as one pruned scan. Recall
+    rises with nprobe; nprobe = n_cells degrades gracefully to exact.
+    """
+    centroids = ivf_train(df, id_col, vec_col, n_cells, refine_iters)
+    C = np.asarray(centroids, dtype=float)
+    qv = np.asarray(query_vec, dtype=float)
+    sims = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv) + 1e-12)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(spread, vec_col, centroids, "_cell")
+        .where(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk, knn_join, lsh_topk
+from openmrs_module_mamba_etl_spark.llm.ann import (
+    brute_force_topk,
+    ivf_topk,
+    knn_join,
+    lsh_topk,
+)
 from openmrs_module_mamba_etl_spark.llm.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
@@ -130,6 +135,45 @@ def test_lsh_topk_recall(spark, sf_dir):
     # ANN: require the query itself + ≥30% overlap with exact top-10
     assert 0 in approx
     assert len(exact & approx) >= 3
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()
+    }
+    approx = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", q, k=10, n_cells=8, nprobe=3
+        ).collect()
+    }
+    # the query's own cell is always probed → the query itself is returned
+    assert 0 in approx
+    # ANN recall bound at tiny scale; scores of overlapping ids are exact
+    hits = set(exact) & set(approx)
+    assert len(hits) >= 3
+    for vid in hits:
+        assert approx[vid] == exact[vid]
+
+
+def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", q, k=10, n_cells=8, nprobe=8
+        ).collect()
+    ]
+    # nprobe = n_cells degrades gracefully to the exact answer
+    assert full == exact
 
 
 def test_knn_join_self_nearest(spark):
