@@ -8,9 +8,56 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from openmrs_module_mamba_etl_spark.operators.sessionize import session_stats
 from openmrs_module_mamba_etl_spark.operators.windows import latest_per_key, top_k_per_key
 from openmrs_module_mamba_etl_spark.registry import query
 from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tus - prev > 21600000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ), tagged AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(tus) AS session_start_us,
+           MAX(tus) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (6 h gap) rolled up to per-session
+    stats. Lag, running sum, and the final aggregate all share the
+    user_id hash partitioning — one shuffle end to end (SURVEY.md §2.E /
+    §2.I behavioral pre-aggregation). Run at µs grain (exact integer
+    `div`) because the DuckDB oracle reads TIMESTAMP(NANOS) at µs."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return session_stats(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        value_col="value",
+        gap=6 * 3600 * 1_000_000,
+        order_tiebreak="event_id",
+        bounds_suffix="_us",
+    )
 
 
 @query(

@@ -7,7 +7,13 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from openmrs_module_mamba_etl_spark.operators.incremental import merge_upsert
 from openmrs_module_mamba_etl_spark.streaming.scheduler import (
@@ -71,6 +77,107 @@ def test_stream_incremental_ticks(spark, tmp_path):
     }
     # exactly-once per file: second tick saw only the 2 new rows
     assert applied_batches[-1][1] == 2
+
+
+HOUR_NS = 3600 * 1_000_000_000
+T0 = 1_700_000_000 * 1_000_000_000  # arbitrary epoch base, ns
+
+EV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def _drain_sessions(spark, src, ckpt, target):
+    """availableNow drain into a parquet sink (checkpoint-recoverable,
+    unlike the memory sink); returns the cumulative emitted-session set."""
+    from openmrs_module_mamba_etl_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["user_id"], r["session_start_ns"], r["session_end_ns"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+
+
+def test_streaming_sessionize_gap_close_and_timeout(spark, tmp_path):
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "sessions")
+
+    # batch 1 — user 1: two events 1 h apart (one open session);
+    # user 2: events 10 h apart (first session closed by the in-batch gap).
+    b1 = [
+        (1, T0, 1.0),
+        (1, T0 + HOUR_NS, 2.0),
+        (2, T0, 5.0),
+        (2, T0 + 10 * HOUR_NS, 7.0),
+    ]
+    spark.createDataFrame(b1, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got1 = _drain_sessions(spark, src, ckpt, target)
+    # user 2 session 1 closed by the in-batch gap; user 1's session times
+    # out in the trailing no-data micro-batch (watermark reaches T0+9h,
+    # past its T0+1h+6h timeout). User 2's open session survives.
+    assert got1 == {
+        (2, T0, T0, 1, 5.0),
+        (1, T0, T0 + HOUR_NS, 2, 3.0),
+    }
+
+    # batch 2 — an event 30 days later advances the watermark far enough
+    # that user 2's open session (last event T0+10h, timeout at +6h) times
+    # out; user 1's already-emitted session must NOT re-emit.
+    b2 = [(1, T0 + 30 * 24 * HOUR_NS, 9.0)]
+    spark.createDataFrame(b2, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    new2 = _drain_sessions(spark, src, ckpt, target) - got1
+    assert (2, T0 + 10 * HOUR_NS, T0 + 10 * HOUR_NS, 1, 7.0) in new2
+    assert not any(r[0] == 1 for r in new2)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions emitted by the stream == batch gaps-and-islands
+    sessionization of the same data (minus still-open trailing sessions)."""
+    from openmrs_module_mamba_etl_spark.operators.sessionize import session_stats
+
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "sessions")
+    rows = [
+        (u, T0 + i * 4 * HOUR_NS + u * HOUR_NS // 7, float(u * 10 + i))
+        for u in (1, 2, 3)
+        for i in (0, 1, 2)  # 4 h spacing < 6 h gap ⇒ one session each...
+    ] + [
+        (2, T0 + 100 * HOUR_NS, 99.0),  # ...except user 2: second session
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    streamed = _drain_sessions(spark, src, ckpt, target)
+
+    batch = {
+        (r["user_id"], r["session_start_ns"], r["session_end_ns"], r["n_events"], r["sum_value"])
+        for r in session_stats(
+            spark.read.parquet(src), "user_id", "ts", "value"
+        ).collect()
+    }
+    # every streamed (closed) session appears identically in the batch result
+    assert streamed <= batch
+    # the only still-open session is user 2's trailing one — its timeout
+    # (last + 6 h) is beyond the final watermark (max event − 1 h); users 1
+    # and 3 timed out because user 2's late event advanced the watermark.
+    assert len(batch) - len(streamed) == 1
+    missing = batch - streamed
+    assert [r[0] for r in missing] == [2]
 
 
 def test_etl_scheduler_ticks():
