@@ -89,6 +89,17 @@ def test_anti_join_broadcast_in_incremental(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag window, running-sum window, and the final (user_id, session_id)
+    # aggregate must all reuse ONE user_id hash partitioning: the grouping
+    # keys are a superset of the partition key, so no second exchange.
+    p = plan(spark, sf_dir, "window_sessionize")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
+    assert tree.count("HashAggregate") == 2  # partial + final, no re-shuffle
+
+
 def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     import contextlib
     import io
