@@ -119,19 +119,16 @@ def lsh_topk(
 def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the centroid with max cosine to ``vec`` — pure JVM expression.
 
-    Builds an array of (score, idx) structs and takes ``array_max``; struct
-    ordering compares ``s`` first, so ties break toward the larger index —
-    deterministic either way. Centroid count × dim doubles embed as
-    literals (an IVF coarse quantizer is broadcast-sized by construction).
+    The quantizer embeds as ONE array-of-arrays literal and the scores come
+    from a single ``transform`` lambda — one cosine subtree total, so the
+    analyzed plan stays small however many cells there are (vs. one
+    expression tree per centroid). Ties resolve to the first (lowest-index)
+    maximal cell — deterministic. Centroid count × dim doubles are
+    broadcast-sized by construction for an IVF coarse quantizer.
     """
-    scored = [
-        F.struct(
-            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*scored))["i"]
+    C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(C, lambda c: cosine(vec, c))
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_train(

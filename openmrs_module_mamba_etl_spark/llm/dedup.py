@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 from openmrs_module_mamba_etl_spark.functions.similarity import (
     band_hashes,
     cosine,
+    dot,
     hamming,
     minhash_signature,
+    norm,
     pack_bit_bands,
     simhash_bits,
     tokens,
@@ -215,7 +217,14 @@ def embedding_cosine_pairs(
     so only same-bucket pairs join — the 100 TB path; recall < 1 by design,
     trade with ``lsh_planes``.
     """
-    vecs = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    # Per-row norm once (O(n)) — each pair then costs one dot fold, not
+    # dot + two norm folds; same arithmetic, so values are unchanged.
+    # Vectors ride the self-join directly (no re-join by id afterwards).
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
     if not brute_force:
         from openmrs_module_mamba_etl_spark.llm.ann import hyperplane_bucket
 
@@ -223,20 +232,25 @@ def embedding_cosine_pairs(
         vecs = vecs.withColumn(
             "bucket", hyperplane_bucket(F.col("vec"), dim, lsh_planes, seed)
         )
-        pairs = _pair_join(vecs, id_col, ["bucket"])
+        cond = [
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ]
     else:
-        a = vecs.alias("a")
-        b = vecs.alias("b")
-        pairs = a.join(
-            b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-    v = vecs.select(F.col(id_col), F.col("vec"))
+        cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    # Round-robin both sides: single-file inputs arrive as one partition and
+    # the O(n²) scoring must spread across all cores.
+    spread = vecs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    a, b = spread.alias("a"), spread.alias("b")
+    d = dot(F.col("a.vec"), F.col("b.vec"))
+    n = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.round(F.when(n > 0, d / n).otherwise(F.lit(0.0)), 6)
     return (
-        pairs.join(v.withColumnRenamed(id_col, "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
-        .join(v.withColumnRenamed(id_col, "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
     )
