@@ -1,0 +1,167 @@
+"""Property-based tests (hypothesis) for the signature operators.
+
+Each property pits the distributed implementation against a naive
+single-process Python reference on small random inputs — the invariants
+(latest-wins pivot cells, gap-rule session splits) must hold for ANY
+data shape, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from openmrs_module_mamba_etl_spark.operators.flatten import FlattenSpec, flatten
+from openmrs_module_mamba_etl_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# --- EAV flatten ----------------------------------------------------------
+
+EAV_SCHEMA = StructType(
+    [
+        StructField("e", LongType(), True),
+        StructField("a", StringType(), True),
+        StructField("v", LongType(), True),
+        StructField("ts", LongType(), True),
+    ]
+)
+
+# pre-sanitized attribute names ⇒ attr→column mapping is identity
+_eav_row = st.tuples(
+    st.integers(min_value=0, max_value=4),  # entity
+    st.sampled_from(["attr_a", "attr_b", "attr_c", "x1"]),
+    st.integers(min_value=-100, max_value=100),  # value
+    st.integers(min_value=0, max_value=40),  # ts
+)
+
+
+def _dedupe_eav(rows):
+    """One row per (entity, attr, ts) so latest-wins has no order ties."""
+    seen, out = set(), []
+    for e, a, v, ts in rows:
+        if (e, a, ts) not in seen:
+            seen.add((e, a, ts))
+            out.append((e, a, v, ts))
+    return out
+
+
+@given(rows=st.lists(_eav_row, max_size=50))
+@settings(**SETTINGS)
+def test_flatten_latest_wins_property(spark, rows):
+    rows = _dedupe_eav(rows)
+    df = spark.createDataFrame(rows, EAV_SCHEMA)
+    spec = FlattenSpec(entity_col="e", attr_col="a", value_col="v", order_col="ts")
+    got = {
+        r["e"]: {c: r[c] for c in r.asDict() if c != "e"}
+        for r in flatten(df, spec).collect()
+    }
+
+    attrs = sorted({a for _, a, _, _ in rows})
+    expected: dict[int, dict[str, int | None]] = {}
+    for e in {r[0] for r in rows}:
+        cells = {}
+        for a in attrs:
+            obs = [(ts, v) for (e2, a2, v, ts) in rows if e2 == e and a2 == a]
+            cells[a] = max(obs)[1] if obs else None
+        expected[e] = cells
+    assert got == expected
+
+
+# --- sessionize -----------------------------------------------------------
+
+EV_SCHEMA = StructType(
+    [
+        StructField("u", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("v", LongType(), True),
+    ]
+)
+
+_ev_row = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user
+    st.integers(min_value=0, max_value=1000),  # ts
+    st.integers(min_value=-10, max_value=10),  # value
+)
+
+GAP = 50
+
+
+def _dedupe_ev(rows):
+    """One event per (user, ts) — lag ordering then has no ties."""
+    seen, out = set(), []
+    for u, ts, v in rows:
+        if (u, ts) not in seen:
+            seen.add((u, ts))
+            out.append((u, ts, v))
+    return out
+
+
+def _ref_sessions(rows):
+    """Naive reference: per-user sort, split on gap > GAP, aggregate."""
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, v))
+    out = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, start, last, n, s = 0, None, None, 0, 0
+        for ts, v in evs:
+            if last is None or ts - last > GAP:
+                if start is not None:
+                    out.add((u, sid, start, last, n, float(s)))
+                sid, start, n, s = sid + 1, ts, 0, 0
+            last, n, s = ts, n + 1, s + v
+        out.add((u, sid, start, last, n, float(s)))
+    return out
+
+
+@given(rows=st.lists(_ev_row, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_sessionize_matches_reference(spark, rows):
+    rows = _dedupe_ev(rows)
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    stats = session_stats(df, "u", "ts", "v", gap=GAP)
+    got = {
+        (
+            r["u"],
+            r["session_id"],
+            r["session_start_ns"],
+            r["session_end_ns"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in stats.collect()
+    }
+    assert got == _ref_sessions(rows)
+
+
+@given(rows=st.lists(_ev_row, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_sessionize_gap_invariant(spark, rows):
+    """Adjacent same-user events share a session iff their gap ≤ GAP."""
+    rows = _dedupe_ev(rows)
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    tagged = sessionize(df, "u", "ts", gap=GAP)
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in tagged.collect():
+        by_user.setdefault(r["u"], []).append((r["ts"], r["session_id"]))
+    for evs in by_user.values():
+        evs.sort()
+        assert evs[0][1] == 1  # sessions are 1-based per user
+        for (t1, s1), (t2, s2) in zip(evs, evs[1:]):
+            assert (s2 == s1) == (t2 - t1 <= GAP)
+            assert s2 in (s1, s1 + 1)  # ids are dense/monotone
