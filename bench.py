@@ -33,7 +33,10 @@ HEADLINE = [
     "sink_incremental",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "window_sessionize",
     "text_quality",
 ]
 
