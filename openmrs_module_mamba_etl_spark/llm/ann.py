@@ -11,6 +11,7 @@ signature.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from openmrs_module_mamba_etl_spark.functions.similarity import cosine
@@ -165,10 +166,8 @@ def ivf_train(
     centroids = [[float(x) for x in r["_v"]] for r in seeds]
 
     for _ in range(refine_iters):
-        # Two projections: generator resolution strips struct-field aliases
-        # when the argmax expression shares a select with posexplode.
         assigned = base.withColumn(
-            "_cell", nearest_cell(F.col("_v"), centroids)
+            "_cell", _nearest_cell_arrow(centroids)(F.col("_v"))
         ).select("_cell", F.posexplode("_v").alias("_pos", "_x"))
         means = (
             assigned.groupBy("_cell", "_pos")
@@ -185,6 +184,29 @@ def ivf_train(
     return centroids
 
 
+def _nearest_cell_arrow(centroids: list[list[float]]):
+    """Arrow-batched assignment kernel: one numpy matmul per batch.
+
+    The interpreted higher-order-function form (:func:`nearest_cell`) costs
+    cells × dim closure evaluations per row; the vectorized kernel does the
+    same cosine-argmax as ``(batch ÷ norms) @ Cnᵀ`` — the sanctioned
+    Pandas-UDF path for embedding math. Ties resolve to the lowest index
+    (numpy argmax), matching the JVM expression.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy()).astype(np.float64)
+        Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+
+    return assign
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]], cell_col: str = "ivf_cell"
 ) -> DataFrame:
@@ -192,7 +214,7 @@ def ivf_assign(
     ``partitionBy(cell_col)`` so probe filters become partition pruning —
     a top-k then scans nprobe/n_cells of the data instead of all of it.
     """
-    return df.withColumn(cell_col, nearest_cell(F.col(vec_col), centroids))
+    return df.withColumn(cell_col, _nearest_cell_arrow(centroids)(F.col(vec_col)))
 
 
 def ivf_topk(
