@@ -22,6 +22,7 @@ from openmrs_module_mamba_etl_spark.llm.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
     token_jaccard_pairs,
 )
@@ -83,6 +84,45 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (inverted-index join)."""
     return token_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS n FROM sh
+    ), posting AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM posting a JOIN posting b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs — order-sensitive, so
+    shuffled near-copies stop matching (inverted index on the shingle)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
     )
 
 

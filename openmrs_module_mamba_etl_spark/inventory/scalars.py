@@ -150,6 +150,42 @@ def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(list_sum(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 4) AS norm_sq,
+           ROUND(list_sum(list_transform(embedding[1:8],
+                                         x -> CAST(x AS DOUBLE))), 4) AS head_sum
+    FROM embeddings
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (size / transform / aggregate / slice)
+    — the JVM-side vector-math substrate the similarity operators build on
+    (SURVEY.md §2.I). Left-fold accumulation matches DuckDB's list_sum."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    head = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq, 4).alias("norm_sq"),
+        F.round(head, 4).alias("head_sum"),
+    )
+
+
+@query(
     "fn_datetime_arith",
     oracle="""
     SELECT o_orderkey,

@@ -182,5 +182,35 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: trailing-30-day spend per customer.
+
+    The ordering key is days-since-epoch so the frame bound is a plain
+    integer offset; ties (same-day orders) all share one frame, so the
+    result is deterministic without a tiebreak column (SURVEY.md §2.E
+    frames via ``rangeBetween``)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
 # Re-export for API users; keeps operators/windows.py the canonical impl.
 __all__ = ["latest_per_key", "top_k_per_key"]

@@ -81,16 +81,47 @@ def token_jaccard_pairs(
     threshold: float = 0.6,
     max_posting: int = 10_000,
 ) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs via an inverted index.
-
-    Plan: explode distinct tokens → (drop degenerate posting lists longer
-    than ``max_posting`` — ubiquitous tokens generate quadratic candidate
-    blowup and zero discrimination, the classic skew guard) → self-join on
-    token → count shared tokens per pair → jaccard = inter/union ≥ threshold.
-    """
-    toked = _spread(df, id_col).select(
+    """Exact token-set Jaccard near-dup pairs via an inverted index."""
+    keyed = _spread(df, id_col).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    ).persist()
+    )
+    return _set_jaccard_pairs(keyed, id_col, threshold, max_posting)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Exact word-n-gram (shingle) Jaccard near-dup pairs.
+
+    Shingles preserve local word order, so this is stricter than token-set
+    Jaccard: shuffled copies of a document stop matching. Same inverted
+    index; the posting key is the n-gram.
+    """
+    keyed = _spread(df, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("toks")
+    )
+    return _set_jaccard_pairs(keyed, id_col, threshold, max_posting)
+
+
+def _set_jaccard_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_posting: int,
+) -> DataFrame:
+    """Exact set-Jaccard pairs over (id, toks: distinct array) input.
+
+    Plan: explode set elements → (drop degenerate posting lists longer
+    than ``max_posting`` — ubiquitous elements generate quadratic candidate
+    blowup and zero discrimination, the classic skew guard) → self-join on
+    element → count shared per pair → jaccard = inter/union ≥ threshold.
+    """
+    toked = keyed.persist()
     sizes = toked.select(id_col, F.size("toks").alias("n_toks"))
     posting = (
         toked.select(F.col(id_col), F.explode("toks").alias("token"))
