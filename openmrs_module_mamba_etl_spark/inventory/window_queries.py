@@ -212,5 +212,59 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_sessionize")  # streaming emission set — rows-only check
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming sessionization over the events table: one
+    availableNow drain through ``applyInPandasWithState`` (6 h gap, 1 h
+    watermark). Emits sessions closed by an in-batch gap plus sessions
+    timed out by the final watermark; still-open trailing sessions stay in
+    state — hence rows-only (the batch/stream equivalence is pinned by
+    tests/test_streaming.py)."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    scratch = _scratch_dir("stream_sessionize")
+    # the file source wants a directory; glob down to the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(scratch, "out"))
+
+
 # Re-export for API users; keeps operators/windows.py the canonical impl.
 __all__ = ["latest_per_key", "top_k_per_key"]
