@@ -159,3 +159,48 @@ def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
         )
     )
+
+
+def _profile_branch(col: str, numeric: bool) -> str:
+    stats = (
+        f"CAST(MIN({col}) AS DOUBLE) AS min_value, "
+        f"CAST(MAX({col}) AS DOUBLE) AS max_value, "
+        f"ROUND(AVG({col}), 4) AS avg_value"
+        if numeric
+        else (
+            "CAST(NULL AS DOUBLE) AS min_value, "
+            "CAST(NULL AS DOUBLE) AS max_value, "
+            "CAST(NULL AS DOUBLE) AS avg_value"
+        )
+    )
+    return (
+        f"SELECT '{col}' AS \"column\", COUNT(*) AS n_rows, "
+        f"COUNT({col}) AS n_non_null, COUNT(*) - COUNT({col}) AS n_null, "
+        f"COUNT(DISTINCT {col}) AS n_distinct, {stats}"
+        " FROM documents"
+    )
+
+
+@query(
+    "profile_documents",
+    oracle="\nUNION ALL\n".join(
+        [
+            _profile_branch("doc_id", True),
+            _profile_branch("text", False),
+            _profile_branch("lang", False),
+            _profile_branch("source", False),
+            _profile_branch("n_chars", True),
+        ]
+    )
+    + "\nORDER BY \"column\"",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (counts, null rates, NDV, numeric ranges) —
+    the data-quality report a training pipeline runs before anything else.
+    All statistics are aggregate expressions in a SINGLE hash aggregate;
+    exact NDV here for the oracle, HLL by default at scale (SURVEY.md §2.I)."""
+    from openmrs_module_mamba_etl_spark.operators.profile import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "documents"), exact_distinct=True
+    ).orderBy("column")

@@ -100,6 +100,16 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert tree.count("HashAggregate") == 2  # partial + final, no re-shuffle
 
 
+def test_profile_single_pass(spark, sf_dir):
+    # every per-column statistic must ride ONE scan + ONE aggregate —
+    # a per-column job loop or a union re-executing the agg is the failure
+    p = plan(spark, sf_dir, "profile_documents")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 2  # partial→final agg + final sort
+    assert "Union" not in tree
+
+
 def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     import contextlib
     import io
