@@ -181,3 +181,43 @@ def incremental_refresh_parquet(
     if new_wm is not None:
         store.set(table, new_wm)
     return spark.read.parquet(target_path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-file Parquet table in place; returns new file count.
+
+    Repeated incremental ticks and streaming appends accumulate files far
+    below the scan-efficient size; at 100 TB, footer reads and task
+    scheduling — not bytes — become the bottleneck. One rewrite:
+    target file count = ceil(bytes / target_file_mb), ``repartition`` to
+    exactly that, optionally ``sortWithinPartitions`` so min/max row-group
+    stats turn point filters into file/row-group skips. Staging-then-swap,
+    same non-truncating contract as the refresh writes.
+
+    Per-partition-directory compaction of a ``partitionBy`` table is the
+    same routine applied under each partition path; this operator handles
+    one directory = one compaction unit.
+    """
+    import math
+    import shutil
+
+    p = Path(path)
+    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    compacted = df.repartition(n_files)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+
+    staging = f"{path}.compacting"
+    compacted.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(p)
+    os.replace(staging, path)
+    return len([f for f in Path(path).rglob("*.parquet") if f.is_file()])

@@ -84,3 +84,22 @@ def test_incremental_refresh_full_on_first_run(spark, tmp_path):
         spark, src, target, ["id"], "audit", store, "t2"
     )
     assert out.count() == 5
+
+
+def test_compact_parquet(spark, tmp_path):
+    from openmrs_module_mamba_etl_spark.operators.incremental import compact_parquet
+
+    target = str(tmp_path / "t")
+    # simulate many incremental ticks: 20 tiny appended files
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(target)
+    from pathlib import Path
+
+    before = len([f for f in Path(target).rglob("*.parquet") if f.is_file()])
+    assert before >= 20
+
+    n = compact_parquet(spark, target, target_file_mb=128, sort_cols=["id"])
+    assert n == 1  # 200 tiny rows ≪ 128 MB ⇒ one file
+    # data survives the rewrite intact
+    got = sorted(r["id"] for r in spark.read.parquet(target).collect())
+    assert got == list(range(200))
