@@ -188,3 +188,31 @@ def test_knn_join_self_nearest(spark):
     for r in out:
         assert r["lid"] == r["rid"]
         assert r["cosine"] == 1.0
+
+
+def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The 100 TB path: embeddings written partitionBy(ivf_cell) turn a
+    probe filter into partition pruning — the scan must read only the
+    probed cells' directories."""
+    import contextlib
+    import io
+
+    from openmrs_module_mamba_etl_spark.llm.ann import ivf_assign, ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, "vec_id", "embedding", n_cells=8)
+    target = str(tmp_path / "emb_ivf")
+    ivf_assign(emb, "embedding", cents, "ivf_cell").write.partitionBy(
+        "ivf_cell"
+    ).parquet(target)
+
+    pruned = spark.read.parquet(target).where(F.col("ivf_cell").isin([0, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    assert "ivf_cell" in p.split("PartitionFilters")[1][:200]
+    # only the probed cells' rows come back, and every row is from them
+    cells = {r["ivf_cell"] for r in pruned.select("ivf_cell").distinct().collect()}
+    assert cells <= {0, 3}
