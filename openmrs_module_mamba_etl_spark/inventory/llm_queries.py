@@ -30,6 +30,7 @@ from openmrs_module_mamba_etl_spark.llm.multimodal import (
     decode_images,
     documents_as_media,
     media_metadata,
+    resize_images,
     sample_frames,
 )
 from openmrs_module_mamba_etl_spark.registry import query
@@ -444,6 +445,28 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check — real decoders plug into the same seam)."""
     media = documents_as_media(table(spark, sf_dir, "documents"))
     return decode_images(media, n_features=16, fake=True).drop("features")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           3072 AS n_bytes_resized
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape resize contract: every payload becomes exactly
+    width × height × 3 bytes (deterministic stub kernel; the size contract
+    IS the oracle — real PIL/cv2 kernels swap in behind the same seam)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    resized = resize_images(media, width=32, height=32, fake=True)
+    return resized.where(F.col("content").isNotNull()).select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("content").alias("n_bytes_resized"),
+    )
 
 
 @query(

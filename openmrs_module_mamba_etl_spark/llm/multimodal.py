@@ -60,6 +60,15 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a media-shaped table from any table with an id + a payload
@@ -152,6 +161,45 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: normalize every payload to a fixed-size RGB buffer.
+
+    The fake kernel tiles the payload's sha256 digest to exactly
+    ``width × height × 3`` bytes — deterministic, size-exact, so the
+    downstream contract (fixed-shape tensors for batch feature extraction)
+    is fully exercised. A real kernel swaps in PIL/cv2 ``resize``; the
+    Spark plan and output schema do not change.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing requires PIL/cv2; use fake=True for the "
+            "deterministic stub"
+        )
+    out_len = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _resize(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                seed = hashlib.sha256(b).digest()
+                reps = out_len // len(seed) + 1
+                return (seed * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"].map(_resize),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
