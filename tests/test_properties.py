@@ -165,3 +165,39 @@ def test_sessionize_gap_invariant(spark, rows):
         for (t1, s1), (t2, s2) in zip(evs, evs[1:]):
             assert (s2 == s1) == (t2 - t1 <= GAP)
             assert s2 in (s1, s1 + 1)  # ids are dense/monotone
+
+
+# --- incremental merge ----------------------------------------------------
+
+_kv_row = st.tuples(
+    st.integers(min_value=0, max_value=9),  # key
+    st.integers(min_value=0, max_value=99),  # payload
+)
+
+
+@given(
+    base=st.lists(_kv_row, max_size=25),
+    updates=st.lists(_kv_row, max_size=25),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, base, updates):
+    """merge_upsert == SQL MERGE: updates win per key, unmatched base rows
+    survive, new keys insert. (Reference semantics: incremental mode 'only
+    adds/modifies what has changed'.)"""
+    from openmrs_module_mamba_etl_spark.operators.incremental import merge_upsert
+
+    # one row per key on each side (MERGE requires unique source keys)
+    base = list({k: (k, v) for k, v in base}.values())
+    updates = list({k: (k, v) for k, v in updates}.values())
+
+    schema = "k long, v long"
+    merged = merge_upsert(
+        spark.createDataFrame(base, schema),
+        spark.createDataFrame(updates, schema),
+        ["k"],
+    )
+    got = {(r["k"], r["v"]) for r in merged.collect()}
+
+    expected = dict(base)
+    expected.update(dict(updates))
+    assert got == set(expected.items())
