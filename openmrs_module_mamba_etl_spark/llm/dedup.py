@@ -79,13 +79,12 @@ def token_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.6,
-    max_posting: int = 10_000,
 ) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs via an inverted index."""
+    """Exact token-set Jaccard near-dup pairs (prefix-filtered index)."""
     keyed = _spread(df, id_col).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
     )
-    return _set_jaccard_pairs(keyed, id_col, threshold, max_posting)
+    return _set_jaccard_pairs(keyed, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -94,52 +93,84 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
-    max_posting: int = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram (shingle) Jaccard near-dup pairs.
 
     Shingles preserve local word order, so this is stricter than token-set
-    Jaccard: shuffled copies of a document stop matching. Same inverted
-    index; the posting key is the n-gram.
+    Jaccard: shuffled copies of a document stop matching. Same prefix-
+    filtered index; the posting key is the n-gram.
     """
     keyed = _spread(df, id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("toks")
     )
-    return _set_jaccard_pairs(keyed, id_col, threshold, max_posting)
+    return _set_jaccard_pairs(keyed, id_col, threshold)
 
 
 def _set_jaccard_pairs(
     keyed: DataFrame,
     id_col: str,
     threshold: float,
-    max_posting: int,
 ) -> DataFrame:
-    """Exact set-Jaccard pairs over (id, toks: distinct array) input.
+    """Exact set-Jaccard pairs over (id, toks: distinct array) input —
+    prefix filtering (AllPairs/PPJoin) + array-intersect verification.
 
-    Plan: explode set elements → (drop degenerate posting lists longer
-    than ``max_posting`` — ubiquitous elements generate quadratic candidate
-    blowup and zero discrimination, the classic skew guard) → self-join on
-    element → count shared per pair → jaccard = inter/union ≥ threshold.
+    A naive inverted-index join is O(Σ df²): one token present in every
+    document yields |corpus|²/2 candidates on its own. Prefix filtering
+    kills that exactly: order tokens by ascending global document
+    frequency; if J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so (pigeonhole, shared
+    canonical order) the SMALLEST common token lands in the first
+    |x| − ⌈t·|x|⌉ + 1 tokens of BOTH docs. Index only those prefixes —
+    the rarest ~(1−t) fraction of each doc — and ubiquitous tokens never
+    enter the join. Candidates are verified with exact
+    ``array_intersect`` on the full token arrays, so the output is
+    identical to the naive algorithm (no recall loss).
     """
     toked = keyed.persist()
-    sizes = toked.select(id_col, F.size("toks").alias("n_toks"))
-    posting = (
-        toked.select(F.col(id_col), F.explode("toks").alias("token"))
-        .withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("token")))
-        .where(F.col("df_") <= max_posting)
-        .drop("df_")
+    sizes = toked.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.size("toks").alias("n_toks"),
+        # prefix length: |x| - ceil(t·|x|) + 1
+        (F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + 1)
+        .cast("int")
+        .alias("prefix_len"),
     )
-    inter = (
-        _pair_join(posting, id_col, ["token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+    posting = sizes.select(
+        id_col, "prefix_len", F.explode("toks").alias("token")
     )
+    tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    ranked = (
+        posting.join(tok_df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("tok_df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= F.col("prefix_len"))
+    )
+    candidates = _pair_join(ranked, id_col, ["token"]).distinct()
+
+    a = sizes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+    )
+    b = sizes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_toks", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_toks", "n_b"), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
