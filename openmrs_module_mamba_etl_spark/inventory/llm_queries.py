@@ -486,3 +486,30 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )
+
+
+@query(
+    "text_vocab",
+    oracle=f"""
+    WITH posting AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM posting GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 100
+    """,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token document-frequency via explode +
+    hash aggregate + TakeOrdered top-k (no global sort). The same posting
+    shape the Jaccard index and stopword analyses build on."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )

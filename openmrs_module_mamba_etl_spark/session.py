@@ -27,6 +27,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.mergeSchema": "false",
+    # testdata events.parquet carries TIMESTAMP(NANOS); int64-ns read keeps
+    # full ordering precision (sources.parquet.table() also sets this at
+    # runtime for externally created sessions).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # At 100 TB this is sized per-cluster; locally keep partitions ≈ cores so
     # small-SF shuffles don't fragment into thousands of empty tasks.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
