@@ -513,3 +513,49 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(100)
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(t) AS n FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(t) AS token FROM toks
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM posting a JOIN posting b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation) over 0.9-Jaccard pairs. Pairwise matches alone
+    over-keep documents — A≈B≈C must collapse to one survivor even when
+    A≉C directly; cluster_id = the canonical (min-id) representative."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import duplicate_clusters
+
+    pairs = token_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+    return duplicate_clusters(pairs)

@@ -316,3 +316,74 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Pairwise dedup is not dedup until pairs are closed transitively:
+    A≈B and B≈C must collapse to ONE surviving document even when A≉C.
+    Min-label propagation: every node starts labeled with itself; each
+    round, every node takes the min label in its neighborhood; converged
+    when no label changes. Near-dup clusters have tiny diameters, so
+    convergence is a handful of rounds; each round is one shuffle
+    (explode edges both directions → min-agg by node). The loop is a
+    driver loop, but all data stays executor-side — the driver sees only
+    the converged flag.
+
+    cluster_id = min doc id of the component (the canonical survivor —
+    same keep-lowest rule as exact_dedup).
+    """
+    # localCheckpoint (not persist): an iterative DataFrame's logical plan
+    # otherwise doubles per round — by iteration ~15 analysis alone OOMs
+    # the driver. Checkpointing truncates lineage to the materialized RDD.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -216,3 +216,21 @@ def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     # only the probed cells' rows come back, and every row is from them
     cells = {r["ivf_cell"] for r in pruned.select("ivf_cell").distinct().collect()}
     assert cells <= {0, 3}
+
+
+def test_duplicate_clusters_transitive(spark):
+    from openmrs_module_mamba_etl_spark.llm.dedup import duplicate_clusters
+
+    # chain 1-2-3 (1≉3 directly) must still collapse; 7-8 separate; 9-10-11 star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 10), (9, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (7, 7), (8, 7),
+        (9, 9), (10, 9), (11, 9),
+    }
