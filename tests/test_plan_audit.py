@@ -1,0 +1,39 @@
+"""Meta plan audit: no registered query may plan a scale-hostile join.
+
+CartesianProduct is always a bug. BroadcastNestedLoopJoin is allowed only
+for the two intentional brute-force baselines (theta self-joins whose
+scalable variants exist alongside them). A new query that trips this test
+needs an equi-join key, a broadcast hint, or an LSH/bucketing pre-pass —
+not a whitelist entry.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+#: intentional brute-force baselines (explicit broadcast, small side by contract)
+BNLJ_ALLOWED = {"ann_knn_join", "dedup_embedding_cosine", "join_theta"}
+
+#: executing the callable runs a streaming drain / writes — not a pure plan
+SKIP = {"stream_sessionize", "sink_overwrite", "sink_incremental", "sink_partitioned"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_scale_hostile_joins(spark, sf_dir, name):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in p, (
+            f"{name} plans a nested-loop join; give it an equi key or "
+            "add it to BNLJ_ALLOWED with justification"
+        )
