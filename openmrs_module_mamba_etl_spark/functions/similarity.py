@@ -109,17 +109,17 @@ def simhash_bits(text: Column, n_bits: int = 64) -> Column:
     array form (instead of a packed long) keeps hamming distance expressible
     as a zip_with/aggregate, avoiding 64-bit sign pitfalls.
     """
-    toks = tokens(text)
-    bit_votes = lambda t: F.transform(  # noqa: E731 — per-token ±1 votes
+    # Hash each token ONCE up front — folding over raw tokens would
+    # re-evaluate xxhash64 inside every one of the 64 bit lambdas.
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    bit_votes = lambda h: F.transform(  # noqa: E731 — per-hash ±1 votes
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda j: F.when(F.bit_get(F.xxhash64(t), j) == 1, F.lit(1)).otherwise(
-            F.lit(-1)
-        ),
+        lambda j: F.when(F.bit_get(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
     )
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), n_bits),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
     )
     return F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))
 
