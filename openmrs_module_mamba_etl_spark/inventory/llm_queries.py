@@ -559,3 +559,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
     )
     return duplicate_clusters(pairs)
+
+
+@query(
+    "text_curate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN {_STOP_SQL['en']})) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM t
+    ), scored AS (
+      SELECT doc_id, toks,
+             ROUND(
+               (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
+               2) AS quality
+      FROM m
+    ), survivors AS (
+      SELECT md5(array_to_string({_TOKS}, ' ')) AS h, MIN(doc_id) AS kept_id
+      FROM documents GROUP BY 1
+    )
+    SELECT s.doc_id, s.quality
+    FROM scored s
+    JOIN survivors k ON s.doc_id = k.kept_id
+    WHERE s.quality >= 0.7
+    """,
+)
+def text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation composite: keep exact-dedup survivors whose quality
+    score clears 0.7 — the canonical filter chain (dedup ∘ quality) a
+    training pipeline runs before tokenization. One broadcast semi-join of
+    the survivor set against the scored corpus; every stage is the same
+    codegen-side expression the standalone queries register."""
+    docs = table(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, "doc_id", "text").select(
+        F.col("kept_id").alias("doc_id")
+    )
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    ).where(F.col("quality") >= 0.7)
+    return scored.join(F.broadcast(survivors), "doc_id", "left_semi")
