@@ -15,3 +15,27 @@ Nothing is ported from the reference's stored-procedure execution engine.
 __version__ = "0.1.0"
 
 from openmrs_module_mamba_etl_spark.session import get_spark  # noqa: F401
+
+__all__ = ["get_spark"]
+
+# Convenience re-exports of the main operator surface. Imported lazily by
+# attribute so `import openmrs_module_mamba_etl_spark` stays light.
+_LAZY = {
+    "flatten": "openmrs_module_mamba_etl_spark.operators.flatten",
+    "FlattenSpec": "openmrs_module_mamba_etl_spark.operators.flatten",
+    "auto_flatten_by_type": "openmrs_module_mamba_etl_spark.operators.flatten",
+    "sessionize": "openmrs_module_mamba_etl_spark.operators.sessionize",
+    "session_stats": "openmrs_module_mamba_etl_spark.operators.sessionize",
+    "profile_table": "openmrs_module_mamba_etl_spark.operators.profile",
+    "merge_upsert": "openmrs_module_mamba_etl_spark.operators.incremental",
+    "compact_parquet": "openmrs_module_mamba_etl_spark.operators.incremental",
+    "ReportRegistry": "openmrs_module_mamba_etl_spark.plans.reports",
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -31,6 +31,10 @@ ORDER_COLS = [
 
 def _scratch_dir(name: str) -> str:
     _SCRATCH.mkdir(exist_ok=True)
+    # prune earlier runs of the same query so repeated verify/bench cycles
+    # don't accumulate dead parquet under _scratch/
+    for stale in _SCRATCH.glob(f"{name}_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     d = Path(tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH))
     shutil.rmtree(d, ignore_errors=True)
     return str(d)

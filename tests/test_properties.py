@@ -201,3 +201,43 @@ def test_merge_upsert_matches_dict_semantics(spark, base, updates):
     expected = dict(base)
     expected.update(dict(updates))
     assert got == set(expected.items())
+
+
+# --- prefix-filtered Jaccard ---------------------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=10),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(**SETTINGS)
+def test_prefix_filtered_jaccard_matches_naive(spark, texts, threshold):
+    """The AllPairs prefix filter must lose NOTHING: output == naive O(n²)
+    token-set Jaccard over every pair, at any threshold."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import token_jaccard_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(df, "doc_id", "text", threshold).collect()
+    }
+
+    expected = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            a, b = set(ta.split()), set(tb.split())
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= threshold:
+                expected[(i, j)] = jac
+    assert got == expected
