@@ -116,3 +116,37 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@query(
+    "sink_compacted",
+    oracle="""
+    SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_bal, COUNT(*) AS n_sup
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file lifecycle: fragment a table into many tiny appends (the
+    incremental-tick failure mode), compact to size-targeted files sorted
+    by the join key, and aggregate off the compacted layout — results must
+    be byte-identical to reading the source directly."""
+    from openmrs_module_mamba_etl_spark.operators.incremental import compact_parquet
+
+    sup = table(spark, sf_dir, "supplier")
+    target = _scratch_dir("sink_compacted")
+    # 8 tiny appends ≈ 8 incremental ticks
+    for i in range(8):
+        sup.where(F.col("s_suppkey") % 8 == i).write.mode("append").parquet(target)
+    compact_parquet(spark, target, target_file_mb=128, sort_cols=["s_nationkey"])
+
+    nat = table(spark, sf_dir, "nation")
+    return (
+        spark.read.parquet(target)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_sup"),
+        )
+    )

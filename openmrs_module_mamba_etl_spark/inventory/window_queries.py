@@ -212,6 +212,30 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+_EVENTS_STREAM_SCHEMA = _events_stream_schema()
+
+
 @query("stream_sessionize")  # streaming emission set — rows-only check
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming sessionization over the events table: one
@@ -222,39 +246,52 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py)."""
     import os
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
     from openmrs_module_mamba_etl_spark.streaming.sessionize import (
         streaming_sessionize,
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType(), True),
-            StructField("ts", LongType(), True),
-            StructField("user_id", LongType(), True),
-            StructField("event_type", StringType(), True),
-            StructField("value", DoubleType(), True),
-            StructField("props", StringType(), True),
-        ]
-    )
     scratch = _scratch_dir("stream_sessionize")
     # the file source wants a directory; glob down to the one table
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     q = (
         streaming_sessionize(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(scratch, "out"))
+
+
+@query("stream_windowed_counts")  # append-mode emission set — rows-only
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup (built-in streaming late-data
+    path): daily event counts/sums per window, emitted append-mode when
+    the watermark passes each window's end. One availableNow drain;
+    trailing unfinalized windows stay in state — hence rows-only."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.streaming.windows import windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_windowed_counts")
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        windowed_counts(stream, window="1 day", watermark_delay="1 hour")
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))

@@ -22,7 +22,14 @@ QUERIES = entrymod.queries()
 BNLJ_ALLOWED = {"ann_knn_join", "dedup_embedding_cosine", "join_theta"}
 
 #: executing the callable runs a streaming drain / writes — not a pure plan
-SKIP = {"stream_sessionize", "sink_overwrite", "sink_incremental", "sink_partitioned"}
+SKIP = {
+    "stream_sessionize",
+    "stream_windowed_counts",
+    "sink_overwrite",
+    "sink_incremental",
+    "sink_partitioned",
+    "sink_compacted",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))

@@ -190,3 +190,56 @@ def test_etl_scheduler_ticks():
     sched.run(max_ticks=3)
     # first tick full (False), later ticks incremental (True)
     assert seen == [False, True, True]
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    """Append-mode tumbling windows: emitted set == batch window aggregate
+    restricted to windows finalized by the final watermark."""
+    from openmrs_module_mamba_etl_spark.operators.sessionize import ns_to_ts
+    from openmrs_module_mamba_etl_spark.streaming.windows import windowed_counts
+
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+    DAY = 24 * HOUR_NS
+    # calendar-day windows need a midnight-aligned base (T0 itself is 22:25)
+    T0D = (1_700_000_000 - 1_700_000_000 % 86_400) * 1_000_000_000
+    rows = [
+        (1, T0D + 1 * HOUR_NS, 1.0),          # day 0
+        (2, T0D + 2 * HOUR_NS, 2.0),          # day 0
+        (1, T0D + DAY + 3 * HOUR_NS, 4.0),    # day 1
+        (1, T0D + 3 * DAY, 8.0),              # day 3 — watermark driver
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (
+        windowed_counts(stream, window="1 day", watermark_delay="1 hour")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["window_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+
+    batch_src = spark.read.parquet(src).withColumn("_event_ts", ns_to_ts("ts"))
+    batch = {
+        (r["w"]["start"], r["w"]["end"], r["n_events"], r["sum_value"])
+        for r in batch_src.groupBy(F.window("_event_ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    # day-0 and day-1 windows finalized (watermark = day3 - 1h); the
+    # day-3 window holds the watermark-driving event and stays in state
+    assert len(streamed) == 2
+    assert streamed < batch
+    open_windows = batch - streamed
+    assert {r[2] for r in open_windows} == {1}  # only the day-3 singleton
