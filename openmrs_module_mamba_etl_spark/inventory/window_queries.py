@@ -305,3 +305,30 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Re-export for API users; keeps operators/windows.py the canonical impl.
 __all__ = ["latest_per_key", "top_k_per_key"]
+
+
+@query(
+    "grouped_user_trend",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(REGR_SLOPE(value, epoch_us(ts) / 86400000000.0), 4)
+             AS slope_per_day
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map seam (`applyInPandas`): per-user OLS slope of value over
+    time, computed by a vectorized numpy kernel on each full group — the
+    whole-group numeric pattern built-in aggregates can't express. Checked
+    against SQL's REGR_SLOPE definition (µs grain — DuckDB reads the nanos
+    timestamp at µs)."""
+    from openmrs_module_mamba_etl_spark.operators.grouped import user_trend
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
+    out = user_trend(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id", "n_events", F.round("slope_per_day", 4).alias("slope_per_day")
+    )
