@@ -439,3 +439,85 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("id"))
     )
     return a.intersect(b)
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, s_suppkey, s_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY.md §2.C C4): every nation survives even
+    with zero suppliers."""
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return sup.join(
+        nat, sup.s_nationkey == nat.n_nationkey, "right"
+    ).select("n_name", "s_suppkey", "s_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c96 AS (
+      SELECT o_custkey, COUNT(*) AS n96 FROM orders
+      WHERE YEAR(o_orderdate) = 1996 GROUP BY o_custkey
+    ), c97 AS (
+      SELECT o_custkey, COUNT(*) AS n97 FROM orders
+      WHERE YEAR(o_orderdate) = 1997 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c96.o_custkey, c97.o_custkey) AS o_custkey,
+           c96.n96, c97.n97
+    FROM c96 FULL OUTER JOIN c97 ON c96.o_custkey = c97.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY.md §2.C C4): customers active in either
+    year, with NULL on the missing side."""
+    orders = table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    c96 = year_counts(1996, "n96").withColumnRenamed("o_custkey", "k96")
+    c97 = year_counts(1997, "n97").withColumnRenamed("o_custkey", "k97")
+    return c96.join(c97, c96.k96 == c97.k97, "full").select(
+        F.coalesce("k96", "k97").alias("o_custkey"), "n96", "n97"
+    )
+
+
+@query(
+    "agg_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted two-phase aggregation over a LOW-cardinality
+    (hot) key — the skew idiom (operators/skew.py): phase 1 spreads each
+    key over 16 salted reducers, phase 2 merges. The oracle is the plain
+    GROUP BY — salting must be invisible in the result."""
+    from openmrs_module_mamba_etl_spark.operators.skew import salted_agg
+
+    orders = table(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders,
+        keys=["o_orderpriority"],
+        aggs={"revenue": ("o_totalprice", "sum"), "n_orders": ("o_orderkey", "count")},
+        n_salts=16,
+        salt_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderpriority", F.round("revenue", 2).alias("revenue"), "n_orders"
+    )
