@@ -521,3 +521,29 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority", F.round("revenue", 2).alias("revenue"), "n_orders"
     )
+
+
+@query(
+    "join_salted_replicate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (operators/skew.py): the skewed fact side
+    spreads over 16 salt buckets, the dimension replicates per bucket, the
+    join key becomes (key, salt) — the manual heavy-hitter defense when a
+    hot key overwhelms one reducer and the dim is too big to broadcast.
+    Salting must be invisible: the oracle is the plain equi-join."""
+    from openmrs_module_mamba_etl_spark.operators.skew import replicate_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("c_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = cust.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    return replicate_join(orders, cust, ["c_custkey"], n_salts=16).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )
