@@ -219,3 +219,32 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           GREATEST(o_totalprice, 100000.0) AS floored_price,
+           CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
+                THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family (SURVEY.md §2.G G7: COALESCE/NULLIF/
+    GREATEST/IS NULL — the MySQL IFNULL/NVL dialect surface)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
+        F.when(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_urgent"),
+    )

@@ -332,3 +332,25 @@ def grouped_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("slope_per_day", 4).alias("slope_per_day")
     )
+
+
+@query(
+    "window_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(10) OVER (ORDER BY ROUND(c_acctbal, 2) ASC, c_custkey ASC)
+             AS bal_decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY ROUND(c_acctbal, 2) ASC,
+                                      c_custkey ASC), 6) AS bal_pct_rank
+    FROM customer
+    """,
+)
+def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (SURVEY.md §2.E): decile bucketing + percent
+    rank over account balance, deterministic via the custkey tiebreak."""
+    w = Window.orderBy(F.round(F.col("c_acctbal"), 2).asc(), F.col("c_custkey").asc())
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("bal_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
