@@ -611,3 +611,30 @@ def text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     ).where(F.col("quality") >= 0.7)
     return scored.join(F.broadcast(survivors), "doc_id", "left_semi")
+
+
+@query(
+    "multimodal_audio",
+    oracle="""
+    SELECT doc_id AS media_id, 16000 AS sample_rate,
+           octet_length(CAST(text AS BLOB)) * 1000 // 32000 AS duration_ms,
+           13 AS n_mfcc
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: 16-bit-PCM duration contract + MFCC-shaped
+    vector via the Arrow mapInPandas seam (deterministic stub kernel; the
+    duration arithmetic and vector shape are the oracle-checkable part)."""
+    from openmrs_module_mamba_etl_spark.llm.multimodal import (
+        extract_audio_features,
+    )
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    feats = extract_audio_features(media, sample_rate=16_000, n_mfcc=13)
+    return feats.where(F.col("mfcc").isNotNull()).select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        F.size("mfcc").alias("n_mfcc"),
+    )

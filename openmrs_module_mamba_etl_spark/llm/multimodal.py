@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -200,6 +201,57 @@ def resize_images(
             )
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        # integer ms (exact: bytes*1000 // (rate*2)) — a float seconds value
+        # sits on rounding boundaries that differ between engines
+        StructField("duration_ms", LongType(), True),
+        StructField("mfcc", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, sample_rate: int = 16_000, n_mfcc: int = 13, fake: bool = True
+) -> DataFrame:
+    """Audio plumbing: payload → (sample rate, duration, MFCC-shaped vector).
+
+    The fake kernel treats the payload as 16-bit PCM at ``sample_rate``
+    (duration_ms = bytes × 1000 // (rate × 2), exact) and derives a deterministic
+    ``n_mfcc``-dim vector from the sha256 digest. A real kernel
+    (librosa/torchaudio) swaps in behind the same mapInPandas seam with
+    the same schema.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires librosa/torchaudio; use fake=True"
+        )
+    bytes_per_s = sample_rate * 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _mfcc(b: bytes | None) -> list[float] | None:
+                if b is None:
+                    return None
+                d = hashlib.sha256(b).digest()
+                return [float(x) / 255.0 for x in d[:n_mfcc]]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": sample_rate,
+                    "duration_ms": pdf["content"].map(
+                        lambda b: None if b is None else (len(b) * 1000) // bytes_per_s
+                    ),
+                    "mfcc": pdf["content"].map(_mfcc),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
