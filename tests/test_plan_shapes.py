@@ -110,6 +110,41 @@ def test_profile_single_pass(spark, sf_dir):
     assert "Union" not in tree
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # the 100 TB fact⋈dim contract: a selective dim filter must prune the
+    # partitioned fact scan AT RUNTIME (dynamicpruning subquery in the
+    # partition filters), so the join reads only matching partitions.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"), "o_orderkey", "o_totalprice"
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(
+        str(tmp_path / "fact")
+    )
+    spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1992, 1999)],
+        "order_year int, tag string",
+    ).write.parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("tag") == "keep")
+    joined = fact.join(dim, "order_year")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue()
+    # and the result only contains the kept years
+    years = {r["order_year"] for r in joined.select("order_year").distinct().collect()}
+    assert years <= {1996, 1997}
+
+
 def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     import contextlib
     import io
