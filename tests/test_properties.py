@@ -241,3 +241,34 @@ def test_prefix_filtered_jaccard_matches_naive(spark, texts, threshold):
             if jac >= threshold:
                 expected[(i, j)] = jac
     assert got == expected
+
+
+# --- column profiler ------------------------------------------------------
+
+_opt_int = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+
+@given(rows=st.lists(st.tuples(_opt_int, _opt_int), max_size=30))
+@settings(**SETTINGS)
+def test_profile_matches_pandas(spark, rows):
+    """One-pass profile == per-column pandas ground truth (nulls included)."""
+    from openmrs_module_mamba_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        r["column"]: (r["n_rows"], r["n_non_null"], r["n_null"], r["n_distinct"],
+                      r["min_value"], r["max_value"])
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    for idx, name in [(0, "a"), (1, "b")]:
+        vals = [r[idx] for r in rows]
+        nn = [v for v in vals if v is not None]
+        expected = (
+            len(vals),
+            len(nn),
+            len(vals) - len(nn),
+            len(set(nn)),
+            float(min(nn)) if nn else None,
+            float(max(nn)) if nn else None,
+        )
+        assert got[name] == expected
