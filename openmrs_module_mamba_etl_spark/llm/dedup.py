@@ -357,14 +357,22 @@ def duplicate_clusters(
         .localCheckpoint()
     )
 
+    # The label table is one row per node-with-a-duplicate — orders of
+    # magnitude smaller than the edge list (dup clusters are near-cliques).
+    # Broadcasting it keeps every iteration a map-side join of the static
+    # checkpointed edges; without the hint each round re-shuffles all edges.
+    # (For a dup graph whose node set outgrows broadcast, drop the hint —
+    # the algorithm is unchanged.)
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(F.broadcast(labels), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            labels.join(
+                F.broadcast(neighbor_min), labels.node == neighbor_min.src, "left"
+            )
             .select(
                 "node",
                 F.least(
@@ -375,7 +383,7 @@ def duplicate_clusters(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .join(F.broadcast(labels.alias("o")), F.col("n.node") == F.col("o.node"))
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
