@@ -137,7 +137,7 @@ def _set_jaccard_pairs(
     )
 
     posting = sizes.select(
-        id_col, "prefix_len", F.explode("toks").alias("token")
+        id_col, "prefix_len", "n_toks", F.explode("toks").alias("token")
     )
     tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
     ranked = (
@@ -152,7 +152,24 @@ def _set_jaccard_pairs(
         )
         .where(F.col("rn") <= F.col("prefix_len"))
     )
-    candidates = _pair_join(ranked, id_col, ["token"]).distinct()
+    # Length filter (PPJoin): J ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|) —
+    # prune size-incompatible candidates before the verification join.
+    a_r, b_r = ranked.alias("a"), ranked.alias("b")
+    candidates = (
+        a_r.join(
+            b_r,
+            [
+                F.col("a.token") == F.col("b.token"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.least("a.n_toks", "b.n_toks")
+                >= threshold * F.greatest("a.n_toks", "b.n_toks"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
 
     a = sizes.select(
         F.col(id_col).alias("id_a"),
