@@ -279,6 +279,62 @@ def simhash_pairs(
     )
 
 
+def _cosine_pairs_bruteforce_arrow(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine via a broadcast matrix + Arrow matmul kernel.
+
+    One pass, no join, no shuffle: the (n × dim) normalized matrix is
+    broadcast once and every Arrow batch scores itself against it with a
+    single numpy matmul — the same cosine values the expression form
+    produced, ~100× fewer interpreter transitions than the per-pair
+    higher-order-function fold. Pairs are emitted once (id_a < id_b).
+
+    Brute force is inherently the small-n path (the broadcast holds all
+    vectors); at 100 TB use the hyperplane-LSH bucketed variant, which
+    never materializes the matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids_all = np.asarray([r[0] for r in rows], dtype=np.int64)
+    M = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Mn = np.where(nrm > 0, M / nrm, 0.0)
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, Mn))
+
+    def score(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            bn = np.linalg.norm(B, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Bn = np.where(bn > 0, B / bn, 0.0)
+            S = Bn @ b_mat.T
+            # HALF_UP at 6 decimals — matches F.round / DuckDB ROUND
+            # (np.round is half-even and would flap on exact halves).
+            R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            left = pdf[id_col].to_numpy(dtype=np.int64)
+            keep = (R >= threshold) & (left[:, None] < b_ids[None, :])
+            li, ri = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": left[li],
+                    "id_b": b_ids[ri],
+                    "cosine": R[li, ri],
+                }
+            )
+
+    spread = df.select(id_col, vec_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -290,33 +346,33 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine similarity.
 
-    ``brute_force=True``: full self-join (id<id) — O(n²), correct, only for
-    small n or within-bucket verification. ``False``: hyperplane-LSH
-    bucketing first (sign pattern of ``lsh_planes`` fixed random projections)
-    so only same-bucket pairs join — the 100 TB path; recall < 1 by design,
-    trade with ``lsh_planes``.
+    ``brute_force=True``: exact all-pairs (id<id) — O(n²) scoring as one
+    broadcast + Arrow-batched matmul, correct, only for small n or
+    within-bucket verification. ``False``: hyperplane-LSH bucketing first
+    (sign pattern of ``lsh_planes`` fixed random projections) so only
+    same-bucket pairs join — the 100 TB path; recall < 1 by design, trade
+    with ``lsh_planes``.
     """
+    if brute_force:
+        return _cosine_pairs_bruteforce_arrow(df, id_col, vec_col, threshold)
     # Per-row norm once (O(n)) — each pair then costs one dot fold, not
     # dot + two norm folds; same arithmetic, so values are unchanged.
     # Vectors ride the self-join directly (no re-join by id afterwards).
+    from openmrs_module_mamba_etl_spark.llm.ann import hyperplane_bucket
+
     vecs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    if not brute_force:
-        from openmrs_module_mamba_etl_spark.llm.ann import hyperplane_bucket
-
-        dim = len(vecs.select("vec").first()[0])
-        vecs = vecs.withColumn(
-            "bucket", hyperplane_bucket(F.col("vec"), dim, lsh_planes, seed)
-        )
-        cond = [
-            F.col("a.bucket") == F.col("b.bucket"),
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-        ]
-    else:
-        cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    dim = len(vecs.select("vec").first()[0])
+    vecs = vecs.withColumn(
+        "bucket", hyperplane_bucket(F.col("vec"), dim, lsh_planes, seed)
+    )
+    cond = [
+        F.col("a.bucket") == F.col("b.bucket"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+    ]
     # Round-robin both sides: single-file inputs arrive as one partition and
     # the O(n²) scoring must spread across all cores.
     spread = vecs.repartition(df.sparkSession.sparkContext.defaultParallelism)
