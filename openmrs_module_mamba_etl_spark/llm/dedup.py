@@ -154,7 +154,18 @@ def _set_jaccard_pairs(
     )
     # Length filter (PPJoin): J ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|) —
     # prune size-incompatible candidates before the verification join.
+    # Positional filter (PPJoin): a match at positions (px, py) bounds the
+    # overlap at 1 + min(|x|−px, |y|−py); prune matches that cannot reach
+    # the required overlap ⌈t·(|x|+|y|)/(1+t)⌉. The earliest common token
+    # of a true pair always passes (all its common tokens sit at ≥ those
+    # positions), so recall stays exact — only doomed matches drop. The
+    # 1e-9 slack keeps float ceil from over-pruning exact-integer bounds.
     a_r, b_r = ranked.alias("a"), ranked.alias("b")
+    required_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_toks") + F.col("b.n_toks"))
+        - F.lit(1e-9)
+    )
     candidates = (
         a_r.join(
             b_r,
@@ -163,6 +174,12 @@ def _set_jaccard_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 F.least("a.n_toks", "b.n_toks")
                 >= threshold * F.greatest("a.n_toks", "b.n_toks"),
+                F.lit(1)
+                + F.least(
+                    F.col("a.n_toks") - F.col("a.rn"),
+                    F.col("b.n_toks") - F.col("b.rn"),
+                )
+                >= required_overlap,
             ],
         )
         .select(
