@@ -303,6 +303,110 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
+def _documents_stream_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+
+
+_DOCUMENTS_STREAM_SCHEMA = _documents_stream_schema()
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+
+@query(
+    "stream_dedup",
+    oracle=f"""
+    SELECT DISTINCT md5(array_to_string({_TOKS_SQL}, ' ')) AS content_hash
+    FROM documents
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once document dedup: ``dropDuplicates`` on the
+    content hash with append emission — each distinct document admitted
+    once across ALL micro-batches (state = seen-hash set). The emission
+    set equals the batch distinct-hash set whatever the batch boundaries,
+    so this streaming operator is fully oracle-checkable."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.functions.text import content_hash
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.streaming.dedup import streaming_dedup
+
+    scratch = _scratch_dir("stream_dedup")
+    stream = (
+        spark.readStream.schema(_DOCUMENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_dedup(stream, content_hash(F.col("text")))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(scratch, "out"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each event joined against the (batch)
+    customer dimension as it flows through — stateless, append-mode, every
+    matched event emitted exactly once, so the emission set equals the
+    batch join. The static side re-resolves per micro-batch (dimension
+    updates are picked up); Spark broadcasts it under the usual
+    autoBroadcast threshold, so at 100 TB of stream the dimension never
+    shuffles the stream side."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_static_join")
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    customers = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        customers, stream.user_id == customers.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(scratch, "out"))
+
+
 # Re-export for API users; keeps operators/windows.py the canonical impl.
 __all__ = ["latest_per_key", "top_k_per_key"]
 

@@ -243,3 +243,103 @@ def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     assert streamed < batch
     open_windows = batch - streamed
     assert {r[2] for r in open_windows} == {1}  # only the day-3 singleton
+
+
+def test_streaming_dedup_exactly_once_across_batches(spark, tmp_path):
+    """dropDuplicates state spans micro-batches: a key re-arriving in a
+    LATER batch is dropped, so the emission set == distinct keys."""
+    from openmrs_module_mamba_etl_spark.streaming.dedup import streaming_dedup
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    # two files => availableNow may split batches; dup keys span the files
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "ALPHA   beta"), (4, "delta")], doc_schema  # 3 dups 1 after norm
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    from openmrs_module_mamba_etl_spark.functions.text import content_hash
+
+    stream = spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedup(stream, content_hash(F.col("text")))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [r["content_hash"] for r in spark.read.parquet(target).collect()]
+    assert len(emitted) == len(set(emitted)) == 3  # alpha-beta, gamma, delta
+
+    batch = (
+        spark.read.parquet(src)
+        .select(content_hash(F.col("text")).alias("h"))
+        .distinct()
+    )
+    assert set(emitted) == {r["h"] for r in batch.collect()}
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses near-in-time duplicates but
+    re-admits a key after state eviction — bounded-state semantics."""
+    from openmrs_module_mamba_etl_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+    schema = StructType(
+        [
+            StructField("k", StringType(), True),
+            StructField("ts", LongType(), True),
+        ]
+    )
+    T0 = 1_700_000_000 * 1_000_000_000
+
+    def drain():
+        # sequential availableNow drains over one checkpoint = guaranteed
+        # batch order (state eviction lags one batch: a key expires only
+        # after a LATER batch advances the watermark past firstSeen+delay)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_dedup_within_watermark(
+                stream, F.col("k"), ts_col="ts", delay="1 hour", key_name="k"
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A twice within the delay (collapse) + B
+    spark.createDataFrame(
+        [("A", T0), ("A", T0 + HOUR_NS // 2), ("B", T0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 2: watermark driver → advances watermark past A's expiry
+    spark.createDataFrame(
+        [("C", T0 + 10 * HOUR_NS)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 3: A re-arrives after eviction — admitted again
+    spark.createDataFrame(
+        [("A", T0 + 48 * HOUR_NS)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    out = [r["k"] for r in spark.read.parquet(target).collect()]
+    assert sorted(out) == ["A", "A", "B", "C"]  # A re-admitted after eviction
