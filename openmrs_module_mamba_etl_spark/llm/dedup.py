@@ -231,15 +231,28 @@ def minhash_lsh_pairs(
     base = _spread(df, id_col).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_len).alias("shingles"),
-    )
-    # The signature subtree feeds three consumers (band buckets + both sides
-    # of the verification join); persist so higher-order-function evaluation
-    # (interpreted, not codegen) runs once per document, not three times.
-    sigs = base.select(
-        id_col,
-        "shingles",
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
     ).persist()
+    # Signature via explode → codegen xxhash64 → hash-aggregate min, NOT
+    # the higher-order-function form (:func:`minhash_signature`): HOF
+    # lambdas evaluate interpreted, while explode + plain column
+    # expressions stay in whole-stage codegen. Same hash family, same
+    # values. Map-side partial aggregation collapses each doc to one
+    # 32-long row per input partition before the shuffle, so the exchange
+    # carries |docs| rows regardless of shingle count — the property that
+    # holds at 100 TB.
+    mins = [
+        F.min(F.xxhash64("sh", F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = (
+        base.select(id_col, F.explode("shingles").alias("sh"))
+        .groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("sig"),
+        )
+    )
     buckets = sigs.select(
         id_col,
         F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("bb"),
@@ -247,7 +260,7 @@ def minhash_lsh_pairs(
 
     candidates = _pair_join(buckets, id_col, ["band", "bucket"]).distinct()
 
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    sh = base.select(F.col(id_col), F.col("shingles"))
     verified = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
