@@ -110,3 +110,39 @@ def flatten_auto_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (name, df.count(), len(df.columns)) for name, df in sorted(res.tables.items())
     ]
     return spark.createDataFrame(rows, "table_name string, n_rows long, n_cols int")
+
+
+@query(
+    "dim_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT user_id, event_type, tus, event_id FROM o
+      WHERE prev IS NULL OR event_type != prev
+    )
+    SELECT user_id, event_type, tus AS valid_from,
+           LEAD(tus) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id) AS valid_to,
+           LEAD(tus) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id) IS NULL AS is_current
+    FROM c
+    """,
+)
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 backfill: collapse each user's event_type history into type-2
+    validity intervals (change-suppressed, LEAD-closed). Timestamps are
+    pre-truncated to µs so ordering and interval bounds share the oracle's
+    grain (events.parquet is TIMESTAMP(NANOS); DuckDB reads µs)."""
+    from openmrs_module_mamba_etl_spark.operators.scd2 import scd2_from_history
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    )
+    return scd2_from_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="tus", tiebreak_col="event_id",
+    )
