@@ -150,3 +150,26 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sup"),
         )
     )
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite of orders by (o_custkey, o_totalprice):
+    Morton-interleaved quantile ranks + range repartition, so every output
+    file covers a small rectangle of the (customer, price) space and scans
+    filtered on EITHER column prune most files by min/max stats. Content
+    is layout-invariant — the oracle is the plain projection; the skipping
+    property itself is pinned by tests/test_zorder.py."""
+    from openmrs_module_mamba_etl_spark.operators.zorder import zorder_write
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    target = _scratch_dir("sink_zorder")
+    zorder_write(src, ["o_custkey", "o_totalprice"], target, n_files=8)
+    return spark.read.parquet(target)
