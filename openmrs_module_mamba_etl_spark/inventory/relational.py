@@ -547,3 +547,56 @@ def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicate_join(orders, cust, ["c_custkey"], n_salts=16).select(
         "o_orderkey", "o_totalprice", "c_mktsegment"
     )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ), rd AS (
+      SELECT user_id, make_timestamp(tus) AS rts, value FROM r WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           rd.value AS asof_value, epoch_us(rd.rts) AS asof_tus
+    FROM orders o ASOF LEFT JOIN rd
+      ON o.o_custkey = rd.user_id AND rd.rts <= CAST(o.o_orderdate AS TIMESTAMP)
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (C5 analogue — the point-in-time operator the MySQL
+    surface can only emulate with a correlated subquery): each order is
+    enriched with the customer's most recent event value at or before the
+    order date. Union + one window sort + carry-forward — linear, no
+    non-equi pair blow-up; the DuckDB oracle uses its native ASOF JOIN."""
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+        "value",
+    )
+    out = asof_join(
+        orders,
+        events,
+        key_col="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ets",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+        right_key_col="user_id",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_value"),
+        F.unix_micros("asof_ts").alias("asof_tus"),
+    )

@@ -1,0 +1,94 @@
+"""As-of (point-in-time) join — the trades/quotes operator Spark lacks.
+
+For every left row, attach the most recent right row with
+``right.ts <= left.ts`` for the same key. The naive formulation is a
+non-equi join (quadratic blow-up per key) followed by a per-left-row
+argmax; the Spark-shaped plan is the UNION + SORT + CARRY-FORWARD idiom:
+
+1. tag both inputs and union them into one (key, ts)-stream;
+2. one window sort per key, right rows ordered BEFORE left rows at
+   equal timestamps (so "at or before" includes ties);
+3. ``last(col, ignorenulls=True)`` over an unbounded-preceding frame
+   carries each right row's payload forward to every later left row;
+4. keep only left rows.
+
+One sort shuffle total, linear in |L| + |R|, no pair blow-up — the same
+merge-scan shape a time-series database uses, expressed declaratively so
+Catalyst/AQE still pick partition counts. Skewed keys salt exactly like
+any other window (the frame is a prefix scan, so per-key order is all
+that matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+    right_key_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time enrich ``left`` with the latest ``right`` payload.
+
+    ``right`` is first deduplicated to one row per (key, ts) —
+    latest-``tiebreak_col`` wins — so the carried payload is deterministic
+    even when several right rows share a timestamp. Left rows with no
+    right row at or before them keep NULL payloads (left-outer as-of).
+    Payload columns are emitted as ``asof_<name>``. ``right_key_col``
+    defaults to ``key_col`` when both sides share the name.
+    """
+    rk = right_key_col or key_col
+    r = right.select(
+        F.col(rk).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    if tiebreak_col is not None:
+        w_dedup = Window.partitionBy("_k", "_ts").orderBy(
+            F.col(tiebreak_col).desc()
+        )
+        r = (
+            right.select(
+                F.col(rk).alias("_k"),
+                F.col(right_ts).alias("_ts"),
+                F.col(tiebreak_col),
+                *[F.col(c) for c in payload_cols],
+            )
+            .withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", tiebreak_col)
+        )
+
+    l = left.withColumn("_k", F.col(key_col)).withColumn(
+        "_ts", F.col(left_ts).cast(r.schema["_ts"].dataType)
+    )
+    tagged_r = r.withColumn("_side", F.lit(0))
+    tagged_l = l.withColumn("_side", F.lit(1))
+    merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    # right (_side 0) sorts before left (_side 1) at equal ts → ties count
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w).alias("asof_ts"),
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .drop("_side", "_k", "_ts", *payload_cols)
+    )
