@@ -600,3 +600,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value"),
         F.unix_micros("asof_ts").alias("asof_tus"),
     )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT i.event_id AS purchase_id, p.event_id AS event_id
+    FROM events i JOIN events p
+      ON p.user_id = i.user_id
+     AND i.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(i.ts)
+     AND epoch_us(p.ts) <  epoch_us(i.ts) + 21600000000
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (C5 analogue): every event falling in the 6-hour window
+    opened by each purchase of the same user (classic attribution). The
+    interval side is bucketized so the range join runs as a (key, bucket)
+    equi-join — each true pair meets in exactly one bucket, the exact
+    half-open predicate filters survivors — instead of the per-key
+    cartesian a raw theta join would execute."""
+    from openmrs_module_mamba_etl_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    HOUR_US = 3_600_000_000
+    ev = table(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("i_user"),
+        F.expr("ts div 1000").alias("w_start"),
+        (F.expr("ts div 1000") + F.lit(6 * HOUR_US)).alias("w_end"),
+    )
+    out = point_in_interval_join(
+        points,
+        intervals,
+        point_key="user_id",
+        interval_key="i_user",
+        ts_col="tus",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width=6 * HOUR_US,
+    )
+    return out.select("purchase_id", "event_id")

@@ -1,0 +1,66 @@
+"""Range (interval) join — point-in-interval matching at scale.
+
+Spark executes a raw ``t BETWEEN start AND end`` join condition as a
+broadcast-nested-loop or a per-key cartesian + filter: O(|points| ×
+|intervals|) comparisons per key. The scalable shape is BUCKETIZATION —
+quantize time into fixed-width buckets, replicate each interval into the
+buckets it overlaps, give each point its single bucket, and the range
+join becomes a plain (key, bucket) equi-join (hash shuffle, AQE-planned)
+followed by the exact range predicate on the survivors.
+
+Each (point, interval) true pair meets in EXACTLY one bucket — the
+point's — so no post-join dedup is needed. Replication factor is
+⌈interval_len / bucket_width⌉ + 1; pick the width near the typical
+interval length (a knob, not a correctness parameter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Half-open match: ``start <= ts < end``, keys equal.
+
+    ``ts_col`` / ``start_col`` / ``end_col`` are int64 in one shared unit
+    (e.g. µs since epoch); ``bucket_width`` is in that unit. Output =
+    all columns of both inputs for each matching pair.
+    """
+    p = points.withColumn(
+        "_b", F.floor(F.col(ts_col) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                # end is exclusive: the last overlapped bucket holds end−1
+                F.floor((F.col(end_col) - 1) / F.lit(bucket_width)).cast(
+                    "long"
+                ),
+            )
+        ),
+    )
+    return (
+        p.join(
+            i,
+            [
+                p["_b"] == i["_b"],
+                F.col(point_key) == F.col(interval_key),
+            ],
+        )
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )
