@@ -458,3 +458,48 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("bal_decile"),
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
     )
+
+
+@query(
+    "rollup_hypertable",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 AS chunk, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous rollup: hourly chunk × event_type aggregate,
+    materialized partitionBy(chunk) and read back — the time-partitioned
+    rollup table whose chunk-selective refresh is pinned by
+    tests/test_rollup.py. Readers hit partition pruning on any chunk
+    predicate; maintenance rewrites only touched chunk directories."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.operators.rollup import (
+        rollup_aggregate,
+        rollup_write,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("tus"), "event_type", "value"
+    )
+    rolled = rollup_aggregate(
+        ev, "tus", ["event_type"], "value", chunk_us=3_600_000_000
+    )
+    target = _scratch_dir("rollup_hypertable")
+    rollup_write(rolled, target)
+    out = spark.read.parquet(target)
+    # partition column round-trips as its directory value; cast back to long
+    return out.select(
+        F.col("chunk").cast("long").alias("chunk"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
