@@ -1,0 +1,169 @@
+"""Sampling / splitting / packing inventory (SURVEY.md §2.I).
+
+Deterministic curation operators a training pipeline runs between dedup
+and tokenization: hash-bucketed train/valid/test split, per-stratum
+sampling, mixture reweighting toward target source shares, concat-and-
+chunk sequence packing, and deterministic shard export. All decisions are
+md5-bucket functions of the row id, so every oracle replicates them
+exactly in ANSI SQL — these are value-hash checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openmrs_module_mamba_etl_spark.llm.sampling import (
+    bucket_sql,
+    hash_bucket,
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from openmrs_module_mamba_etl_spark.registry import query
+from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+_B = bucket_sql("doc_id")  # ('0x'||substr(md5(...),1,8))::BIGINT % 1000
+
+#: permille kept per language stratum (others dropped) — an English-heavy
+#: curation pass with long-tail languages downweighted.
+_LANG_PM = {"en": 800, "de": 400, "fr": 400, "es": 250, "zh": 250}
+
+#: target mixture over `source` and the total-row target it aims at.
+_MIX_W = {"src0": 3, "src1": 2, "src2": 1}
+_MIX_K = 60
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    SELECT doc_id, b AS bucket,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_B} AS b FROM documents)
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split: the split is a pure
+    md5-bucket function of doc_id — no shuffle, no RNG, identical
+    assignment at any scale/cluster/row-order (the reproducibility contract
+    `df.randomSplit` cannot give a 100 TB pipeline)."""
+    docs = table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", [("train", 900), ("valid", 950), ("test", 1000)]
+    )
+    return out.select("doc_id", "bucket", "split")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_B} AS b FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 400
+                        WHEN 'fr' THEN 400 WHEN 'es' THEN 250
+                        WHEN 'zh' THEN 250 ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: each stratum keeps its own
+    permille of the id-bucket space (map-side CASE, zero shuffles)."""
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", _LANG_PM).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+    WITH rates AS (
+      SELECT source, COUNT(*) AS n_rows,
+             LEAST(1000, 1000 * (CASE source WHEN 'src0' THEN {3 * _MIX_K // 6}
+                                             WHEN 'src1' THEN {2 * _MIX_K // 6}
+                                             WHEN 'src2' THEN {1 * _MIX_K // 6}
+                                             ELSE 0 END) // COUNT(*))
+               AS rate_pm
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {bucket_sql('d.doc_id')} < r.rate_pm
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: resample sources toward 3:2:1 target shares.
+
+    Per-source rates come from ONE tiny aggregate (rows = #sources,
+    integer arithmetic so any engine derives identical rates), broadcast
+    back as a map-side filter — the corpus itself is never shuffled."""
+    docs = table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "source", _MIX_W, _MIX_K).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {bucket_sql('doc_id', 8)} AS shard,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+                AS BIGINT) AS chunk_id
+    FROM t
+    """,
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: documents concatenated in id order per
+    shard, sliced every 2048 tokens — each doc's chunk is where its
+    exclusive token prefix-sum lands (the pretraining loader layout).
+    One shard-hash shuffle + one window cumsum; shard count bounds sort
+    size and write parallelism at 100 TB."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tok", budget=2048, shards=8)
+    return out.select("doc_id", "shard", "n_tok", "chunk_id")
+
+
+@query(
+    "sink_shards",
+    oracle=f"""
+    SELECT {bucket_sql('doc_id', 16)} AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard export: the corpus written as 16 id-hash shards
+    (training-data layout — every re-export bins each doc identically, so
+    downstream loaders can resume mid-epoch). Physically written
+    partitionBy(shard) and read back; the aggregate hash-checks the
+    assignment, not just counts."""
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "shard", hash_bucket(F.col("doc_id"), 16)
+    )
+    target = _scratch_dir("sink_shards")
+    # one file per shard directory: repartition on the partition column
+    docs.repartition(16, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(target)
+    out = spark.read.parquet(target)
+    return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

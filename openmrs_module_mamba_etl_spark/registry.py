@@ -50,6 +50,7 @@ def load_all() -> None:
         llm_queries,
         relational,
         report_queries,
+        sampling_queries,
         scalars,
         sink_queries,
         sql_queries,

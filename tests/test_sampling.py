@@ -1,0 +1,68 @@
+"""Semantic pins for the deterministic sampling/packing family: stable
+under row-order/partitioning changes, disjoint+exhaustive splits, packing
+chunk invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_module_mamba_etl_spark.llm.sampling import (
+    hash_split,
+    mixture_rates,
+    pack_sequences,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tok"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+
+
+def test_split_disjoint_exhaustive_and_order_invariant(spark):
+    docs = _docs(spark)
+    cuts = [("train", 900), ("valid", 950), ("test", 1000)]
+    a = hash_split(docs, "doc_id", cuts).select("doc_id", "split")
+    # same rows, different physical order/partitioning → same assignment
+    b = hash_split(
+        docs.orderBy(F.col("doc_id").desc()).repartition(7), "doc_id", cuts
+    ).select("doc_id", "split")
+    ra, rb = set(map(tuple, a.collect())), set(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == 400  # every doc got exactly one split
+    frac_train = sum(1 for _, s in ra if s == "train") / 400
+    assert 0.8 < frac_train < 0.98  # ~0.9 up to hash noise on 400 ids
+
+
+def test_mixture_rates_integer_exact(spark):
+    docs = _docs(spark, 300)  # 100 docs per src
+    rates = {
+        r["src"]: (r["n_rows"], r["rate_pm"])
+        for r in mixture_rates(docs, "src", {"s0": 3, "s1": 2, "s2": 1}, 60)
+        .collect()
+    }
+    # quotas 30/20/10 over 100-doc strata → 300/200/100 permille exactly
+    assert rates == {"s0": (100, 300), "s1": (100, 200), "s2": (100, 100)}
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    out = pack_sequences(
+        _docs(spark), "doc_id", "n_tok", budget=16, shards=4
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            # a doc starts in the chunk its exclusive prefix-sum lands in
+            assert r["chunk_id"] == cum // 16
+            cum += r["n_tok"]
+        # chunk ids are nondecreasing and gap-free up to the last chunk
+        ids = [r["chunk_id"] for r in rows]
+        assert ids == sorted(ids)
+        assert set(ids) == set(range(ids[-1] + 1))
