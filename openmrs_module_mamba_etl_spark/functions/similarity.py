@@ -108,6 +108,11 @@ def simhash_bits(text: Column, n_bits: int = 64) -> Column:
     One fold over tokens accumulating 64 counters, all in codegen. The bit
     array form (instead of a packed long) keeps hamming distance expressible
     as a zip_with/aggregate, avoiding 64-bit sign pitfalls.
+
+    Measured note: an Arrow/numpy kernel for this fold (token hashes
+    JVM-side, vote matrix in numpy) is SLOWER — 4.3s vs 3.3s warm on 50k
+    docs × 200 tokens — because shipping every token hash over Arrow costs
+    more than the fold saves. Keep this expression form.
     """
     # Hash each token ONCE up front — folding over raw tokens would
     # re-evaluate xxhash64 inside every one of the 64 bit lambdas.

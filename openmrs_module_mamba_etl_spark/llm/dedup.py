@@ -291,6 +291,9 @@ def simhash_pairs(
     least one identical band (pigeonhole) ⇒ recall is exact for the
     ``hamming_max`` default; distance is verified on the full signature.
     """
+    # Expression-side signatures beat an Arrow kernel here (measured 50k
+    # docs × 200 tokens: 3.3s vs 4.3s warm): shipping every token hash
+    # over Arrow costs more than the JVM fold saves. See similarity.py.
     sigs = _spread(df, id_col).select(
         F.col(id_col), simhash_bits(F.col(text_col)).alias("bits")
     ).persist()
