@@ -60,6 +60,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept, empty if < n tokens) —
+    the multiset form repetition statistics need; :func:`word_shingles`
+    is the distinct-set form posting lists need."""
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per seed, min over shingle xxhash64(shingle, seed).
 

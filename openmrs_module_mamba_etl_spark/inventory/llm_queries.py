@@ -638,3 +638,90 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.size("mfcc").alias("n_mfcc"),
     )
+
+
+# --- curation: decontamination + repetition filters ----------------------
+
+#: DuckDB 5-gram shingles from a `toks` list column (mirrors
+#: functions.similarity.word_shingles(text, 5): distinct, whole-text
+#: fallback for short docs).
+_SH5 = """list_distinct(CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' '))
+        ELSE [array_to_string(toks, ' ')] END)"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, source, {_SH5} AS sh FROM t),
+    bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE source = 'src9'),
+    corp AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE source <> 'src9')
+    SELECT doc_id, COUNT(*) AS n_hit_shingles
+    FROM corp JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    held-out benchmark slice (source src9 stands in for an eval suite).
+    Benchmark shingle set is broadcast — the 100 TB corpus is never
+    shuffled on shingle, only partial-agged on doc_id."""
+    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("source") != "src9"),
+        docs.where(F.col("source") == "src9"),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g3 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS g
+      FROM t
+    ), base AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len(g) > 0
+                        THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                        ELSE 0.0 END, 6) AS dup_3gram_frac
+      FROM g3
+    ), g2 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS g
+      FROM t
+    ), c AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM g2) GROUP BY 1, 2
+    ), top2 AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_2gram_frac
+      FROM c GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_3gram_frac,
+           COALESCE(t2.top_2gram_frac, 0.0) AS top_2gram_frac,
+           (b.dup_3gram_frac >= 0.05 OR COALESCE(t2.top_2gram_frac, 0.0) >= 0.12)
+             AS flagged
+    FROM base b LEFT JOIN top2 t2 USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-3-gram fraction
+    (expression-side, no explode) and top-2-gram share (one explode + two
+    id-keyed hash aggregates), with the combined flag."""
+    from openmrs_module_mamba_etl_spark.llm.curation import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")

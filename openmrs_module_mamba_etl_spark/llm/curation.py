@@ -1,0 +1,106 @@
+"""Corpus curation beyond dedup: benchmark decontamination and
+repetition-based quality filters (the Gopher/MassiveText rules).
+
+Reference scope note: the reference engine (openmrs-module-mamba-etl) has
+no text-curation surface; this module is part of the beyond-reference
+training-data mandate (SURVEY.md §2.I).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from openmrs_module_mamba_etl_spark.functions.similarity import (
+    word_ngrams,
+    word_shingles,
+)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-overlap detection (the GPT-3/13-gram decontamination
+    recipe, n tunable): a corpus document is tainted if it shares any
+    word n-gram with any benchmark document. Returns
+    (id, n_hit_shingles) for tainted docs — anti-join the result against
+    the corpus to scrub.
+
+    Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    benchmark's distinct shingle set is BROADCAST — the corpus is never
+    shuffled on shingle; its only wide stage is the per-doc hit count
+    (partial-agg on id). Shingle sets are per-doc distinct on both sides,
+    so n_hit_shingles counts distinct overlapping n-grams.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup3_max: float = 0.05,
+    top2_max: float = 0.12,
+) -> DataFrame:
+    """Within-document repetition statistics (Gopher repetition rules):
+
+    - ``dup_3gram_frac``: fraction of 3-gram occurrences that are repeats
+      (1 − distinct/total) — expression-side only, no explode.
+    - ``top_2gram_frac``: share of 2-gram occurrences taken by the single
+      most frequent 2-gram — needs a per-(doc, gram) count, so one
+      explode + two hash aggregates keyed by id (partial-agg friendly;
+      never a global shuffle wider than the doc-id space).
+    - ``flagged``: either fraction at/over its threshold. Gopher's
+      production cuts are ~0.18–0.20; the defaults here are scaled to the
+      synthetic corpus' repetition range so the flag is informative.
+    """
+    g3 = word_ngrams(F.col(text_col), 3)
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                F.size(g3) > 0,
+                1.0 - F.size(F.array_distinct(g3)) / F.size(g3),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_3gram_frac"),
+    )
+    grams2 = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("g")
+    )
+    top2 = (
+        grams2.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac")
+        )
+    )
+    return (
+        base.join(top2, id_col, "left")
+        .withColumn(
+            "top_2gram_frac", F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
+        )
+        .withColumn(
+            "flagged",
+            (F.col("dup_3gram_frac") >= dup3_max)
+            | (F.col("top_2gram_frac") >= top2_max),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Semantic pins for decontamination and repetition curation ops."""
+
+from __future__ import annotations
+
+from openmrs_module_mamba_etl_spark.llm.curation import (
+    decontaminate,
+    repetition_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    corpus = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 5-gram
+            (2, "one two three four five six"),  # disjoint
+        ],
+    )
+    bench = _df(spark, [(100, "alpha beta gamma delta epsilon")])
+    hits = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert hits == {1: 1}
+
+
+def test_decontaminate_short_doc_whole_text_fallback(spark):
+    # both sides < n tokens: shingle is the whole text, exact match taints
+    corpus = _df(spark, [(1, "tiny doc"), (2, "other doc")])
+    bench = _df(spark, [(100, "tiny doc")])
+    hits = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert hits == {1: 1}
+
+
+def test_repetition_stats_exact_fractions(spark):
+    docs = _df(
+        spark,
+        [
+            # 2-grams: ab ba ab ba ac → top2 = 2/5; 3-grams: aba bab aba
+            # bac → 4 total, 3 distinct → dup3 = 0.25
+            (1, "a b a b a c"),
+            (2, "w x y z"),  # all grams unique
+            (3, "q"),  # too short for any gram
+        ],
+    )
+    out = {
+        r["doc_id"]: (
+            r["dup_3gram_frac"],
+            r["top_2gram_frac"],
+            r["flagged"],
+        )
+        for r in repetition_stats(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (0.25, 0.4, True)
+    assert out[2] == (0.0, 0.333333, True)  # 3 unique 2-grams → top2 = 1/3
+    assert out[3] == (0.0, 0.0, False)
+
+
+def test_repetition_unique_grams_not_flagged_at_default(spark):
+    # 10 distinct tokens → every 2-gram unique → top2 = 1/9 < 0.12
+    docs = _df(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+    r = repetition_stats(docs, "doc_id", "text").collect()[0]
+    assert r["dup_3gram_frac"] == 0.0
+    assert not r["flagged"]
