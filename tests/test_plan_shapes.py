@@ -155,3 +155,39 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     p = buf.getvalue()
     # the scan→filter→project→partial-agg pipeline must be codegen'd
     assert "WholeStageCodegen" in p
+
+
+def test_hash_split_zero_shuffle(spark, sf_dir):
+    # the split is a pure map-side function of the id: no Exchange at all
+    p = plan(spark, sf_dir, "sample_hash_split")
+    assert "Exchange" not in p
+
+
+def test_stratified_sample_zero_shuffle(spark, sf_dir):
+    p = plan(spark, sf_dir, "sample_stratified")
+    assert "Exchange" not in p
+
+
+def test_mixture_broadcasts_rates(spark, sf_dir):
+    # per-stratum rates (#strata rows) broadcast back; the corpus side is
+    # never hash-partitioned on the join key
+    p = plan(spark, sf_dir, "sample_mixture")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_chunks_single_shuffle(spark, sf_dir):
+    # one hashpartitioning exchange on shard feeding the window cumsum
+    p = plan(spark, sf_dir, "pack_chunks")
+    # formatted explain shows each node twice (tree + detail): one node
+    assert p.count("Exchange") == 2
+    assert "hashpartitioning(shard" in p
+    assert "rangepartitioning" not in p  # no global sort
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the eval-suite shingle set broadcasts; the corpus posting list is
+    # never shuffled on shingle
+    p = plan(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
