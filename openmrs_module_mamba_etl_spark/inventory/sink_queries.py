@@ -173,3 +173,55 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _scratch_dir("sink_zorder")
     zorder_write(src, ["o_custkey", "o_totalprice"], target, n_files=8)
     return spark.read.parquet(target)
+
+
+_CUST_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("source_csv", oracle=_CUST_SQL)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion round-trip: export -> schema-EXPLICIT read -> aggregate.
+
+    The read declares the schema (never inferSchema -- at 100 TB inference
+    is an extra full pass over the data); doubles survive the text
+    round-trip because Spark writes shortest-repr decimals and the
+    declared DoubleType parses them back exactly. Reference analog: the
+    JDBC source seam (SURVEY 2.A A1) -- CSV is the interchange format the
+    reference's MySQL dumps would arrive in.
+    """
+    cust = table(spark, sf_dir, "customer")
+    target = _scratch_dir("source_csv")
+    cust.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(target)
+    back = (
+        spark.read.schema(cust.schema)  # explicit: no inference pass
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(target)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query("source_jsonl", oracle=_CUST_SQL)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion round-trip with an explicit schema -- the
+    splittable one-object-per-line layout (a multiline JSON array is a
+    single unsplittable task at scale; JSONL partitions like any text
+    file). Same aggregate contract as source_csv."""
+    cust = table(spark, sf_dir, "customer")
+    target = _scratch_dir("source_jsonl")
+    cust.write.mode("overwrite").json(target)
+    back = spark.read.schema(cust.schema).json(target)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
