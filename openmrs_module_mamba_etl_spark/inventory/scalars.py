@@ -248,3 +248,46 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_urgent"),
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE '2026-01-01' - CAST(o_orderdate AS DATE) AS INT)
+             AS age_days,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'small' END AS size_band
+    FROM orders
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implementer-defined SQL scalar functions — the Spark analog of the
+    reference's CREATE FUNCTION extension point (reference: README.md:45,
+    85-98, the `_etl` routine privileges discussion; SURVEY §2.H H3).
+
+    Declared with `CREATE TEMPORARY FUNCTION ... RETURN <expr>` (Spark ≥4
+    SQL UDFs): unlike Python UDFs these are INLINED into the plan by
+    Catalyst — codegen, pushdown, and constant folding all still apply, so
+    the extension mechanism costs nothing at 100 TB. Anchored to a fixed
+    date so results are deterministic."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION order_age_days(d TIMESTAMP)
+           RETURNS INT
+           RETURN CAST(datediff(DATE'2026-01-01', to_date(d)) AS INT)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN p >= 200000 THEN 'large'
+                       WHEN p >= 50000 THEN 'mid'
+                       ELSE 'small' END"""
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """SELECT o_orderkey,
+                  order_age_days(o_orderdate) AS age_days,
+                  price_band(o_totalprice) AS size_band
+           FROM orders_v"""
+    )
