@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Training-data pipeline demo: profile → curate → cluster → search.
+"""Training-data pipeline demo: profile → curate → cluster → decontaminate
+→ repetition-filter → mixture → split → pack → search.
 
 The §2.I story end-to-end on testdata: health-check the corpus, filter to
 quality dedup survivors, close near-dup pairs into transitive clusters,
-then run IVF ANN over the embedding table.
+scrub benchmark overlap, drop repetitive docs, rebalance sources, cut the
+deterministic train/valid/test split, pack into 2048-token chunks, then
+run IVF ANN over the embedding table.
 
     python examples/run_llm_pipeline.py [sf_dir]
 """
@@ -57,7 +60,60 @@ def main() -> None:
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"near-dup graph: {n_members} docs collapse into {n_clusters} clusters")
 
-    # 4. IVF ANN over the embeddings table
+    # 4. decontaminate: drop anything sharing a 5-gram with the "eval
+    #    suite" (src9 stands in); benchmark shingles broadcast
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        decontaminate,
+        repetition_stats,
+    )
+
+    corpus = docs.where(F.col("source") != "src9")
+    tainted = decontaminate(
+        corpus, docs.where(F.col("source") == "src9"), "doc_id", "text", n=5
+    )
+    clean = corpus.join(F.broadcast(tainted.select("doc_id")), "doc_id", "left_anti")
+    print(f"decontamination: {tainted.count()} tainted docs removed")
+
+    # 5. repetition filter (Gopher rules)
+    reps = repetition_stats(clean, "doc_id", "text")
+    clean = clean.join(
+        F.broadcast(reps.where(F.col("flagged")).select("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    print(f"after repetition filter: {clean.count()} docs")
+
+    # 6. mixture → split → pack: all md5-bucket deterministic, map-side
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.llm.sampling import (
+        hash_split,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    mixed = mixture_sample(
+        clean, "doc_id", "source", {"src0": 3, "src1": 2, "src2": 1}, 60
+    )
+    split = hash_split(
+        mixed, "doc_id", [("train", 900), ("valid", 950), ("test", 1000)]
+    )
+    print("-- split sizes --")
+    split.groupBy("split").count().orderBy("split").show()
+    packed = pack_sequences(
+        split.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+        ),
+        "doc_id",
+        "n_tok",
+        budget=2048,
+        shards=8,
+    )
+    print(
+        f"packed into {packed.select('shard', 'chunk_id').distinct().count()}"
+        " (shard, chunk) context windows"
+    )
+
+    # 7. IVF ANN over the embeddings table
     emb = table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     print("-- IVF top-5 neighbors of vec 0 --")

@@ -725,3 +725,75 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_module_mamba_etl_spark.llm.curation import repetition_stats
 
     return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- embedding vector substrate ------------------------------------------
+
+
+@query(
+    "emb_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT e.vec_id, ROUND(n.nrm, 6) AS nrm,
+           CASE WHEN n.nrm > 0
+                THEN list_transform(e.embedding,
+                       x -> ROUND(CAST(x AS DOUBLE) / n.nrm, 6))
+                ELSE list_transform(e.embedding, x -> 0.0) END AS unit
+    FROM embeddings e JOIN n USING (vec_id)
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embedding vectors (the preprocessing step every
+    cosine ANN index assumes): norm + per-element division, all JVM-side
+    array expressions — map-only, no shuffle, no Python."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import norm
+
+    e = table(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(nrm, 6).alias("nrm"),
+        F.when(
+            nrm > 0,
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") / nrm, 6)
+            ),
+        )
+        .otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
+        .alias("unit"),
+    )
+
+
+@query(
+    "emb_centroids",
+    oracle="""
+    SELECT label, pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, dimension, mean): the
+    distributed array-aggregation pattern — posexplode to (label, pos)
+    and hash-aggregate, so no task ever holds a label's full vector set
+    (collect_list of whole vectors would); partial aggregation halves the
+    shuffle. Reassembly to array form is a 64-row sort per label when a
+    consumer wants it."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
