@@ -145,3 +145,86 @@ def report_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def report_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_views(spark, sf_dir, ["mamba_dim_person", "mamba_dim_encounter"])
     return REPORTS.run(spark, "distinct_buyers_window")
+
+
+@query(
+    "report_rest_payload",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def report_rest_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST result sink round-trip (SURVEY §2.A A6 — reference:
+    README.md:277-283 serializes report results as JSON over HTTP).
+
+    The report result is serialized row-by-row with ``to_json(struct(*))``
+    — the exact payload the REST handler would stream — then parsed back
+    with ``from_json`` against the declared schema. The oracle checks the
+    PARSED values, proving serialize→parse is lossless without tying the
+    hash to JSON formatting trivia. Both steps are JVM-side codegen
+    expressions, so the payload path adds no Python and distributes like
+    any projection."""
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    result = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+    payload = result.select(
+        F.to_json(F.struct("segment", "n_orders", "total_value")).alias("js")
+    )
+    schema = "segment string, n_orders bigint, total_value double"
+    return payload.select(
+        F.from_json(F.col("js"), schema).alias("r")
+    ).select("r.segment", "r.n_orders", "r.total_value")
+
+
+@query(
+    "sink_database",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-catalog sink (SURVEY §2.A A4 — reference: README.md:73-75
+    creates the analysis DB if missing): CREATE DATABASE IF NOT EXISTS +
+    saveAsTable into it, read back via the catalog. The catalog table is
+    what downstream report sessions see without knowing file paths."""
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mamba_analysis")
+    spark.sql("DROP TABLE IF EXISTS mamba_analysis.order_status_counts")
+    # the default in-memory catalog is per-session: a prior session's
+    # managed-table directory survives as an orphan, so clear the location
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        f"{warehouse}/mamba_analysis.db/order_status_counts",
+        ignore_errors=True,
+    )
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    agg.write.mode("overwrite").saveAsTable(
+        "mamba_analysis.order_status_counts"
+    )
+    return spark.table("mamba_analysis.order_status_counts")
