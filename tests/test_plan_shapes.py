@@ -191,3 +191,48 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     p = plan(spark, sf_dir, "text_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_runtime_bloom_filter_prunes_fact_shuffle(spark, sf_dir):
+    """Spark's runtime Bloom-filter injection (on by default) pre-filters
+    the fact side of a shuffle join with might_contain built from the
+    selective dim side — at 100 TB this cuts shuffle volume by the dim's
+    selectivity before a single row moves. The application-side threshold
+    defaults to 10 GB scans, i.e. it self-activates exactly at scale;
+    lower it here to observe the plan on test data."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
