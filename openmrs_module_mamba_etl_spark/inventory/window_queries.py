@@ -503,3 +503,80 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "stream_rollup",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 AS chunk, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: a streaming drain maintains the hypertable
+    rollup incrementally — each micro-batch appends to the raw archive
+    and recomputes ONLY the hourly chunks it touches (foreachBatch →
+    rollup_refresh, dynamic partition overwrite). Four time-local batches
+    (maxFilesPerTrigger=1 over range-split files) prove multi-batch
+    convergence; the oracle checks the FINAL rollup state equals the
+    one-shot batch aggregate — the TimescaleDB continuous-aggregate
+    contract. At scale each refresh costs one chunk rewrite, never a
+    full-table rebuild."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.operators.rollup import rollup_refresh
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_rollup")
+    src = os.path.join(scratch, "in")
+    raw = os.path.join(scratch, "raw")
+    rollup = os.path.join(scratch, "rollup")
+
+    # stage the stream as 4 time-local files → 4 micro-batches
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(
+            F.expr("ts div 1000").alias("tus"), "event_type", "value"
+        )
+        b.write.mode("append").parquet(raw)
+        rollup_refresh(
+            batch.sparkSession,
+            b,
+            rollup,
+            "tus",
+            ["event_type"],
+            "value",
+            chunk_us=3_600_000_000,
+            raw=batch.sparkSession.read.parquet(raw),
+        )
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(rollup)
+    return out.select(
+        F.col("chunk").cast("long").alias("chunk"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
