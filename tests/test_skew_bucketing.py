@@ -102,3 +102,53 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The engine's last line of skew defense needs no code at all: AQE
+    detects the fat reduce partition from runtime shuffle statistics and
+    splits it across tasks (SortMergeJoin(skew=true) + AQEShuffleRead
+    'skewed' in the FINAL plan). Thresholds are lowered so test-scale data
+    crosses them; at 100 TB the defaults (256 MB advisory / 5x median)
+    trigger on real skew. Salted operators (skew.py) remain the
+    deterministic fallback when the skew is in an aggregate, which AQE
+    does not split."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # 90% of 1M rows land on key 0 → one fat reduce partition
+        left = spark.range(1_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()  # execute THIS plan: AQE finalizes on run
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        # correctness unchanged by the split: k=0 rows all join right key 0;
+        # unskewed rows (k=v) join only right keys < 1000
+        assert row["s"] == sum(
+            v for v in range(1_000_000) if v % 10 < 9
+        ) + sum(v for v in range(1000) if v % 10 >= 9)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
