@@ -225,3 +225,62 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+           ANY_VALUE(o.o_orderstatus) AS o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed storage: both tables
+    written bucketBy(orderkey), so the join consumes the stored hash
+    distribution — zero Exchange on either side (pinned by
+    tests/test_skew_bucketing.py). At 100 TB this converts the dominant
+    shuffle of repeated fact joins into a one-time write-side cost."""
+    import shutil
+
+    from openmrs_module_mamba_etl_spark.operators.bucketing import (
+        write_bucketed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mamba_analysis")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("lineitem_bkt", "orders_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS mamba_analysis.{t}")
+        shutil.rmtree(f"{warehouse}/mamba_analysis.db/{t}", ignore_errors=True)
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "mamba_analysis.lineitem_bkt",
+        ["l_orderkey"],
+        n_buckets=16,
+    )
+    write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "mamba_analysis.orders_bkt",
+        ["o_orderkey"],
+        n_buckets=16,
+    )
+    li = spark.table("mamba_analysis.lineitem_bkt")
+    o = spark.table("mamba_analysis.orders_bkt").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.any_value(F.col("o_orderstatus")).alias("o_orderstatus"),
+        )
+    )
