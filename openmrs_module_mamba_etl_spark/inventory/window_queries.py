@@ -463,7 +463,7 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_hypertable",
     oracle="""
-    SELECT epoch_us(ts) // 3600000000 AS chunk, event_type,
+    SELECT epoch_us(ts) // 86400000000 AS chunk, event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value,
            ROUND(MIN(value), 2) AS min_value,
@@ -472,7 +472,7 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable continuous rollup: hourly chunk × event_type aggregate,
+    """Hypertable continuous rollup: daily chunk × event_type aggregate,
     materialized partitionBy(chunk) and read back — the time-partitioned
     rollup table whose chunk-selective refresh is pinned by
     tests/test_rollup.py. Readers hit partition pruning on any chunk
@@ -489,7 +489,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 1000").alias("tus"), "event_type", "value"
     )
     rolled = rollup_aggregate(
-        ev, "tus", ["event_type"], "value", chunk_us=3_600_000_000
+        ev, "tus", ["event_type"], "value", chunk_us=86_400_000_000
     )
     target = _scratch_dir("rollup_hypertable")
     rollup_write(rolled, target)
@@ -508,7 +508,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_rollup",
     oracle="""
-    SELECT epoch_us(ts) // 3600000000 AS chunk, event_type,
+    SELECT epoch_us(ts) // 86400000000 AS chunk, event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value,
            ROUND(MIN(value), 2) AS min_value,
@@ -519,7 +519,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate: a streaming drain maintains the hypertable
     rollup incrementally — each micro-batch appends to the raw archive
-    and recomputes ONLY the hourly chunks it touches (foreachBatch →
+    and recomputes ONLY the daily chunks it touches (foreachBatch →
     rollup_refresh, dynamic partition overwrite). Four time-local batches
     (maxFilesPerTrigger=1 over range-split files) prove multi-batch
     convergence; the oracle checks the FINAL rollup state equals the
@@ -557,7 +557,7 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tus",
             ["event_type"],
             "value",
-            chunk_us=3_600_000_000,
+            chunk_us=86_400_000_000,
             raw=batch.sparkSession.read.parquet(raw),
         )
 

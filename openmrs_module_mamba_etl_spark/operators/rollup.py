@@ -11,6 +11,15 @@ predicate).
 
 All aggregates kept here are DECOMPOSABLE (count/sum/min/max — re-runnable
 per chunk from raw events); averages derive at read time as sum/count.
+
+Chunk sizing: pick ``chunk_us`` so a chunk directory holds substantial
+data — measured here, hourly chunks over a month-span corpus produced 720
+near-empty directories and the partitioned-write COMMIT (one rename per
+directory) dominated wall time 3×; daily chunks cut the query from 20.6 s
+to 6.0 s at sf0.1 with identical semantics. Same rule TimescaleDB ships
+(7-day default chunks): granularity follows data density, not the
+refresh cadence — refresh selectivity comes from the touched-chunk
+filter, not from tiny chunks.
 """
 
 from __future__ import annotations
