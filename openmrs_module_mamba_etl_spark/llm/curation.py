@@ -14,6 +14,7 @@ from openmrs_module_mamba_etl_spark.functions.similarity import (
     word_ngrams,
     word_shingles,
 )
+from openmrs_module_mamba_etl_spark.llm.dedup import _spread
 
 
 def decontaminate(
@@ -35,13 +36,13 @@ def decontaminate(
     (partial-agg on id). Shingle sets are per-doc distinct on both sides,
     so n_hit_shingles counts distinct overlapping n-grams.
     """
+    # spread both sides: a single-file corpus otherwise shingles on 1 core
     bench_sh = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-        )
+        _spread(benchmark, id_col)
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
-    corp_sh = corpus.select(
+    corp_sh = _spread(corpus, id_col).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -71,6 +72,7 @@ def repetition_stats(
       production cuts are ~0.18–0.20; the defaults here are scaled to the
       synthetic corpus' repetition range so the flag is informative.
     """
+    df = _spread(df, id_col)  # single-file inputs must not gram on 1 core
     g3 = word_ngrams(F.col(text_col), 3)
     base = df.select(
         F.col(id_col),
