@@ -580,3 +580,82 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           p.tus - c.tus AS delay_us
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.tus >= c.tus AND p.tus <= c.tus + 21600000000
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream event-time interval join: clicks joined to purchases
+    by the same user within the following 6 hours, BOTH sides watermarked
+    so the engine can bound join state (a click's state is droppable once
+    the purchase watermark passes click_ts + 6 h — without the time bound
+    the state grows forever). Inner join + availableNow drain ⇒ the
+    emitted set equals the batch interval join, which is exactly what the
+    oracle computes. State is hash-partitioned by user_id; at scale the
+    interval width is the state-size knob."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_stream_join")
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            ts.alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            ts.alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 6 hours"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "delay_us"
+        ),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(scratch, "out"))
