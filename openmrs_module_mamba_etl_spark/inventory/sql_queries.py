@@ -324,3 +324,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "sql_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2
+    ) t ON TRUE
+    """,
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — part of
+    the reference's free-form MySQL 8 surface (LATERAL since 8.0.14).
+    Catalyst DECORRELATES it: the plan is a window/limit per key + join,
+    not a per-row subquery execution, so it scales like the window form
+    rather than O(customers) round trips."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2
+        ) t
+        """
+    )

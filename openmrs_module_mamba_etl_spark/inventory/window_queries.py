@@ -659,3 +659,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(os.path.join(scratch, "out"))
+
+
+@query(
+    "grouped_weighted_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice * epoch_us(o_orderdate)) /
+                 SUM(epoch_us(o_orderdate)), 6) AS recency_weighted_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def grouped_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF seam (SURVEY §2.H): recency-weighted mean
+    order value per priority via a GROUPED_AGG pandas_udf — Arrow ships
+    each group's columns as whole Series. The weighting is also plain SQL,
+    so the UDAF mechanism itself is value-checked against the oracle."""
+    from openmrs_module_mamba_etl_spark.operators.grouped import (
+        weighted_mean_udaf,
+    )
+
+    wm = weighted_mean_udaf()
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        # NTZ → TIMESTAMP in the UTC session ⇒ same epoch-µs as the
+        # oracle's epoch_us(o_orderdate)
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("w"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(wm(F.col("price"), F.col("w")), 6).alias(
+            "recency_weighted_price"
+        )
+    )

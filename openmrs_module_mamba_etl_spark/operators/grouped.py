@@ -55,3 +55,25 @@ def user_trend(
         )
 
     return events.groupBy(key_col).applyInPandas(kernel, TREND_SCHEMA)
+
+
+def weighted_mean_udaf():
+    """Vectorized grouped-aggregate UDAF (`pandas_udf` GROUPED_AGG): the
+    Arrow path for aggregation logic DataFrame built-ins can't express —
+    each group's columns arrive as whole pandas Series, one batch per
+    group, ~100x fewer interpreter crossings than a row-at-a-time Python
+    UDAF. Weighted mean is deliberately also SQL-expressible
+    (sum(w*x)/sum(w)) so the seam itself is oracle-checkable
+    (SURVEY §2.H H3: pandas_udf/UDAF only where needed — this pins the
+    mechanism, registered queries keep built-ins in the hot path)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def weighted_mean(x: pd.Series, w: pd.Series) -> float:
+        sw = float(w.sum())
+        return float((x * w).sum() / sw) if sw else 0.0
+
+    return weighted_mean
