@@ -204,3 +204,26 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         table(spark, sf_dir, "documents"), exact_distinct=True
     ).orderBy("column")
+
+
+@query("agg_sketch_merge")  # Datasketches HLL binary — no DuckDB equivalent
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation — the 100 TB distinct-count
+    pattern: sketch once at the fine grain (event_type × day), answer any
+    coarser rollup by UNIONING stored sketches instead of rescanning raw
+    events. HLL register-max merge is associative, so
+    union-of-day-sketches yields the IDENTICAL estimate to one sketch
+    over all rows (pinned exactly by tests/test_properties.py); accuracy
+    vs exact distinct is a fixed ~1.6% rel. std. error at lgK=12.
+    Rows-only check: the sketch binary has no DuckDB twin."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+        .orderBy("event_type")
+    )

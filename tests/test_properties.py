@@ -272,3 +272,27 @@ def test_profile_matches_pandas(spark, rows):
             float(max(nn)) if nn else None,
         )
         assert got[name] == expected
+
+
+def test_hll_sketch_merge_is_associative_and_accurate(spark, sf_dir):
+    """Union-of-part-sketches must equal the whole-corpus sketch EXACTLY
+    (register-max merge is associative), and track exact distincts within
+    HLL's error envelope — the contract that lets 100 TB pipelines store
+    per-partition sketches and never rescan."""
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    ev = table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy((F.col("event_id") % 13).alias("part"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == whole  # associativity: identical sketch, not "close"
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
