@@ -284,3 +284,33 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("o_orderstatus")).alias("o_orderstatus"),
         )
     )
+
+
+@query(
+    "sink_schema_evolve",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+    FROM orders
+    """,
+)
+def sink_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append: a later batch adds a column the first
+    batch never had; mergeSchema reconciles the footers at read time and
+    old files surface the new column as NULL — no rewrite of history (at
+    100 TB, rewriting old files for every added column is a non-starter).
+    mergeSchema stays OFF globally (it's a per-read footer scan cost) and
+    is enabled only on this evolving path."""
+    orders = table(spark, sf_dir, "orders")
+    target = _scratch_dir("sink_schema_evolve")
+    # batch 1: even orders, original narrow schema
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(target)
+    # batch 2: odd orders arrive with a NEW column
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    ).write.mode("append").parquet(target)
+    return spark.read.option("mergeSchema", True).parquet(target).select(
+        "o_orderkey", "o_totalprice", "priority"
+    )
