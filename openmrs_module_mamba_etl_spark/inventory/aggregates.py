@@ -227,3 +227,63 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "profile_constraints",
+    oracle="""
+    SELECT 'orderkey_unique' AS constraint, COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', COUNT(*) FILTER (o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'status_accepted', COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
+    UNION ALL
+    SELECT 'custkey_references_customer', COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraints (the deequ pattern): key
+    uniqueness, null rate, accepted values, and referential integrity,
+    each reported as a violation count. The three row-local checks share
+    ONE scan + ONE aggregate; the referential check is a broadcast
+    anti-join (dim key set small by definition). A 100 TB quality gate is
+    therefore ~one pass over the fact table, not one job per rule."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    local = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("u"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("s"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    row = local.crossJoin(orphans)
+    pairs = [
+        ("orderkey_unique", "u"),
+        ("custkey_not_null", "n"),
+        ("status_accepted", "s"),
+        ("custkey_references_customer", "r"),
+    ]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint"),
+                        F.col(col).alias("violations"),
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.constraint", "kv.violations")
