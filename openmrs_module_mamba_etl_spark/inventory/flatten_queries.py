@@ -146,3 +146,50 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", attr_col="event_type",
         ts_col="tus", tiebreak_col="event_id",
     )
+
+
+@query(
+    "flatten_column_groups",
+    oracle=_LATEST_CTE
+    + """
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           MAX(CASE WHEN event_type = 'error'    THEN value END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           MAX(CASE WHEN event_type = 'view'     THEN value END) AS view
+    FROM latest WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def flatten_column_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal column partitioning of the flat table — the reference's
+    `mambaetl.analysis.columns` cap (README.md:130-131,154: MySQL rows
+    break past ~160 columns, so wide flats split into sibling tables
+    sharing the entity key). Columnar parquet has NO width ceiling, so
+    Spark doesn't need this — but the export surface keeps it for
+    MySQL-compatible handoff: the flat table is written as column-group
+    tables (cap forced to 3 here ⇒ two groups) and the re-join on the
+    entity key must be LOSSLESS (this oracle is the unsplit flatten's).
+    At export scale, write the group tables bucketed on the entity key so
+    the re-join is exchange-free."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+    )
+
+    wide = flatten(table(spark, sf_dir, "events"), EVENTS_SPEC)
+    value_cols = [c for c in wide.columns if c != "user_id"]
+    cap = 3  # force >1 group on the 5-attribute fixture
+    groups = [value_cols[i : i + cap] for i in range(0, len(value_cols), cap)]
+    target = _scratch_dir("flatten_column_groups")
+    for gi, cols in enumerate(groups):
+        wide.select("user_id", *cols).write.mode("overwrite").parquet(
+            os.path.join(target, f"g{gi}")
+        )
+    out = spark.read.parquet(os.path.join(target, "g0"))
+    for gi in range(1, len(groups)):
+        out = out.join(
+            spark.read.parquet(os.path.join(target, f"g{gi}")), "user_id"
+        )
+    return out.select("user_id", *value_cols)
