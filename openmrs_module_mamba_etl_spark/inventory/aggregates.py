@@ -267,14 +267,12 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("r"))
     )
-    row = local.crossJoin(orphans)
     pairs = [
         ("orderkey_unique", "u"),
         ("custkey_not_null", "n"),
         ("status_accepted", "s"),
-        ("custkey_references_customer", "r"),
     ]
-    return row.select(
+    rowlocal = local.select(
         F.explode(
             F.array(
                 *[
@@ -287,3 +285,10 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.constraint", "kv.violations")
+    # union, not a 1x1 cross join: keeps the report plan join-free
+    return rowlocal.unionByName(
+        orphans.select(
+            F.lit("custkey_references_customer").alias("constraint"),
+            F.col("r").alias("violations"),
+        )
+    )
