@@ -694,3 +694,44 @@ def grouped_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_weighted_price"
         )
     )
+
+
+@query(
+    "window_session_native",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 21600000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ), tagged AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           make_timestamp(MIN(tus)) AS session_start,
+           make_timestamp(MAX(tus) + 21600000000) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM tagged GROUP BY user_id, sid
+    """,
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native merging session windows (``F.session_window`` groupBy) —
+    the same one-shuffle profile as the gaps-and-islands form, and the
+    exact formulation the streaming path reuses under a watermark.
+    Boundary semantics differ from the islands query: an event landing at
+    EXACTLY gap after its predecessor starts a NEW session (window end is
+    exclusive), so the oracle's island rule is ``>= gap``, not ``>``."""
+    from openmrs_module_mamba_etl_spark.operators.sessionize import (
+        session_window_agg,
+    )
+
+    return session_window_agg(
+        table(spark, sf_dir, "events"), "user_id", "ts", "value", "6 hours"
+    )
