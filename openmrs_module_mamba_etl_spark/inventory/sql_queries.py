@@ -354,3 +354,34 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(COALESCE("O", 0), 2) AS status_o,
+           ROUND(COALESCE("F", 0), 2) AS status_f,
+           ROUND(COALESCE("P", 0), 2) AS status_p
+    FROM (
+      PIVOT (SELECT o_custkey, o_orderstatus, o_totalprice FROM orders)
+      ON o_orderstatus IN ('O', 'F', 'P')
+      USING SUM(o_totalprice)
+    )
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect PIVOT syntax (the declarative spelling of the flatten's
+    groupBy().pivot() — same single-shuffle plan): per-customer order
+    value by status. Values list is explicit, so no discovery pass."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               ROUND(COALESCE(O, 0), 2) AS status_o,
+               ROUND(COALESCE(F, 0), 2) AS status_f,
+               ROUND(COALESCE(P, 0), 2) AS status_p
+        FROM (SELECT o_custkey, o_orderstatus, o_totalprice FROM orders)
+        PIVOT (SUM(o_totalprice) FOR o_orderstatus IN ('O', 'F', 'P'))
+        """
+    )
