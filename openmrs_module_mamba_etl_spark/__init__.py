@@ -30,6 +30,14 @@ _LAZY = {
     "merge_upsert": "openmrs_module_mamba_etl_spark.operators.incremental",
     "compact_parquet": "openmrs_module_mamba_etl_spark.operators.incremental",
     "ReportRegistry": "openmrs_module_mamba_etl_spark.plans.reports",
+    "hash_split": "openmrs_module_mamba_etl_spark.llm.sampling",
+    "stratified_sample": "openmrs_module_mamba_etl_spark.llm.sampling",
+    "mixture_sample": "openmrs_module_mamba_etl_spark.llm.sampling",
+    "pack_sequences": "openmrs_module_mamba_etl_spark.llm.sampling",
+    "decontaminate": "openmrs_module_mamba_etl_spark.llm.curation",
+    "repetition_stats": "openmrs_module_mamba_etl_spark.llm.curation",
+    "rollup_aggregate": "openmrs_module_mamba_etl_spark.operators.rollup",
+    "rollup_refresh": "openmrs_module_mamba_etl_spark.operators.rollup",
 }
 
 
