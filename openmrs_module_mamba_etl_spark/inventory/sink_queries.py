@@ -314,3 +314,61 @@ def sink_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(target).select(
         "o_orderkey", "o_totalprice", "priority"
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+    new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: diff two table versions into insert/update/delete
+    rows — the primitive under the reference's incremental mode
+    (README.md:133-134 "only add/modify what has changed") when the
+    source exposes no change log. One full-outer join on the key with a
+    value-inequality filter; unchanged rows (the overwhelming majority at
+    100 TB) drop before anything else happens, so downstream merge cost
+    tracks churn, not table size. Synthetic old/new snapshots are carved
+    deterministically from orders (mod filters + a price bump)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 3 != 0)
+    new = orders.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return (
+        j.where(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+        )
+    )
