@@ -372,3 +372,48 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+@query(
+    "source_malformed",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM nation) AS n_good,
+      2 AS n_bad
+    """,
+)
+def source_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: PERMISSIVE JSONL parse routes bad lines
+    to `_corrupt_record` instead of failing the job — at 100 TB a single
+    truncated line must cost one quarantined row, not the pipeline.
+    Two corrupt lines are appended to a clean export; the contract is
+    exact good/bad accounting (good rows parse fully, bad rows quarantine
+    with every data field NULL)."""
+    import os
+
+    nation = table(spark, sf_dir, "nation")
+    target = _scratch_dir("source_malformed")
+    nation.write.mode("overwrite").json(target)
+    # a separate file: appending to a part file breaks its Hadoop .crc
+    with open(os.path.join(target, "part-corrupt.json"), "w") as f:
+        f.write('{"n_nationkey": 999, "n_name": truncated\n')
+        f.write("not json at all\n")
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(nation.schema.fields)
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(target)
+    ).cache()  # required: corrupt-record queries must not prune data cols
+    good = back.where(F.col("_corrupt_record").isNull()).count()
+    bad = back.where(F.col("_corrupt_record").isNotNull()).count()
+    back.unpersist()
+    return spark.createDataFrame(
+        [(good, bad)], "n_good bigint, n_bad int"
+    )
