@@ -292,3 +292,36 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("violations"),
         )
     )
+
+
+@query(
+    "agg_sampled_estimate",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice) * 10, 2) AS est_revenue,
+           COUNT(*) AS n_sampled
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % 1000 < 100
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a deterministic sample (the
+    BlinkDB recipe): aggregate a 10% md5-bucket sample and scale by the
+    inverse rate. The sample predicate is a pure row-local function, so
+    it pushes into the scan and an interactive estimate costs 10% of the
+    exact query at any scale — and, unlike Bernoulli sampling, the same
+    rows are sampled on every run and every engine (the oracle replicates
+    the estimate EXACTLY, not statistically)."""
+    from openmrs_module_mamba_etl_spark.llm.sampling import hash_bucket
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.where(hash_bucket(F.col("o_orderkey")) < 100)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice") * 10, 2).alias("est_revenue"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+    )
