@@ -66,3 +66,24 @@ def test_pack_sequences_chunk_invariants(spark):
         ids = [r["chunk_id"] for r in rows]
         assert ids == sorted(ids)
         assert set(ids) == set(range(ids[-1] + 1))
+
+
+def test_hash_bucket_matches_md5_reference(spark):
+    """The engine-portability contract of the whole sampling family:
+    Spark's conv(substr(md5(id),1,8),16,10) % 1000 must equal the
+    plain-Python (and hence any engine's) md5 bucket for the same id."""
+    import hashlib
+
+    ids = list(range(200)) + [10**6, 10**12, 9_999_999_999_999]
+    from openmrs_module_mamba_etl_spark.llm.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("bucket")
+        ).collect()
+    }
+    for i in ids:
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+        assert got[i] == want, i
