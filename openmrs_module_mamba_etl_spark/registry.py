@@ -46,6 +46,7 @@ def load_all() -> None:
     # Import order is irrelevant; each module self-registers.
     from openmrs_module_mamba_etl_spark.inventory import (  # noqa: F401
         aggregates,
+        analytics_queries,
         flatten_queries,
         llm_queries,
         relational,
@@ -54,6 +55,7 @@ def load_all() -> None:
         scalars,
         sink_queries,
         sql_queries,
+        tpch_queries,
         window_queries,
     )
 
