@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from openmrs_module_mamba_etl_spark.operators.rangejoin import (
+    interval_overlap_join,
+)
 from openmrs_module_mamba_etl_spark.registry import query
 from openmrs_module_mamba_etl_spark.sources.parquet import table
 
@@ -229,4 +232,242 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_day_idx").isNull().alias("is_gap"),
         )
         .orderBy("day_idx")
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS key, o_orderkey AS id,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS e
+      FROM orders
+    )
+    SELECT a.key AS key, a.id AS a_id, b.id AS b_id
+    FROM o a JOIN o b
+      ON a.key = b.key AND a.id < b.id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of same-customer orders whose
+    30-day fulfillment windows overlap (half-open), in integer
+    epoch-day units (timezone-proof across engines).
+
+    Runs through ``interval_overlap_join`` — bucketized (key, bucket)
+    equi-join with first-common-bucket dedup — NOT a per-key theta join,
+    so cost stays linear in replicated interval length at 100 TB. The
+    oracle is the direct theta join, proving the bucketized plan emits
+    exactly the true pair set, once each."""
+    orders = table(spark, sf_dir, "orders")
+    left = orders.select(
+        F.col("o_custkey").alias("l_key"),
+        F.col("o_orderkey").alias("a_id"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("a_s"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) + 30).alias(
+            "a_e"
+        ),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("r_key"),
+        F.col("o_orderkey").alias("b_id"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("b_s"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) + 30).alias(
+            "b_e"
+        ),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        left_key="l_key",
+        right_key="r_key",
+        left_start="a_s",
+        left_end="a_e",
+        right_start="b_s",
+        right_end="b_e",
+        # near the interval length: replication factor ~2 per side
+        bucket_width=30,
+    )
+    return pairs.where(F.col("a_id") < F.col("b_id")).select(
+        F.col("l_key").alias("key"), "a_id", "b_id"
+    )
+
+
+@query(
+    "window_pattern_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ), m AS (
+      SELECT user_id, event_type, tus,
+             MIN(CASE WHEN event_type = 'error' THEN tus END) OVER (
+               PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING
+             ) AS next_err
+      FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(next_err) AS n_error_within_1h
+    FROM m WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): purchases
+    followed by an error within one hour, counted per user.
+
+    A value-based RANGE frame looks one hour ahead from every row and a
+    conditional MIN picks the first error inside it — no self-join, no
+    per-event pair blowup. The frame scan, the purchase filter, and the
+    final aggregate all share the ``user_id`` partitioning: one shuffle,
+    sorted-run state bounded by the frame width."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(0, 3_600_000_000)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    marked = ev.withColumn(
+        "next_err",
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("tus"))
+        ).over(w),
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("next_err").alias("n_error_within_1h"),
+        )
+    )
+
+
+@query(
+    "text_ngram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE len(tok) > 0
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS total FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(v.n / tot.total)), 2) AS avg_neg_logprob
+    FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet recipe's shape):
+    per-document mean negative log-probability under the corpus's own
+    unigram distribution — high = rare-token-heavy/noisy, low = fluent.
+
+    Two passes: (1) token histogram — the only token-keyed shuffle;
+    (2) probabilities are ONE broadcast vocab join + a doc_id-keyed
+    partial aggregate, so the scoring pass is map-side at any corpus
+    size (vocab ≪ corpus; a real deployment broadcasts the top-K vocab
+    and floors the tail)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    vocab_p = vocab.crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(vocab_p), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("n") / F.col("total"))), 2
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+_URL_FRAGMENT_RE = "#.*$"
+_URL_TRACKING_RE = "utm_[a-z]+=[^&#]*&?"
+_URL_DANGLING_RE = "[?&]$"
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || lower(source) || '.example.com/page/' ||
+             (doc_id % 500) || '?utm_source=feed&utm_campaign=c' ||
+             (doc_id % 7) || '&ref=' || (doc_id % 3) || '#sec' ||
+             (doc_id % 5) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '{_URL_FRAGMENT_RE}', ''),
+                 '{_URL_TRACKING_RE}', '', 'g'),
+               '{_URL_DANGLING_RE}', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS keeper_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the CommonCrawl first-pass recipe):
+    strip fragments and tracking params, then group on the canonical
+    form keeping the smallest doc_id.
+
+    URLs are woven deterministically from ``doc_id``/``source`` (the
+    corpus is synthetic word-soup) identically in the oracle, so the
+    check exercises the canonicalizer + keeper selection. Normalization
+    is a map-only codegen regexp chain; the dedup is one hash aggregate
+    on the canonical key — the same single-shuffle shape as
+    ``dedup_exact`` at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, _URL_FRAGMENT_RE, ""),
+            _URL_TRACKING_RE,
+            "",
+        ),
+        _URL_DANGLING_RE,
+        "",
+    )
+    return (
+        docs.select(canonical.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+        )
     )

@@ -64,3 +64,59 @@ def point_in_interval_join(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap join: emit (l, r) when keys match and the
+    half-open intervals overlap (``l_start < r_end AND r_start < l_end``).
+
+    Both sides replicate into the buckets they span, meet on a
+    (key, bucket) equi-join, and the exact overlap predicate filters the
+    survivors. A true pair meets in every bucket both spans cover, so the
+    dedup is positional: keep the pair ONLY in the first bucket they
+    share, ``max(bucket(l_start), bucket(r_start))`` — one comparison,
+    no distinct/shuffle. Replication is ⌈len/width⌉+1 per side; cost is
+    linear in total interval length over width, never |L|×|R| per key.
+    """
+
+    def _spanned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
+                    F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+
+    l = _spanned(left, left_start, left_end)
+    r = _spanned(right, right_start, right_end)
+    first_common = F.greatest(
+        F.floor(F.col(left_start) / F.lit(bucket_width)).cast("long"),
+        F.floor(F.col(right_start) / F.lit(bucket_width)).cast("long"),
+    )
+    return (
+        l.join(
+            r,
+            [l["_b"] == r["_b"], F.col(left_key) == F.col(right_key)],
+        )
+        .where(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (l["_b"] == first_common)
+        )
+        .drop("_b")
+    )
