@@ -385,3 +385,84 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (SUM(o_totalprice) FOR o_orderstatus IN ('O', 'F', 'P'))
         """
     )
+
+
+@query(
+    "sql_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, ROUND(val, 2) AS val
+    FROM (UNPIVOT part ON p_size, p_retailprice INTO NAME metric VALUE val)
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide numeric columns to (key, metric, value) long
+    form — the inverse of the flatten family's pivot, used to feed
+    generic per-metric pipelines (profiling, drift checks) without one
+    job per column.
+
+    Map-only: each input row fans out to one row per measure inside the
+    scan's stage, no shuffle, no Python. Mixed int/double measures
+    coerce to a common double ``val`` identically in both engines."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, ROUND(val, 2) AS val
+        FROM part UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+        """
+    )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE mo(month_idx) AS (
+      SELECT 0
+      UNION ALL
+      SELECT month_idx + 1 FROM mo
+      WHERE month_idx < (
+        SELECT MAX((YEAR(CAST(o_orderdate AS DATE)) - 1992) * 12
+                   + MONTH(CAST(o_orderdate AS DATE)) - 1) FROM orders)
+    )
+    SELECT mo.month_idx, COUNT(o.o_orderkey) AS n_orders
+    FROM mo LEFT JOIN (
+      SELECT o_orderkey,
+             (YEAR(CAST(o_orderdate AS DATE)) - 1992) * 12
+             + MONTH(CAST(o_orderdate AS DATE)) - 1 AS month_idx
+      FROM orders
+    ) o ON o.month_idx = mo.month_idx
+    GROUP BY mo.month_idx
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoop):
+    a dense month spine unrolled by recursion from month 0 to the data's
+    max month, LEFT-joined to per-month order counts so empty months
+    surface as 0 — the fully declarative sibling of ``rollup_gapfill``.
+
+    The recursion materializes only the spine (bounded by the scalar
+    max-month subquery, ~84 rows at any SF); the fact side stays a
+    single hash aggregate. Depth — not data volume — drives loop
+    iterations (each UnionLoop level is a plan execution), which is why
+    the spine is monthly: spine grain is the knob that keeps recursive
+    wall-time flat as the fact side scales."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE mo(month_idx) MAX RECURSION LEVEL 200 AS (
+          SELECT 0
+          UNION ALL
+          SELECT month_idx + 1 FROM mo
+          WHERE month_idx < (
+            SELECT MAX((YEAR(CAST(o_orderdate AS DATE)) - 1992) * 12
+                       + MONTH(CAST(o_orderdate AS DATE)) - 1) FROM orders)
+        )
+        SELECT mo.month_idx, COUNT(o.o_orderkey) AS n_orders
+        FROM mo LEFT JOIN (
+          SELECT o_orderkey,
+                 (YEAR(CAST(o_orderdate AS DATE)) - 1992) * 12
+                 + MONTH(CAST(o_orderdate AS DATE)) - 1 AS month_idx
+          FROM orders
+        ) o ON o.month_idx = mo.month_idx
+        GROUP BY mo.month_idx
+        """
+    )
