@@ -471,3 +471,388 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
     )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in >= 2
+    distinct orders, with support counts (the frequent-itemset k=2 pass).
+
+    Apriori pruning makes the pair blowup scale-safe: a pair can reach
+    support 2 only if BOTH parts appear in >= 2 orders, so items are
+    pre-filtered against the frequent-item set (one aggregate + semi
+    join) before the basket self-join. The pruning is provably lossless
+    — the oracle is the UNPRUNED self-join with HAVING — and at 100 TB
+    it is the difference between pairing every basket and pairing only
+    the frequent tail. The self-join shuffles on orderkey, the pair
+    count on (part_a, part_b): two shuffles, both on keys that
+    hash-spread evenly."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("l_partkey")
+    )
+    pruned = items.join(freq, "l_partkey", "left_semi")
+    a = pruned.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "_ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             (epoch_us(ts) // 86400000000) // 7 AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    WHERE e.wk >= c.cohort_wk
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted as
+    active in each subsequent week offset — the canonical product-
+    analytics triangle.
+
+    Week indices are integer µs-epoch arithmetic (``div``, never float
+    division — exact in both engines). Cohort assignment and the
+    activity join both key on ``user_id``, so the whole query is one
+    user_id shuffle followed by a (cohort, offset) hash aggregate; the
+    cohort side is |users|, small enough to broadcast at most scales."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000 div 7").alias("wk"),
+    )
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .where(F.col("wk") >= F.col("cohort_wk"))
+        .withColumn("week_offset", F.col("wk") - F.col("cohort_wk"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "window_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_event
+      FROM events
+    )
+    SELECT prev_event, event_type AS next_event, COUNT(*) AS n
+    FROM seq WHERE prev_event IS NOT NULL
+    GROUP BY prev_event, next_event
+    """,
+)
+def window_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    counts of (previous event -> next event) adjacent pairs per the
+    per-user timeline.
+
+    The lag is one ``user_id`` sort-window — no self-join on sequence
+    position — and the transition count is a 25-cell hash aggregate
+    whose map-side combine collapses nearly everything before the
+    (tiny) final shuffle. Ordering ties break on ``event_id`` so the
+    sequence, and therefore the matrix, is engine-independent."""
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    return (
+        ev.withColumn("prev_event", F.lag("event_type").over(w))
+        .where(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("next_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: pairs of part-name spellings within
+    Levenshtein distance 2, with each spelling's row count (cluster
+    sizing for canonicalization).
+
+    Two scale defenses stack: (1) comparison runs over the DISTINCT
+    name vocabulary (one hash aggregate), never row pairs — vocab is
+    sublinear in corpus size; (2) candidates are blocked on the name's
+    noun token, so comparisons are |block|^2 over small blocks, not
+    |vocab|^2. Blocking is lossless here because inter-noun edit
+    distance (>= 3) exceeds the threshold; the oracle is the UNBLOCKED
+    all-pairs join, so parity proves no true pair escaped the blocks."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_block", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(
+        F.col("_block"), F.col("p_name").alias("name_a"), F.col("n").alias("n_a")
+    )
+    b = names.select(
+        F.col("_block"), F.col("p_name").alias("name_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "_block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+@query(
+    "agg_path_sequences",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '->' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+    """,
+)
+def agg_path_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: each user's first five events joined
+    into an ordered path string, counted across users — the funnel-
+    discovery complement of ``window_funnel`` (which checks ONE known
+    path; this surfaces which paths exist).
+
+    One ``user_id`` sort-window ranks events, the head filter bounds
+    per-user state to five rows, and the path assembly is an in-group
+    ``array_sort`` over those five structs (struct order = (time, id,
+    type), so the tie order is pinned and engine-independent). Path
+    cardinality, not user count, sizes the final aggregate."""
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tus", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "window_zscore_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             SUM(value) AS total
+      FROM events GROUP BY event_type, day
+    ), scored AS (
+      SELECT event_type, day, total,
+             AVG(total) OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(total) OVER (PARTITION BY event_type) AS sd
+      FROM daily
+    )
+    SELECT event_type, day, ROUND(total, 2) AS total,
+           ROUND((total - mu) / sd, 2) AS z
+    FROM scored WHERE sd > 0 AND ABS((total - mu) / sd) > 2
+    """,
+)
+def window_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the metric stream: days whose per-type total
+    deviates more than two sample standard deviations from that type's
+    mean — the monitoring query behind every alerting rule.
+
+    The daily aggregate collapses events to |types|x|days| rows BEFORE
+    the statistics window touches anything, so mean/stddev run over the
+    tiny rollup, not the raw stream; at 100 TB the only full-data pass
+    is the decomposable SUM with map-side combine."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        )
+        .agg(F.sum("value").alias("total"))
+    )
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_samp("total").over(w).alias("sd"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sd")
+    return (
+        scored.where((F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            "day",
+            F.round("total", 2).alias("total"),
+            F.round(z, 2).alias("z"),
+        )
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Chained-CTE unrolling of the power iteration (one CTE per round)
+    so the oracle stays plain ANSI SQL — no reliance on aggregates
+    inside recursive terms."""
+    ctes = [
+        """edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    )""",
+        """outw AS (SELECT src, SUM(w) AS total FROM edges GROUP BY src)""",
+        """norm AS (
+      SELECT e.src, e.dst, e.w / o.total AS p
+      FROM edges e JOIN outw o ON e.src = o.src
+    )""",
+        """pr0 AS (SELECT n_nationkey AS node, 1.0 AS pr FROM nation)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT n.n_nationkey AS node,
+             0.15 + 0.85 * COALESCE(SUM(m.p * prev.pr), 0) AS pr
+      FROM nation n
+      LEFT JOIN norm m ON m.dst = n.n_nationkey
+      LEFT JOIN pr{i - 1} prev ON prev.node = m.src
+      GROUP BY n.n_nationkey
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, ROUND(pr, 2) AS pagerank FROM pr{iters}"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation -> supplier nation, edge weight = lineitem count): the
+    iterative-graph-algorithm representative alongside
+    ``dedup_clusters``'s label propagation.
+
+    The expensive part is the ONE pass that contracts 100 TB of fact
+    rows into the |nations|^2 edge list; the power iteration then runs
+    on the contracted graph. Each round is a join + dst-keyed hash
+    aggregate — at web scale the same loop hash-partitions ranks and
+    edges on the same key so iterations reuse one co-partitioning —
+    and every round is ``localCheckpoint``-ed to stop logical-plan
+    growth (the iterative-loop rule from dedup_clusters)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("total")).alias("p"))
+        .localCheckpoint()
+    )
+    ranks = nation.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("incoming"))
+        )
+        ranks = (
+            nation.join(contrib, nation["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (0.15 + 0.85 * F.coalesce("incoming", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("pr", 2).alias("pagerank"))
