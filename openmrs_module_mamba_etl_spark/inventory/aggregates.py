@@ -325,3 +325,96 @@ def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT),
+                 19) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive equal-width histogram: 20 bins spanning [min, max] of
+    order value, computed in two passes — one min/max aggregate
+    broadcast back, one binning aggregate.
+
+    The bin assignment is a codegen-side arithmetic expression (IEEE
+    double ops, bit-identical across engines), the top bin closes the
+    half-open range via LEAST, and the histogram aggregate is fully
+    map-side-combinable: 20 groups survive the shuffle regardless of
+    input size."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                "long"
+            ),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS day,
+             SUM(value) AS total
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type,
+           ROUND(REGR_SLOPE(total, day), 4) AS slope,
+           ROUND(REGR_INTERCEPT(total, day) / 1000, 4) AS intercept_k,
+           ROUND(REGR_R2(total, day), 4) AS r2,
+           COUNT(*) AS n_days
+    FROM daily GROUP BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS trend per event type: slope/intercept/R^2 of daily
+    totals against the day index via the SQL-standard REGR_* aggregate
+    family — the pure-JVM sibling of ``grouped_user_trend``'s
+    ``applyInPandas`` OLS (same math, no Python worker, no group
+    materialization; use this one unless you need scipy).
+
+    The daily pre-aggregate shrinks the stream to |types|x|days| rows
+    before the regression touches it, and REGR_* are decomposable
+    (sum-of-moments) so both aggregates combine map-side."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST((ts div 1000) div 86400000000 AS DOUBLE)").alias(
+                "day"
+            ),
+        )
+        .agg(F.sum("value").alias("total"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.round(F.regr_slope("total", "day"), 4).alias("slope"),
+        F.round(F.regr_intercept("total", "day") / 1000, 4).alias(
+            "intercept_k"
+        ),
+        F.round(F.regr_r2("total", "day"), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

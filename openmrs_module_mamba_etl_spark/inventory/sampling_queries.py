@@ -18,7 +18,9 @@ from openmrs_module_mamba_etl_spark.llm.sampling import (
     hash_split,
     mixture_sample,
     pack_sequences,
+    priority_sql,
     stratified_sample,
+    weighted_priority_sample,
 )
 from openmrs_module_mamba_etl_spark.registry import query
 from openmrs_module_mamba_etl_spark.sources.parquet import table
@@ -167,3 +169,26 @@ def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    ORDER BY {priority_sql("doc_id", "n_chars")} DESC, doc_id
+    LIMIT 20
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: 20 documents drawn with
+    probability proportional to length (the 'sample long documents more
+    often' curation knob), via deterministic A-Res priorities.
+
+    No RNG anywhere: the priority is a pure function of doc_id under the
+    portable md5 contract, so the sample is identical across engines,
+    runs, and row orders — and the oracle can ORDER BY the very same
+    expression. Top-k by priority is a TakeOrdered (per-partition heaps,
+    k-row merge), not a global sort."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_priority_sample(docs, "doc_id", "n_chars", 20)

@@ -735,3 +735,91 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(
         table(spark, sf_dir, "events"), "user_id", "ts", "value", "6 hours"
     )
+
+
+@query(
+    "stream_upsert",
+    oracle="""
+    SELECT user_id, event_type AS last_event,
+           ROUND(value, 2) AS last_value, epoch_us(ts) AS last_tus
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert (the MERGE/CDC-sink shape): a foreachBatch
+    drain maintains a per-user latest-event table — each micro-batch
+    reduces to its own latest row per key, merges against current state
+    by event time (never arrival order), and publishes a new state
+    version.
+
+    The oracle is the batch latest-per-key over ALL events, so parity
+    proves the upsert is batch-boundary-invariant: four time-split
+    micro-batches converge to exactly the one-shot answer. Versioned
+    state directories give atomic publish (readers never see a
+    half-written merge); at scale the state table is hash-partitioned
+    by key and each merge touches one partition's worth of keys."""
+    import os
+    import shutil
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_upsert")
+    src = os.path.join(scratch, "in")
+
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    cur: dict[str, str] = {}
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("last_tus").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        b = batch.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("last_event"),
+            F.round("value", 2).alias("last_value"),
+            F.expr("ts div 1000").alias("last_tus"),
+        )
+        merged = latest_per_key(b)
+        if "path" in cur:
+            state = ss.read.parquet(cur["path"])
+            merged = latest_per_key(state.unionByName(merged))
+        new_path = os.path.join(scratch, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        old = cur.get("path")
+        cur["path"] = new_path
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(cur["path"]).select(
+        "user_id", "last_event", "last_value", "last_tus"
+    )

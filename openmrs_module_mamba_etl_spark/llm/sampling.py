@@ -185,3 +185,38 @@ def pack_sequences(
             F.expr(f"(cum_tok - {n_tok_col}) div {budget}").cast("long"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sample of k rows without replacement
+    (Efraimidis-Spirtsis A-Res): each row gets priority u^(1/w) with u a
+    hash-derived uniform, and the k largest priorities win — inclusion
+    probability proportional to weight, reproducible across engines and
+    row orders because u comes from the same md5 contract as
+    :func:`hash_bucket`, not an RNG.
+
+    Ordering uses the monotone-equivalent ln(u)/w (avoids pow underflow
+    for large weights). Scale shape: priorities are map-side expressions;
+    the top-k is a TakeOrdered — per-partition heaps then one k-row
+    merge, never a full sort."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_prio", key)
+        .orderBy(F.col("_prio").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_prio")
+    )
+
+
+def priority_sql(id_expr: str, weight_expr: str) -> str:
+    """DuckDB/ANSI twin of the A-Res priority key (for oracles/docs)."""
+    return (
+        f"LN((('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" + 1.0) / 4294967296.0) / ({weight_expr})"
+    )

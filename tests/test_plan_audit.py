@@ -19,7 +19,18 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 #: intentional brute-force baselines (explicit broadcast, small side by contract)
-BNLJ_ALLOWED = {"ann_knn_join", "dedup_embedding_cosine", "join_theta"}
+BNLJ_ALLOWED = {
+    "ann_knn_join",
+    "dedup_embedding_cosine",
+    "join_theta",
+    # Scalar-subquery shape: the broadcast side is a single aggregate row
+    # (histogram bounds / corpus token total / q22 avg balance), so the
+    # "nested loop" degenerates to one comparison per probe row — O(N),
+    # the canonical physical plan for a scalar join in Spark.
+    "agg_histogram",
+    "text_ngram_score",
+    "tpch_q22",
+}
 
 #: executing the callable runs a streaming drain / writes — not a pure plan
 SKIP = {
