@@ -418,3 +418,61 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("total", "day"), 4).alias("r2"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "agg_count_if_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT_IF(o_totalprice > 200000) AS n_big,
+           BOOL_AND(o_totalprice > 900) AS all_over_900,
+           BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: conditional count plus boolean all/any per
+    group — the assertion primitives under data-quality rules
+    (``profile_constraints`` builds on exactly these).
+
+    All three are decomposable single-bit/counter states, so the
+    map-side combine reduces each partition to |groups| rows before the
+    shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+            "any_urgent"
+        ),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           STRING_AGG(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG, Spark 4 built-in):
+    the distinct priorities seen per order status, comma-joined in a
+    pinned order — the report-footnote aggregate MySQL spells
+    GROUP_CONCAT (reference dialect) and DuckDB spells STRING_AGG.
+
+    WITHIN GROUP ordering makes the result set-deterministic; DISTINCT
+    bounds the aggregation state to the value domain, not the row
+    count."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               LISTAGG(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM _listagg_orders GROUP BY o_orderstatus
+        """
+    )

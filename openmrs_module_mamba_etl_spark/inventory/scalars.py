@@ -291,3 +291,38 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   price_band(o_totalprice) AS size_band
            FROM orders_v"""
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 2)
+           END AS price_per_discount,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic/casts (the ANSI-mode survival kit):
+    ``try_divide`` turns division by zero into NULL instead of a job
+    abort, ``try_cast`` does the same for unparseable values — at 100 TB
+    a single malformed row must never kill the stage (the row-level
+    sibling of ``source_malformed``'s file-level quarantine).
+
+    ``l_discount`` is 0 on a large fraction of rows, so the zero-divide
+    path is exercised constantly. The oracle spells the same semantics
+    with explicit CASE/TRY_CAST, pinning that TRY_* is sugar, not
+    different math."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+        ).alias("price_per_discount"),
+        F.expr("TRY_CAST(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr("TRY_CAST(l_shipdate AS DATE)").alias("ship_date"),
+    )

@@ -466,3 +466,73 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY mo.month_idx
         """
     )
+
+
+@query(
+    "sql_window_named",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_so_far,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_so_far,
+           RANK() OVER w AS rk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def sql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: three analytic functions share one window
+    definition — and therefore ONE sort+exchange in the physical plan,
+    the declarative spelling of 'reuse a partitioning across stages'.
+
+    All three run in a single Window physical operator; defining them
+    inline would still dedupe, but the named form makes the sharing a
+    contract rather than an optimizer courtesy."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER w AS n_so_far,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS spend_so_far,
+               RANK() OVER w AS rk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        """
+    )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+    SELECT t.tier, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+                 ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+                 ('5-LOW', 'defer')) AS t(priority, tier)
+      ON o.o_orderpriority = t.priority
+    GROUP BY t.tier
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor as a literal dimension (the
+    hand-maintained mapping table every report has), joined and
+    reaggregated.
+
+    The VALUES relation is a LocalRelation — Catalyst broadcasts it (or
+    constant-folds it into the join) with zero scan cost, the exact
+    pattern to prefer over a driver-side dict lookup UDF."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT t.tier, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+                     ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+                     ('5-LOW', 'defer')) AS t(priority, tier)
+          ON o.o_orderpriority = t.priority
+        GROUP BY t.tier
+        """
+    )

@@ -823,3 +823,47 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(cur["path"]).select(
         "user_id", "last_event", "last_value", "last_tus"
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS latest_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional value windows: each order annotated with the
+    customer's first, second, and latest order value — the
+    frame-sensitive family (FIRST_VALUE / NTH_VALUE / LAST_VALUE) where
+    the default frame is the classic silent-wrong-answer trap
+    (LAST_VALUE over the default RANGE..CURRENT ROW returns the current
+    row); the explicit unbounded frame is the contract, identical in
+    both engines.
+
+    One (custkey, date, orderkey) sort-exchange serves all three
+    functions; ordering ties break on orderkey so positions are
+    engine-independent."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+        F.round(F.last("o_totalprice").over(w), 2).alias("latest_price"),
+    )

@@ -236,3 +236,57 @@ def test_runtime_bloom_filter_prunes_fact_shuffle(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pattern_match_single_user_shuffle(spark, sf_dir):
+    # window (user_id) and final groupBy (user_id) must share ONE exchange:
+    # the RANGE-frame scan and the purchase aggregate reuse the partitioning
+    import re
+
+    p = plan(spark, sf_dir, "window_pattern_match")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_transition_matrix_map_side_combine(spark, sf_dir):
+    # lag window = one user_id exchange; the 25-cell transition count must
+    # partial-agg map-side before its (tiny) shuffle
+    p = plan(spark, sf_dir, "window_transition_matrix")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    # A-Res top-k must be per-partition heaps + k-row merge, not a full sort
+    p = plan(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_ngram_score_vocab_broadcasts(spark, sf_dir):
+    # the scoring pass must be a broadcast join on tok (map-side at scale),
+    # never a token-keyed shuffle join
+    p = plan(spark, sf_dir, "text_ngram_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_named_window_single_window_operator(spark, sf_dir):
+    # three OVER w functions share one Window node and one sort+exchange
+    import re
+
+    p = plan(spark, sf_dir, "sql_window_named")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+
+
+def test_values_inline_is_local_relation(spark, sf_dir):
+    # the VALUES dim must be a LocalTableScan broadcast, zero file scan cost
+    p = plan(spark, sf_dir, "sql_values_inline")
+    assert "LocalTableScan" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_market_basket_prunes_before_pairing(spark, sf_dir):
+    # apriori: the frequent-item semi-join must sit under the pair self-join
+    p = plan(spark, sf_dir, "agg_market_basket")
+    assert "LeftSemi" in p
