@@ -56,6 +56,7 @@ def load_all() -> None:
         sink_queries,
         sql_queries,
         tpch_queries,
+        tpch_queries2,
         window_queries,
     )
 
