@@ -172,3 +172,28 @@ def pack_bit_bands(bits: Column, bands: int) -> Column:
             ).alias("value"),
         ),
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 scalar quantization of an array<float> column:
+    ``q_i = round(x_i * 127 / max|x|)``, zero vectors map to zeros.
+
+    4x storage compression for embedding retention at corpus scale; the
+    dequantized dot product differs from exact by O(1/127) per term,
+    fine for candidate generation (re-rank exact on the short list).
+    Pure JVM expression (transform + fold), codegen-side; deterministic,
+    so the quantized table is reproducible across engines — the SQL twin
+    is list_transform with the same round(x * 127 / list_max(|x|)).
+    """
+    max_abs = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    return F.when(
+        max_abs > 0,
+        F.transform(
+            vec,
+            lambda x: F.round(x.cast("double") * 127.0 / max_abs).cast("int"),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))

@@ -797,3 +797,85 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@query(
+    "text_exact_substr",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, GREATEST(len(t) - 9, 0))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+9], ' ') AS span FROM pos
+    ),
+    freq AS (
+        SELECT span, COUNT(*) AS span_count FROM sh GROUP BY span
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(CASE WHEN f.span_count >= 2 THEN 1 END) AS dup_spans,
+           ROUND(COUNT(CASE WHEN f.span_count >= 2 THEN 1 END) * 1.0
+                 / COUNT(*), 4) AS dup_frac
+    FROM sh JOIN freq f ON sh.span = f.span
+    GROUP BY sh.doc_id
+    """,
+)
+def text_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span scoring (Lee et al. 2021): per-doc
+    fraction of 10-token span positions that occur >=2 times anywhere in
+    the corpus — the measurement pass that decides substring-level dedup.
+    One span-keyed shuffle for the frequency table; the join back reuses
+    the same hash partitioning. At 100 TB, spans shuffle as 64-bit
+    fingerprints, not strings (see llm/curation.py)."""
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        duplicate_span_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", n=10)
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN m > 0
+                THEN list_transform(emb, x -> CAST(ROUND(x * 127.0 / m)
+                                                   AS INTEGER))
+                ELSE list_transform(emb, x -> 0)
+           END AS q8,
+           ROUND(m, 6) AS max_abs
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS m
+        FROM embeddings
+    )
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x-compression storage path for corpus-scale vector retention
+    (candidate generation runs on int8, the short list re-ranks exact).
+    Map-only codegen expression: no shuffle, no Python; at 100 TB this is
+    a streaming rewrite bounded by I/O."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        quantize_int8,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    return e.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("q8"),
+        F.round(max_abs, 6).alias("max_abs"),
+    )

@@ -20,6 +20,7 @@ from openmrs_module_mamba_etl_spark.llm.sampling import (
     pack_sequences,
     priority_sql,
     stratified_sample,
+    temperature_sample,
     weighted_priority_sample,
 )
 from openmrs_module_mamba_etl_spark.registry import query
@@ -192,3 +193,36 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row merge), not a global sort."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_priority_sample(docs, "doc_id", "n_chars", 20)
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+    ),
+    anchor AS (SELECT MIN(n_rows) AS n_min FROM counts),
+    rates AS (
+        SELECT lang,
+               CAST(FLOOR(1000 * SQRT(CAST(n_min AS DOUBLE)
+                                      / CAST(n_rows AS DOUBLE))) AS BIGINT)
+                   AS rate_pm
+        FROM counts, anchor
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {bucket_sql('d.doc_id')} < r.rate_pm
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced sampling (alpha = 0.5, the multilingual-LM
+    recipe): big languages thin by (n_min/n_s)^0.5, the smallest keeps
+    everything — flattening the size distribution toward uniform. Rates
+    anchor on the smallest stratum so every rate depends on exactly two
+    counts (no cross-stratum float sum an engine could reorder); the
+    inclusion test is the md5 bucket contract, map-side against the
+    broadcast #strata-row rate table."""
+    docs = table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )

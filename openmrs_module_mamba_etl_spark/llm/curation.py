@@ -106,3 +106,61 @@ def repetition_stats(
             | (F.col("top_2gram_frac") >= top2_max),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Cross-document duplicate-span scoring — the measurement half of
+    ExactSubstr deduplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): for every document, the fraction
+    of its word ``n``-gram positions whose span also occurs elsewhere in
+    the corpus (another document, or again in the same one).
+
+    Returns ``(id, n_spans, dup_spans, dup_frac)`` for documents with at
+    least one full span (docs shorter than ``n`` tokens carry no signal
+    and drop out — same in the SQL twin, where ``generate_series`` over a
+    non-positive span count is empty).
+
+    Scale shape: positional spans explode to one row per token position
+    (corpus token count, the same order of magnitude every tokenizing
+    stage already pays). The span-frequency aggregate shuffles on the
+    span hash once; the join back to positions reuses that partitioning.
+    Most spans are unique, so the count table is corpus-sized — at
+    100 TB, hash the span to a 64-bit fingerprint before the shuffle so
+    the wide stage moves 8-byte keys, not 60-byte strings (the collision
+    rate at 2^64 is negligible for a frequency>=2 test). Fractions are
+    ratios of exact integers, so the rounded value is engine-portable.
+    """
+    # Raw single-space split (the SQL twin is string_split(text, ' ')) —
+    # the corpus is already normalized; curation tokenization must match
+    # the oracle byte-for-byte.
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.size(toks) - F.lit(n - 1)
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    pos = _spread(df, id_col).select(
+        F.col(id_col), F.explode(spans).alias("span")
+    )
+    freq = pos.groupBy("span").agg(F.count(F.lit(1)).alias("span_count"))
+    return (
+        pos.join(freq, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("span_count") >= 2, 1)).alias("dup_spans"),
+            F.round(
+                F.count(F.when(F.col("span_count") >= 2, 1))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -220,3 +220,53 @@ def priority_sql(id_expr: str, weight_expr: str) -> str:
         f"LN((('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT"
         f" + 1.0) / 4294967296.0) / ({weight_expr})"
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum permille rates for temperature-rebalanced sampling
+    (the multilingual-LM recipe: sample stratum ``s`` proportionally to
+    ``p_s^alpha``, flattening the size distribution toward uniform as
+    ``alpha -> 0``).
+
+    Anchored at the smallest stratum (which keeps rate 1000 — full
+    retention): ``rate_pm(s) = floor(1000 * (n_min / n_s)^(1-alpha))``.
+    The anchor makes every rate a function of exactly two counts — no
+    cross-stratum float sum whose accumulation order an engine could
+    reorder — so with IEEE-exact division and correctly-rounded
+    sqrt/pow the rates are bit-identical in any engine. One #strata-row
+    aggregate; broadcast back.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    n_min = counts.agg(F.min("n_rows").alias("n_min"))
+    boost = F.pow(
+        F.col("n_min").cast("double") / F.col("n_rows").cast("double"),
+        F.lit(1.0 - alpha),
+    )
+    return counts.join(F.broadcast(n_min)).select(
+        F.col(stratum_col),
+        F.col("n_rows"),
+        F.floor(F.lit(float(PERMILLE)) * boost).cast("long").alias("rate_pm"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-rebalanced subsample: big strata are thinned by
+    ``(n_min/n_s)^(1-alpha)``, small strata kept whole. The rate table is
+    #strata rows (broadcast); the inclusion decision is the md5 bucket
+    contract (:func:`hash_bucket`) — map-side, RNG-free, identical at any
+    scale or row order."""
+    rates = temperature_rates(df, stratum_col, alpha)
+    return (
+        df.join(F.broadcast(rates.select(stratum_col, "rate_pm")), stratum_col)
+        .where(hash_bucket(F.col(id_col)) < F.col("rate_pm"))
+        .drop("rate_pm")
+    )

@@ -69,3 +69,43 @@ def test_repetition_unique_grams_not_flagged_at_default(spark):
     r = repetition_stats(docs, "doc_id", "text").collect()[0]
     assert r["dup_3gram_frac"] == 0.0
     assert not r["flagged"]
+
+
+def test_duplicate_span_stats_counts_cross_doc_spans(spark):
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        duplicate_span_stats,
+    )
+
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = _df(
+        spark,
+        [
+            (1, ten + " tailA"),          # 2 spans; first shared with doc 2
+            (2, ten),                      # 1 span, shared
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),  # 2 unique spans
+            (4, "short doc"),              # <10 tokens → absent
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_frac"])
+        for r in duplicate_span_stats(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 1, 1.0)
+    assert out[3] == (2, 0, 0.0)
+    assert 4 not in out
+
+
+def test_duplicate_span_stats_flags_within_doc_repeats(spark):
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        duplicate_span_stats,
+    )
+
+    # 20 tokens = the same 10 twice → the span at pos 1 recurs at pos 11
+    # (interior spans are rotations, each occurring once)
+    rep = " ".join(["a%d" % (i % 10) for i in range(20)])
+    docs = _df(spark, [(7, rep)])
+    r = duplicate_span_stats(docs, "doc_id", "text").collect()[0]
+    assert r["n_spans"] == 11
+    assert r["dup_spans"] == 2
+    assert r["dup_frac"] == 0.1818

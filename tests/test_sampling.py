@@ -87,3 +87,43 @@ def test_hash_bucket_matches_md5_reference(spark):
     for i in ids:
         want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
         assert got[i] == want, i
+
+
+def test_temperature_rates_anchor_and_monotone(spark):
+    from openmrs_module_mamba_etl_spark.llm.sampling import temperature_rates
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {
+        r["lang"]: r["rate_pm"]
+        for r in temperature_rates(df, "lang", alpha=0.5).collect()
+    }
+    # smallest stratum keeps everything; rates fall as strata grow
+    assert rates["small"] == 1000
+    assert rates["mid"] == 500   # sqrt(25/100)=0.5 exactly
+    assert rates["big"] == 250   # sqrt(25/400)=0.25 exactly
+    assert rates["big"] < rates["mid"] < rates["small"]
+
+
+def test_quantize_int8_range_and_extremes(spark):
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["q8"]
+        for r in df.select(
+            "vec_id", quantize_int8(F.col("embedding")).alias("q8")
+        ).collect()
+    }
+    assert out[1] == [64, -127, 32, 0]  # max|x| maps to ±127, rest scale
+    assert out[2] == [0, 0]  # zero vector → zeros, no div-by-zero
+    assert all(-127 <= v <= 127 for v in out[1])
