@@ -1,0 +1,47 @@
+"""Timestamp-normalization helpers for the event stream.
+
+The driver's ``events.parquet`` has shipped ``ts`` under two physical
+encodings across testdata generations:
+
+* ``TIMESTAMP(NANOS)`` — Spark's vectorized reader rejects it, so the
+  session sets ``spark.sql.legacy.parquet.nanosAsLong`` and the column
+  arrives as int64 ns-since-epoch;
+* ``TIMESTAMP(MICROS)`` — arrives as a real ``timestamp_ntz``/``timestamp``
+  column.
+
+Every query that does timestamp arithmetic goes through :func:`ts_us`,
+which adapts to whichever physical type the scan produced and always
+returns **bigint microseconds since the epoch** — the same value DuckDB's
+``epoch_us(ts)`` yields on the oracle side (session timezone is pinned to
+UTC in session.py, so the NTZ→LTZ cast is wall-clock-identity).
+
+This is a pure column expression — it stays inside whole-stage codegen and
+never forces a Python round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INT_TYPES = {"bigint", "long", "int", "integer"}
+
+
+def ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """Microseconds-since-epoch for ``df[col]`` regardless of physical type.
+
+    int64 input is assumed ns-since-epoch (the legacy nanosAsLong read path)
+    and divided by 1000; timestamp input goes through ``unix_micros``.
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype in _INT_TYPES:
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:
+    """``df[col]`` as a session-tz TIMESTAMP regardless of physical type."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype in _INT_TYPES:
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")

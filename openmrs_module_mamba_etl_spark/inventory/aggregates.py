@@ -424,7 +424,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_if_bool",
     oracle="""
     SELECT o_orderstatus,
-           COUNT_IF(o_totalprice > 200000) AS n_big,
+           CAST(COUNT_IF(o_totalprice > 200000) AS BIGINT) AS n_big,
            BOOL_AND(o_totalprice > 900) AS all_over_900,
            BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent
     FROM orders GROUP BY o_orderstatus

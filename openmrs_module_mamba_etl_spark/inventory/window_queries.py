@@ -236,6 +236,30 @@ def _events_stream_schema():
 _EVENTS_STREAM_SCHEMA = _events_stream_schema()
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over the raw events table with ``ts`` normalized to the
+    engine's canonical int64 ns (see sources/parquet.py). The stream schema
+    mirrors whatever the parquet footer declares (nanos-as-long or
+    timestamp_ntz); one codegen projection converts — so every downstream
+    streaming operator keeps exact integer time arithmetic."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") != "bigint":
+        stream = stream.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return stream
+
+
 @query("stream_sessionize")  # streaming emission set — rows-only check
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming sessionization over the events table: one
@@ -254,11 +278,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_sessionize")
     # the file source wants a directory; glob down to the one table
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     q = (
         streaming_sessionize(stream)
         .writeStream.format("parquet")
@@ -285,11 +305,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_windowed_counts")
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     q = (
         windowed_counts(stream, window="1 day", watermark_delay="1 hour")
         .writeStream.format("parquet")
@@ -384,11 +400,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_static_join")
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     customers = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -611,11 +623,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_stream_join")
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     ts = F.timestamp_micros(F.expr("ts div 1000"))
     clicks = (
         stream.where(F.col("event_type") == "click")

@@ -32,14 +32,26 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table of the star schema as a DataFrame.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; ``nanosAsLong`` reads it as int64 ns-since-epoch, which
-    preserves full ordering precision (all our uses of ``ts`` are ordinal:
-    latest-wins pivots, window ordering). Set at runtime so it also applies
-    under externally-created sessions.
+    ``events.ts`` has shipped under two physical parquet encodings across
+    testdata generations: TIMESTAMP(NANOS) (vectorized reader rejects it;
+    ``nanosAsLong`` surfaces int64 ns-since-epoch) and TIMESTAMP(MICROS)
+    (surfaces as timestamp_ntz). The engine's canonical in-plan type for
+    ``ts`` is **int64 ns-since-epoch**: exact integer arithmetic for
+    bucketing/windowing with no sub-2^53 float hazards, and identical
+    values to DuckDB's ``epoch_us(ts)*1000`` on the oracle side (session
+    tz is pinned UTC). When the scan yields a timestamp we normalize with
+    one codegen projection — column pruning and non-ts predicate pushdown
+    are unaffected.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts", "bigint") != "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -30,6 +30,12 @@ BNLJ_ALLOWED = {
     "agg_histogram",
     "text_ngram_score",
     "tpch_q22",
+    # counts(#strata rows) × broadcast(1-row n_min anchor) — the same
+    # scalar-subquery degenerate join, sized by the stratum domain.
+    "sample_temperature",
+    # Q11's HAVING threshold is one global SUM — a 1-row broadcast against
+    # the |part|-sized group aggregate; the canonical scalar-subquery plan.
+    "tpch_q11",
 }
 
 #: executing the callable runs a streaming drain / writes — not a pure plan
