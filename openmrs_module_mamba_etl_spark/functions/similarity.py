@@ -11,6 +11,26 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def portable_hash60(s: Column) -> Column:
+    """60-bit deterministic hash of a string column, engine-portable.
+
+    First 15 hex chars of md5 → bigint. The DuckDB twin is one line:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — the same md5 contract the
+    sampling family uses (llm/sampling.py:hash_bucket), extended to 60 bits
+    so MinHash minima have negligible collision mass. Codegen-side (md5 +
+    conv are JVM built-ins); ~3-4× slower than xxhash64, so the xxhash64
+    family stays the default for production signatures and this one backs
+    the oracle-checked ``*_portable`` query variants.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash32(s: Column) -> Column:
+    """32-bit sibling of :func:`portable_hash60` (first 8 hex chars):
+    DuckDB ``('0x' || substr(md5(s), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM-side fold)."""
     return F.aggregate(
@@ -91,38 +111,58 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+def band_hashes(
+    signature: Column,
+    bands: int,
+    rows_per_band: int,
+    portable: bool = False,
+) -> Column:
     """LSH banding: hash each band of the signature to one bucket key.
 
     Returns array<struct<band:int, bucket:bigint>> — explode + group on
     (band, bucket) turns near-duplicate detection into an equi-join, which
     Spark shuffles/hash-joins like any other key: the O(n²) pair space never
     materializes.
+
+    ``portable=True`` swaps xxhash64 for the md5 contract
+    (:func:`portable_hash60` over ``"<band>|<v1,v2,...>"``) so a DuckDB
+    oracle can reproduce the buckets bit-for-bit.
     """
+
+    def bucket(b: Column) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+        if portable:
+            return portable_hash60(
+                F.concat(b.cast("string"), F.lit("|"), joined)
+            )
+        return F.xxhash64(joined, b)
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                ),
-                b,
-            ).alias("bucket"),
+            b.cast("int").alias("band"), bucket(b).alias("bucket")
         ),
     )
 
 
-def simhash_bits(text: Column, n_bits: int = 64) -> Column:
+def simhash_bits(
+    text: Column, n_bits: int = 64, portable: bool = False
+) -> Column:
     """SimHash: per-bit signed token-hash votes → array<int> of 0/1 bits.
 
     One fold over tokens accumulating 64 counters, all in codegen. The bit
     array form (instead of a packed long) keeps hamming distance expressible
     as a zip_with/aggregate, avoiding 64-bit sign pitfalls.
+
+    ``portable=True`` hashes tokens with the 32-bit md5 contract
+    (:func:`portable_hash32`; pass ``n_bits=32``) so DuckDB can replay the
+    votes — integer arithmetic only, so the replay is exact.
 
     Measured note: an Arrow/numpy kernel for this fold (token hashes
     JVM-side, vote matrix in numpy) is SLOWER — 4.3s vs 3.3s warm on 50k
@@ -130,8 +170,11 @@ def simhash_bits(text: Column, n_bits: int = 64) -> Column:
     more than the fold saves. Keep this expression form.
     """
     # Hash each token ONCE up front — folding over raw tokens would
-    # re-evaluate xxhash64 inside every one of the 64 bit lambdas.
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    # re-evaluate the hash inside every one of the n_bits bit lambdas.
+    if portable:
+        hashes = F.transform(tokens(text), lambda t: portable_hash32(t))
+    else:
+        hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     bit_votes = lambda h: F.transform(  # noqa: E731 — per-hash ±1 votes
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda j: F.when(F.bit_get(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
@@ -153,14 +196,13 @@ def hamming(a: Column, b: Column) -> Column:
     )
 
 
-def pack_bit_bands(bits: Column, bands: int) -> Column:
+def pack_bit_bands(bits: Column, bands: int, n_bits: int = 64) -> Column:
     """Pack a bit array into ``bands`` integer band-keys for hamming LSH.
 
     Two signatures within hamming distance < bands share ≥1 identical band
     (pigeonhole), so an equi-join on (band, value) finds all candidates.
     """
-    n = 64  # caller guarantees 64-bit signatures
-    per = n // bands
+    per = n_bits // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(

@@ -97,11 +97,27 @@ def pivot_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide
 
 
-@query("flatten_auto_by_type")  # no single-statement ANSI equivalent: N tables
+@query(
+    "flatten_auto_by_type",
+    oracle="""
+    WITH typed AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even_users'
+                  ELSE 'odd_users' END AS etype,
+             user_id, event_type
+      FROM events
+    )
+    SELECT 'mamba_flat_encounter_' || etype AS table_name,
+           COUNT(DISTINCT user_id) AS n_rows,
+           CAST(1 + COUNT(DISTINCT event_type) AS INT) AS n_cols
+    FROM typed GROUP BY etype
+    """,
+)
 def flatten_auto_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automated flattening (reference: README.md:136-137,246-248): one flat
-    table per attribute-domain partition; the check returns the union of
-    per-type row counts + schema widths (rows-only driver check)."""
+    table per attribute-domain partition. The N wide tables themselves have
+    no single-statement ANSI twin, but their full shape contract does:
+    per-type row count = |distinct entities| and width = 1 + |distinct
+    attributes| — which is what the oracle pins."""
     ev = table(spark, sf_dir, "events").withColumn(
         "etype", F.when(F.col("user_id") % 2 == 0, "even_users").otherwise("odd_users")
     )

@@ -144,9 +144,138 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # xxhash64 signatures — no DuckDB equivalent
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-LSH near-dup pairs (rows-only check)."""
+    """SimHash hamming-LSH near-dup pairs (rows-only check; the portable
+    md5-hash twin ``dedup_simhash_portable`` is fully oracle-checked)."""
     return simhash_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", hamming_max=7
+    )
+
+
+_TOKS_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    )
+"""
+
+_SHINGLE_CTE = _TOKS_CTE + """
+    , shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS shingles
+      FROM toks
+    )
+"""
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=_SHINGLE_CTE
+    + """
+    , ex AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), mh AS (
+      SELECT doc_id, s.seed,
+             MIN(('0x' || substr(md5(s.seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS v
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(b.band::VARCHAR || '|' ||
+                  array_to_string(sig[b.band*4+1 : b.band*4+4], ',')), 1, 15))::BIGINT
+               AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM scored WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-contract MinHash+LSH pipeline, fully oracle-checked: the
+    DuckDB oracle replays shingling, all 16 signature minima, the 4 band
+    buckets, candidate generation, AND the exact-Jaccard verification —
+    pinning every stage of the LSH pipeline, not just the verified output.
+    Same plan shape as ``dedup_minhash_lsh`` (the xxhash64 production
+    default); only the hash family differs."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        verify_threshold=0.5,
+        portable=True,
+    )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=_TOKS_CTE
+    + """
+    , tok AS (
+      SELECT doc_id, unnest(tk) AS t FROM toks
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, j.bit,
+             SUM(CASE WHEN (h >> j.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
+      GROUP BY doc_id, j.bit
+    ), bits AS (
+      SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY bit) AS b
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band,
+             list_reduce(b[band*8+1 : band*8+8], (a, x) -> a*2 + x) AS value
+      FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.value = y.value AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, 33),
+                i -> abs(ba.b[i] - bb2.b[i]))) AS INT) AS hamming
+    FROM cand
+    JOIN bits ba  ON ba.doc_id  = id_a
+    JOIN bits bb2 ON bb2.doc_id = id_b
+    WHERE list_sum(list_transform(range(1, 33),
+          i -> abs(ba.b[i] - bb2.b[i]))) <= 3
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-contract SimHash pipeline, fully oracle-checked: 32-bit
+    signatures from per-token md5 votes (integer arithmetic — the DuckDB
+    replay is exact), 4 hamming bands of 8 bits (pigeonhole-complete for
+    distance ≤ 3), full-signature hamming verification. Same plan shape as
+    ``dedup_simhash`` (the xxhash64/64-bit production default)."""
+    return simhash_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=4,
+        hamming_max=3,
+        n_bits=32,
+        portable=True,
     )
 
 

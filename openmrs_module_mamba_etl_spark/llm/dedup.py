@@ -23,6 +23,7 @@ from openmrs_module_mamba_etl_spark.functions.similarity import (
     minhash_signature,
     norm,
     pack_bit_bands,
+    portable_hash60,
     simhash_bits,
     tokens,
     word_shingles,
@@ -219,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_len: int = 3,
     verify_threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
@@ -226,13 +228,26 @@ def minhash_lsh_pairs(
     candidate probability at J≈0.84^(1/4); candidates are verified with the
     exact shingle-set Jaccard so the output has no false positives. Only
     band-bucket groups are joined — the shuffle key is (band, bucket).
+
+    ``portable=True`` swaps the xxhash64 family for the md5 contract
+    (``portable_hash60`` over ``"<seed>:<shingle>"``) so a DuckDB oracle
+    replays signatures, buckets, and the verified output exactly; xxhash64
+    stays the production default (~3-4× faster per hash).
     """
     rows_per_band = num_hashes // bands
     base = _spread(df, id_col).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_len).alias("shingles"),
     ).persist()
-    # Signature via explode → codegen xxhash64 → hash-aggregate min, NOT
+
+    def shingle_hash(seed: int):
+        if portable:
+            return portable_hash60(
+                F.concat(F.lit(f"{seed}:"), F.col("sh"))
+            )
+        return F.xxhash64("sh", F.lit(seed))
+
+    # Signature via explode → codegen hash → hash-aggregate min, NOT
     # the higher-order-function form (:func:`minhash_signature`): HOF
     # lambdas evaluate interpreted, while explode + plain column
     # expressions stay in whole-stage codegen. Same hash family, same
@@ -241,7 +256,7 @@ def minhash_lsh_pairs(
     # carries |docs| rows regardless of shingle count — the property that
     # holds at 100 TB.
     mins = [
-        F.min(F.xxhash64("sh", F.lit(seed))).alias(f"mh_{seed}")
+        F.min(shingle_hash(seed)).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
     sigs = (
@@ -255,7 +270,9 @@ def minhash_lsh_pairs(
     )
     buckets = sigs.select(
         id_col,
-        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("bb"),
+        F.explode(
+            band_hashes(F.col("sig"), bands, rows_per_band, portable=portable)
+        ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     candidates = _pair_join(buckets, id_col, ["band", "bucket"]).distinct()
@@ -284,21 +301,33 @@ def simhash_pairs(
     text_col: str,
     bands: int = 8,
     hamming_max: int = 7,
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, hamming-band LSH.
 
     With 8 bands of 8 bits, any pair within hamming distance ≤7 shares at
     least one identical band (pigeonhole) ⇒ recall is exact for the
     ``hamming_max`` default; distance is verified on the full signature.
+
+    ``portable=True`` (use with ``n_bits=32``) hashes tokens with the md5
+    contract so a DuckDB oracle replays the signature votes exactly —
+    integer arithmetic end to end.
     """
     # Expression-side signatures beat an Arrow kernel here (measured 50k
     # docs × 200 tokens: 3.3s vs 4.3s warm): shipping every token hash
     # over Arrow costs more than the JVM fold saves. See similarity.py.
     sigs = _spread(df, id_col).select(
-        F.col(id_col), simhash_bits(F.col(text_col)).alias("bits")
+        F.col(id_col),
+        simhash_bits(F.col(text_col), n_bits=n_bits, portable=portable).alias(
+            "bits"
+        ),
     ).persist()
     buckets = sigs.select(
-        id_col, F.explode(pack_bit_bands(F.col("bits"), bands)).alias("bb")
+        id_col,
+        F.explode(pack_bit_bands(F.col("bits"), bands, n_bits=n_bits)).alias(
+            "bb"
+        ),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.value").alias("value"))
 
     candidates = _pair_join(buckets, id_col, ["band", "value"]).distinct()
