@@ -313,10 +313,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_lsh")  # bucketing uses driver-seeded hyperplanes
+_EMB_DIM = 64  # driver testdata embedding width (all SFs; TESTDATA.md)
+
+
+def _hyperplane_bucket_sql(planes: int, vec: str = "embedding") -> str:
+    """DuckDB twin of llm/ann.py:hyperplane_bucket for the fixed seed=42
+    projection matrix: the SAME double literals Spark embeds in its plan
+    are printed into the SQL (shortest round-trip repr parses back to the
+    identical IEEE value), and each plane's dot product is an explicit
+    left-associated chain — the exact order Spark's aggregate fold uses —
+    so the sign bits, and therefore the buckets, agree bit-for-bit."""
+    from openmrs_module_mamba_etl_spark.llm.ann import _hyperplanes
+
+    H = _hyperplanes(_EMB_DIM, planes, seed=42)
+    bits = []
+    for p in range(planes):
+        dot = " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) * {float(H[p][i])!r})"
+            for i in range(_EMB_DIM)
+        )
+        bits.append(
+            f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << (planes - 1 - p)}"
+            " ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+_COS_SQL = """
+    list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql(8)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_COS_SQL}, 6) AS cosine
+    FROM b a JOIN b c
+      ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND({_COS_SQL}, 6) >= 0.9
+    """,
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed cosine dedup — the 100 TB path (candidates
-    restricted to same sign-pattern bucket; rows-only check)."""
+    restricted to same sign-pattern bucket). Oracle-checked: the DuckDB
+    oracle carries the same seed-42 projection literals, so buckets —
+    and thus the candidate set — replay exactly."""
     return embedding_cosine_pairs(
         table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -365,9 +417,34 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_lsh")  # multiprobe LSH recall is engine-specific
+@query(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql(8)} AS bucket
+      FROM embeddings
+    ), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+    FROM b, q
+    WHERE bit_count(xor(b.bucket, q.qb)) <= 2
+    ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (bucket-pruned scan; rows-only check)."""
+    """LSH-bucketed ANN top-k (bucket-pruned scan). Oracle-checked: the
+    multiprobe set {qbucket plus all ≤2-bit flips} is exactly the bucket
+    ball ``bit_count(bucket XOR qbucket) <= 2``, and the oracle carries
+    the same seed-42 projection literals, so the pruned candidate set —
+    and the top-10 — replay exactly."""
     qv = _query_vec(spark, sf_dir, 0)
     return lsh_topk(
         table(spark, sf_dir, "embeddings"),
