@@ -52,13 +52,15 @@ def main() -> None:
     # Warm-up: JVM + codegen + parquet footer reads out of the measurement.
     registry.QUERIES["agg_count_star"](spark, sf_dir).collect()
 
-    # Min of two runs per query: the second run amortizes codegen/JIT and
-    # task-dispatch cold start, so min ≈ steady-state engine time.
+    # Min of three runs per query: the repeats amortize codegen/JIT and
+    # task-dispatch cold start AND shield the regression gate from
+    # transient machine load (observed 2x per-query swings under
+    # concurrent sessions), so min ≈ steady-state engine time.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
