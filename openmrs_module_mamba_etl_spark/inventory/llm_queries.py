@@ -23,6 +23,7 @@ from openmrs_module_mamba_etl_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_pairs,
     token_jaccard_pairs,
 )
@@ -310,6 +311,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=0.9,
         brute_force=True,
+    )
+
+
+@query("dedup_semantic")  # IVF cells are data-dependent — rows-only check
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: IVF-cluster the embeddings, drop in-cell
+    near-duplicates (cosine ≥ τ, min-id keeper). The synthetic corpus has
+    no true semantic duplicates (max pairwise cosine ≈ 0.48), so the demo
+    threshold sits inside the observed range to exercise the drop path;
+    production default is 0.95. Keep/drop invariant pinned exactly by
+    tests/test_llm.py against a brute-force reference."""
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        n_cells=16,
+        threshold=0.35,
     )
 
 

@@ -453,6 +453,66 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the cluster-then-dedup recipe
+    of Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): partition the corpus into IVF cells
+    with the deterministic coarse quantizer, then inside each cell drop
+    every vector that has a LOWER-ID neighbor at cosine ≥ ``threshold``
+    (min-id representative — the same keep rule the exact/MinHash dedups
+    use, so composition is consistent).
+
+    Returns the KEPT rows as (id, cell). Scale shape: quantizer training
+    touches a bounded driver-side sample (llm/ann.py:ivf_train); assignment
+    is one Arrow-batched map pass; the near-dup search is a within-cell
+    self-join — shuffle key = cell, pair space = Σ|cell|², i.e. the
+    n_cells knob (√N cells at real scale) bounds the quadratic term, and
+    AQE's skew-join split handles an oversized cell. At 100 TB, write the
+    assignment ``partitionBy(cell)`` once and run the per-cell join
+    partition-local.
+    """
+    from openmrs_module_mamba_etl_spark.llm.ann import ivf_assign, ivf_train
+
+    centroids = ivf_train(df, id_col, vec_col, n_cells, refine_iters)
+    assigned = ivf_assign(
+        _spread(df.select(id_col, vec_col), id_col), vec_col, centroids, "cell"
+    )
+    # Per-row norm once; pairs then cost one dot fold each.
+    vecs = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    a, b = vecs.alias("a"), vecs.alias("b")
+    d = dot(F.col("a.vec"), F.col("b.vec"))
+    n = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(n > 0, d / n).otherwise(F.lit(0.0))
+    dropped = (
+        a.join(
+            b,
+            [
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(cos >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        vecs.join(dropped, id_col, "left_anti")
+        .select(F.col(id_col).alias("kept_id"), "cell")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

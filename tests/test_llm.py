@@ -234,3 +234,43 @@ def test_duplicate_clusters_transitive(spark):
         (7, 7), (8, 7),
         (9, 9), (10, 9), (11, 9),
     }
+
+
+def test_semantic_dedup_invariant(spark, sf_dir):
+    """Keep/drop must match the brute-force SemDeDup rule exactly: a row is
+    dropped iff some lower-id row in the SAME IVF cell has cosine >= tau."""
+    from openmrs_module_mamba_etl_spark.llm.ann import ivf_assign, ivf_train
+    from openmrs_module_mamba_etl_spark.llm.dedup import semantic_dedup
+
+    tau = 0.35
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = {
+        r["kept_id"]
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_cells=16, threshold=tau
+        ).collect()
+    }
+
+    # brute-force reference: same deterministic quantizer, numpy cosines
+    centroids = ivf_train(emb, "vec_id", "embedding", 16)
+    rows = (
+        ivf_assign(emb.select("vec_id", "embedding"), "embedding", centroids)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    cells = {r["vec_id"]: r["ivf_cell"] for r in rows}
+    V = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    expect_kept = set()
+    for i, vid in enumerate(ids):
+        dup = any(
+            S[i, j] >= tau and cells[ids[j]] == cells[vid]
+            for j in range(i)
+        )
+        if not dup:
+            expect_kept.add(vid)
+
+    assert kept == expect_kept
+    assert len(kept) < len(ids)  # the demo threshold must actually drop rows
