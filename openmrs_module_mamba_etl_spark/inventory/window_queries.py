@@ -292,12 +292,30 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
-@query("stream_windowed_counts")  # append-mode emission set — rows-only
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    WITH t AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, value FROM events
+    ), mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT ws AS window_start,
+           ws + INTERVAL 1 DAY AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM t, mx
+    WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+    GROUP BY ws
+    """,
+)
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup (built-in streaming late-data
     path): daily event counts/sums per window, emitted append-mode when
-    the watermark passes each window's end. One availableNow drain;
-    trailing unfinalized windows stay in state — hence rows-only."""
+    the watermark passes each window's end. One availableNow drain makes
+    the emission set DETERMINISTIC — exactly the windows whose end ≤
+    max(event time) − watermark delay — which is what the oracle pins;
+    trailing windows above the final watermark stay in state (and would
+    emit on the next incremental drain, exercised by
+    tests/test_streaming.py)."""
     import os
 
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
