@@ -30,6 +30,7 @@ from openmrs_module_mamba_etl_spark.llm.dedup import (
 from openmrs_module_mamba_etl_spark.llm.multimodal import (
     decode_images,
     documents_as_media,
+    media_dedup,
     media_metadata,
     resize_images,
     sample_frames,
@@ -661,6 +662,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + JVM-side typed metadata (size, sha256)."""
     media = documents_as_media(table(spark, sf_dir, "documents"))
     return media_metadata(media)
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           MIN(doc_id) AS kept_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque binary payload (sha256 hash aggregate —
+    the multimodal sibling of dedup_exact; media bytes never shuffle)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return media_dedup(media)
 
 
 @query("multimodal_decode")  # fake-decode kernel is engine-internal

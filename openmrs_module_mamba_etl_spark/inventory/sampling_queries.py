@@ -226,3 +226,48 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "doc_id", "lang", alpha=0.5).select(
         "doc_id", "lang"
     )
+@query(
+    "sample_shuffle_order",
+    oracle=f"""
+    SELECT doc_id, shard, pos FROM (
+      SELECT doc_id,
+             {bucket_sql('doc_id', 8)} AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY {bucket_sql('doc_id', 8)}
+               ORDER BY ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id
+             ) AS pos
+      FROM documents
+    ) t
+    """,
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every doc gets a
+    (shard, position) from the md5 contract — the epoch-0 read order is a
+    pure function of the id, reproducible across engines, runs, and
+    re-exports (resume mid-epoch = seek to (shard, pos)).
+
+    Scale shape: NO global sort — shard assignment is a map-side bucket
+    hash and the position is a row_number inside each shard's
+    (salted-hash, id) window, so the only exchange is the 8-way shard
+    partition; shard count scales the sort width. A global ROW_NUMBER
+    (single-partition window) would serialize the corpus through one
+    task — this formulation is what survives 100 TB."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", hash_bucket(F.col("doc_id"), 8).alias("shard")
+    )
+    from pyspark.sql import Window
+
+    shuffle_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(shuffle_key, F.col("doc_id"))
+    return docs.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -254,6 +254,23 @@ def extract_audio_features(
     return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact dedup over the opaque binary payload: one hash aggregate on
+    sha256(content) — the multimodal sibling of text ``exact_dedup``. At
+    100 TB the shuffle carries (digest, id) pairs only; the media bytes
+    never move."""
+    return (
+        media.select(
+            "media_id", F.sha2(F.col("content"), 256).alias("content_sha")
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("media_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata extraction (no Python): size + content digest.
 
