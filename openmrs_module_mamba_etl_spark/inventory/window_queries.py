@@ -245,6 +245,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).schema

@@ -44,6 +44,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are unaffected.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine contract: timestamp arithmetic is UTC (session.py). Pin it at
+    # the source seam too so an externally-created session (the round
+    # driver's) gets identical NTZ→epoch semantics on any machine tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts", "bigint") != "bigint":
         from pyspark.sql import functions as F
