@@ -38,6 +38,12 @@ HEADLINE = [
     "ann_topk_ivf",
     "window_sessionize",
     "text_quality",
+    # scale showcases: the join-densest TPC-H plan, the custom as-of join,
+    # and the SemDeDup cluster-then-dedup pipeline (Arrow quantizer +
+    # in-cell self-join)
+    "tpch_q9",
+    "join_asof",
+    "dedup_semantic",
 ]
 
 
