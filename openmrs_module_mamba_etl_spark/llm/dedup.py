@@ -17,10 +17,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from openmrs_module_mamba_etl_spark.functions.similarity import (
     band_hashes,
-    cosine,
     dot,
     hamming,
-    minhash_signature,
     norm,
     pack_bit_bands,
     portable_hash60,

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    DoubleType,
     FloatType,
     IntegerType,
     LongType,
