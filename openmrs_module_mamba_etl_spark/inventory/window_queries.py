@@ -261,14 +261,45 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-@query("stream_sessionize")  # streaming emission set — rows-only check
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tus - prev > 21600000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ), tagged AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sid, MIN(tus) AS s_us, MAX(tus) AS e_us,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM tagged GROUP BY user_id, sid
+    ), mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+    SELECT user_id, s_us * 1000 AS session_start_ns,
+           e_us * 1000 AS session_end_ns, n_events, sum_value
+    FROM sess s, mx
+    WHERE NOT (sid = (SELECT MAX(sid) FROM sess s2
+                      WHERE s2.user_id = s.user_id)
+               AND e_us + 21600000000 > m - 3600000000)
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming sessionization over the events table: one
     availableNow drain through ``applyInPandasWithState`` (6 h gap, 1 h
-    watermark). Emits sessions closed by an in-batch gap plus sessions
-    timed out by the final watermark; still-open trailing sessions stay in
-    state — hence rows-only (the batch/stream equivalence is pinned by
-    tests/test_streaming.py)."""
+    watermark). The emission set is deterministic — every session EXCEPT a
+    user's trailing one when that session could still absorb events
+    (end + gap above the final watermark = max event time − delay) — which
+    is exactly what the oracle's gaps-and-islands SQL pins. The
+    incremental batch/stream equivalence is separately pinned by
+    tests/test_streaming.py."""
     import os
 
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
