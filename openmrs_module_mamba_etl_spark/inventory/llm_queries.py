@@ -680,10 +680,25 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(media)
 
 
-@query("multimodal_decode")  # fake-decode kernel is engine-internal
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(64 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 192 AS INT)
+             AS width,
+           CAST(64 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 192 AS INT)
+             AS height
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing (deterministic stub kernel;
-    rows-only check — real decoders plug into the same seam)."""
+    """Arrow-batched mapInPandas decode plumbing. The deterministic stub
+    kernel derives dimensions from the payload's sha256, so the oracle can
+    replay the whole batch-iteration contract in SQL — pinning that the
+    Python seam where a real PIL/cv2 decoder plugs in sees every payload
+    exactly once with intact bytes."""
     media = documents_as_media(table(spark, sf_dir, "documents"))
     return decode_images(media, n_features=16, fake=True).drop("features")
 
