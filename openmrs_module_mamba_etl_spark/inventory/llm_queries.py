@@ -129,6 +129,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS content_hash
+      FROM documents
+    ), inc AS (
+      SELECT MIN(doc_id) AS doc_id, content_hash
+      FROM h WHERE doc_id % 2 = 1 GROUP BY content_hash
+    ), corp AS (
+      SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, content_hash FROM inc
+    WHERE content_hash NOT IN (SELECT content_hash FROM corp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the odd-id half of the corpus arrives as a new
+    batch and dedups against the even-id half standing in for the existing
+    corpus — within-batch min-id survivors, then a broadcast anti-join
+    against the corpus content-hash index. Incremental cost ∝ increment:
+    the production shape for a daily ingest against a 100 TB lake."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    increment = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_exact_dedup(corpus, increment, "doc_id", "text")
+
+
 @query("dedup_minhash_lsh")  # xxhash64 signatures — no DuckDB equivalent
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified (rows-only check;

@@ -451,6 +451,38 @@ def embedding_cosine_pairs(
     )
 
 
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus — the shape a daily
+    ingest actually runs (re-deduping 100 TB per increment is a non-starter).
+
+    Two stages, both content-hash joins: (1) keep one min-id representative
+    per duplicate group WITHIN the increment; (2) broadcast-anti-join those
+    survivors against the corpus hash index. At scale the corpus side is a
+    stored (content_hash) index table maintained by the same pipeline —
+    only the hash column ever scans, and the increment-sized build side
+    broadcasts, so incremental cost ∝ increment, never corpus.
+    """
+    corpus_hashes = corpus.select(
+        content_hash(F.col(text_col)).alias("content_hash")
+    ).distinct()
+    inc = increment.select(
+        F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
+    )
+    within = (
+        inc.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        within.join(corpus_hashes, "content_hash", "left_anti")
+        .select(id_col, "content_hash")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
