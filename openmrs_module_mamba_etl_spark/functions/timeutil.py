@@ -9,11 +9,15 @@ encodings across testdata generations:
 * ``TIMESTAMP(MICROS)`` — arrives as a real ``timestamp_ntz``/``timestamp``
   column.
 
-Every query that does timestamp arithmetic goes through :func:`ts_us`,
-which adapts to whichever physical type the scan produced and always
-returns **bigint microseconds since the epoch** — the same value DuckDB's
+The engine normalizes at the source seam — ``sources/parquet.py:table()``
+and ``inventory/window_queries.py:_events_stream()`` route through
+:func:`ts_us` to convert a timestamp scan to the canonical int64
+ns-since-epoch — so downstream query code always sees bigint ``ts``.
+:func:`ts_us` adapts to whichever physical type it is given and returns
+**bigint microseconds since the epoch** — the same value DuckDB's
 ``epoch_us(ts)`` yields on the oracle side (session timezone is pinned to
-UTC in session.py, so the NTZ→LTZ cast is wall-clock-identity).
+UTC in session.py and re-pinned at the source seam, so the NTZ→LTZ cast
+is wall-clock-identity).
 
 This is a pure column expression — it stays inside whole-stage codegen and
 never forces a Python round trip.

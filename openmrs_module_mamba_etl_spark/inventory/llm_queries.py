@@ -21,6 +21,7 @@ from openmrs_module_mamba_etl_spark.llm.ann import (
 from openmrs_module_mamba_etl_spark.llm.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
+    incremental_exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     semantic_dedup,
@@ -142,7 +143,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0
     )
     SELECT doc_id, content_hash FROM inc
-    WHERE content_hash NOT IN (SELECT content_hash FROM corp)
+    ANTI JOIN corp USING (content_hash)
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,10 +152,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — within-batch min-id survivors, then a broadcast anti-join
     against the corpus content-hash index. Incremental cost ∝ increment:
     the production shape for a daily ingest against a 100 TB lake."""
-    from openmrs_module_mamba_etl_spark.llm.dedup import (
-        incremental_exact_dedup,
-    )
-
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     increment = docs.where(F.col("doc_id") % 2 == 1)
@@ -274,9 +271,14 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (h >> j.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
       GROUP BY doc_id, j.bit
-    ), bits AS (
+    ), bits0 AS (
       SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY bit) AS b
       FROM votes GROUP BY doc_id
+    ), bits AS (
+      -- token-less docs never reach votes; Spark signs them all-zero
+      SELECT t.doc_id,
+             COALESCE(b0.b, list_transform(range(0, 32), j -> 0)) AS b
+      FROM toks t LEFT JOIN bits0 b0 ON b0.doc_id = t.doc_id
     ), bands AS (
       SELECT doc_id, band,
              list_reduce(b[band*8+1 : band*8+8], (a, x) -> a*2 + x) AS value
@@ -420,6 +422,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to same sign-pattern bucket). Oracle-checked: the DuckDB
     oracle carries the same seed-42 projection literals, so buckets —
     and thus the candidate set — replay exactly."""
+    _assert_emb_dim(spark, sf_dir)
     return embedding_cosine_pairs(
         table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -431,6 +434,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- similarity search ---------------------------------------------------
+
+
+def _assert_emb_dim(spark: SparkSession, sf_dir: str) -> None:
+    """The hyperplane oracles bake 8×_EMB_DIM literals at import time while
+    the Spark side infers the width from the data — fail LOUDLY instead of
+    hash-mismatching confusingly if a testdata generation changes width."""
+    width = len(_query_vec(spark, sf_dir, 0))
+    if width != _EMB_DIM:
+        raise AssertionError(
+            f"embeddings width {width} != {_EMB_DIM}; regenerate the "
+            "hyperplane oracle (_hyperplane_bucket_sql) for the new width"
+        )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -497,6 +512,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seed-42 projection literals, so the pruned candidate set —
     and the top-10 — replay exactly."""
     qv = _query_vec(spark, sf_dir, 0)
+    if len(qv) != _EMB_DIM:  # oracle literals are baked for _EMB_DIM
+        raise AssertionError(
+            f"embeddings width {len(qv)} != {_EMB_DIM}; regenerate the "
+            "hyperplane oracle (_hyperplane_bucket_sql) for the new width"
+        )
     return lsh_topk(
         table(spark, sf_dir, "embeddings"),
         "vec_id",

@@ -226,6 +226,8 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "doc_id", "lang", alpha=0.5).select(
         "doc_id", "lang"
     )
+
+
 @query(
     "sample_shuffle_order",
     oracle=f"""
@@ -253,20 +255,18 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; shard count scales the sort width. A global ROW_NUMBER
     (single-partition window) would serialize the corpus through one
     task — this formulation is what survives 100 TB."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash32,
+    )
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", hash_bucket(F.col("doc_id"), 8).alias("shard")
     )
-    from pyspark.sql import Window
-
-    shuffle_key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    shuffle_key = portable_hash32(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
     w = Window.partitionBy("shard").orderBy(shuffle_key, F.col("doc_id"))
     return docs.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")

@@ -255,9 +255,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") != "bigint":
-        stream = stream.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
+        from openmrs_module_mamba_etl_spark.functions.timeutil import ts_us
+
+        stream = stream.withColumn("ts", ts_us(stream) * F.lit(1000))
     return stream
 
 

@@ -52,9 +52,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts", "bigint") != "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
+        from openmrs_module_mamba_etl_spark.functions.timeutil import ts_us
+
+        df = df.withColumn("ts", ts_us(df) * F.lit(1000))
     return df
 
 
