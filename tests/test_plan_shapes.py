@@ -290,3 +290,35 @@ def test_market_basket_prunes_before_pairing(spark, sf_dir):
     # apriori: the frequent-item semi-join must sit under the pair self-join
     p = plan(spark, sf_dir, "agg_market_basket")
     assert "LeftSemi" in p
+
+
+def test_shuffle_order_no_global_sort(spark, sf_dir):
+    # training-order positions come from a SHARD-partitioned window — a
+    # global ROW_NUMBER (empty partition spec) would serialize the corpus
+    p = plan(spark, sf_dir, "sample_shuffle_order")
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_incremental_dedup_anti_join_broadcasts(spark, sf_dir):
+    # increment-vs-corpus must be a broadcast LeftAnti on the hash index —
+    # the corpus side must never shuffle
+    p = plan(spark, sf_dir, "dedup_incremental")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin LeftAnti" in p or (
+        "BroadcastHashJoin" in p and "LeftAnti" in p
+    )
+
+
+def test_multimodal_dedup_hashes_before_shuffle(spark, sf_dir):
+    # the groupBy key is the sha256 digest computed map-side and the
+    # aggregate partial-combines below the exchange: the shuffle carries
+    # (digest, min-id, count) partials, never the binary payload
+    p = plan(spark, sf_dir, "multimodal_dedup")
+    assert "sha2" in p
+    assert "partial_min" in p
+    # the exchange's input is the partial-agg output, digest-keyed
+    exchange_detail = p.split(") Exchange")[1]
+    assert "content_sha" in exchange_detail[:400]
+    assert "content#" not in exchange_detail[:400]
