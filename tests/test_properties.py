@@ -296,3 +296,46 @@ def test_hll_sketch_merge_is_associative_and_accurate(spark, sf_dir):
     assert merged == whole  # associativity: identical sketch, not "close"
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FF
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_portable_hash_matches_hashlib(spark, strings):
+    """The md5 bucket contract must equal an independent hashlib
+    computation for arbitrary (unicode) strings — this is the invariant
+    that lets DuckDB oracles replay MinHash signatures, band buckets,
+    sampling decisions, and shuffle order bit-for-bit on any engine."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash32,
+        portable_hash60,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: (r["h32"], r["h60"])
+        for r in df.select(
+            "s",
+            portable_hash32(F.col("s")).alias("h32"),
+            portable_hash60(F.col("s")).alias("h60"),
+        ).collect()
+    }
+    for s in strings:
+        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+        assert got[s] == (int(d[:8], 16), int(d[:15], 16)), s
