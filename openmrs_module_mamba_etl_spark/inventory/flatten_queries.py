@@ -134,11 +134,13 @@ def flatten_auto_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY epoch_us(ts), event_id) AS prev
+                                   ORDER BY epoch_us(ts), event_id) AS prev,
+             LAG(tus) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev_ts
       FROM events
     ), c AS (
       SELECT user_id, event_type, tus, event_id FROM o
-      WHERE prev IS NULL OR event_type != prev
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id, event_type, tus AS valid_from,
            LEAD(tus) OVER (PARTITION BY user_id

@@ -124,6 +124,10 @@ def _set_jaccard_pairs(
     ``array_intersect`` on the full token arrays, so the output is
     identical to the naive algorithm (no recall loss).
     """
+    # persist() marks are MEMORY_AND_DISK and LRU-evictable under Spark's
+    # unified memory manager, so repeated batch calls degrade gracefully;
+    # a long-lived service embedding these operators should still
+    # unpersist the returned frame's ancestors after its terminal action.
     toked = keyed.persist()
     sizes = toked.select(
         F.col(id_col),
@@ -425,7 +429,18 @@ def embedding_cosine_pairs(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    dim = len(vecs.select("vec").first()[0])
+    head = vecs.select("vec").first()
+    if head is None or head[0] is None:
+        # empty input (or null-leading vector column): no pairs — mirror
+        # the brute-force path instead of crashing on len(None)
+        return (
+            df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cosine double"
+            )
+        )
+    dim = len(head[0])
     vecs = vecs.withColumn(
         "bucket", hyperplane_bucket(F.col("vec"), dim, lsh_planes, seed)
     )
@@ -460,16 +475,18 @@ def incremental_exact_dedup(
     """Dedup a NEW batch against an existing corpus — the shape a daily
     ingest actually runs (re-deduping 100 TB per increment is a non-starter).
 
-    Two stages, both content-hash joins: (1) keep one min-id representative
-    per duplicate group WITHIN the increment; (2) broadcast-anti-join those
-    survivors against the corpus hash index. At scale the corpus side is a
-    stored (content_hash) index table maintained by the same pipeline —
-    only the hash column ever scans, and the increment-sized build side
-    broadcasts, so incremental cost ∝ increment, never corpus.
+    Three content-hash stages, each with an increment-sized build side:
+    (1) keep one min-id representative per duplicate group WITHIN the
+    increment; (2) semi-join the corpus hash scan against the BROADCAST
+    increment hashes — a map-side filter over the corpus, no corpus
+    shuffle, emitting only the (tiny) hit set; (3) anti-join the
+    survivors against the BROADCAST hit set. A plain left-anti of
+    increment-vs-corpus could only broadcast the CORPUS side (Spark
+    builds the right side of an anti join), which is impossible at
+    100 TB — this three-step shape keeps incremental cost ∝ increment,
+    never corpus. At scale the corpus scan is a stored (content_hash)
+    index table maintained by the same pipeline.
     """
-    corpus_hashes = corpus.select(
-        content_hash(F.col(text_col)).alias("content_hash")
-    ).distinct()
     inc = increment.select(
         F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
     )
@@ -477,8 +494,14 @@ def incremental_exact_dedup(
         inc.groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
     )
+    inc_hashes = within.select("content_hash")
+    hits = (
+        corpus.select(content_hash(F.col(text_col)).alias("content_hash"))
+        .join(F.broadcast(inc_hashes), "content_hash", "left_semi")
+        .distinct()
+    )
     return (
-        within.join(corpus_hashes, "content_hash", "left_anti")
+        within.join(F.broadcast(hits), "content_hash", "left_anti")
         .select(id_col, "content_hash")
     )
 
@@ -588,13 +611,14 @@ def duplicate_clusters(
     # checkpointed edges; without the hint each round re-shuffles all edges.
     # (For a dup graph whose node set outgrows broadcast, drop the hint —
     # the algorithm is unchanged.)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(F.broadcast(labels), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        hopped = (
             labels.join(
                 F.broadcast(neighbor_min), labels.node == neighbor_min.src, "left"
             )
@@ -602,6 +626,24 @@ def duplicate_clusters(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Path compression (pointer jumping): additionally adopt the label
+        # OF my label. Plain propagation moves the component min one hop
+        # per round (a 25-doc edit-chain needs 24 rounds); the shortcut
+        # roughly doubles the reach each round — O(log diameter) total.
+        lab_of_lab = hopped.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            hopped.join(
+                F.broadcast(lab_of_lab), hopped.label == F.col("_ln"), "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -615,7 +657,17 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+
+    if not converged:
+        # Silent non-convergence would split one real component into
+        # several clusters and over-keep documents — fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds; "
+            "raise max_iters (diameter exceeds ~2^rounds with pointer "
+            "jumping — pathological for a near-dup graph)"
+        )
 
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

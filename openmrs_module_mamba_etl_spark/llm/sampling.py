@@ -111,8 +111,10 @@ def mixture_rates(
     quota = None
     for stratum, w in sorted(weights.items()):
         q = w * target_rows // total_w
+        # long literal: 1000 * quota at web-corpus quotas overflows int32
+        # (silent negative rate in legacy mode, ArithmeticException in ANSI)
         quota = (quota.when if quota is not None else F.when)(
-            F.col(stratum_col) == stratum, F.lit(q)
+            F.col(stratum_col) == stratum, F.lit(q).cast("long")
         )
     quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
@@ -122,7 +124,7 @@ def mixture_rates(
         F.col("n_rows"),
         F.least(
             F.lit(PERMILLE).cast("long"),
-            F.expr(f"({PERMILLE} * quota) div n_rows"),
+            F.expr(f"(CAST({PERMILLE} AS BIGINT) * quota) div n_rows"),
         ).alias("rate_pm"),
     )
 

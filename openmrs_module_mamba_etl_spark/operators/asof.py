@@ -44,10 +44,13 @@ def asof_join(
     defaults to ``key_col`` when both sides share the name.
     """
     rk = right_key_col or key_col
+    # Payload columns ride under reserved "_p_" names so a left column that
+    # happens to share a payload name is never merged by unionByName (that
+    # collision used to silently carry the left row's OWN value forward).
     r = right.select(
         F.col(rk).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        *[F.col(c) for c in payload_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     if tiebreak_col is not None:
         w_dedup = Window.partitionBy("_k", "_ts").orderBy(
@@ -58,7 +61,7 @@ def asof_join(
                 F.col(rk).alias("_k"),
                 F.col(right_ts).alias("_ts"),
                 F.col(tiebreak_col),
-                *[F.col(c) for c in payload_cols],
+                *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
             )
             .withColumn("_rn", F.row_number().over(w_dedup))
             .where(F.col("_rn") == 1)
@@ -78,17 +81,25 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        "*",
+    # Carry the latest right row as ONE struct — all attached payload
+    # values (NULLs included) come from the SAME row as the reported
+    # asof_ts; per-column last(ignorenulls) could mix rows and resurrect
+    # an older non-null value past a newer NULL.
+    asof_row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ts").alias("__t"),
+            *[F.col(f"_p_{c}").alias(f"_p_{c}") for c in payload_cols],
+        ),
+    )
+    carried = merged.withColumn(
+        "_asof", F.last(asof_row, ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
         *[
-            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.col("_asof").getField(f"_p_{c}").alias(f"asof_{c}")
             for c in payload_cols
         ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
-        ).over(w).alias("asof_ts"),
-    )
-    return (
-        carried.where(F.col("_side") == 1)
-        .drop("_side", "_k", "_ts", *payload_cols)
+        F.col("_asof").getField("__t").alias("asof_ts"),
     )

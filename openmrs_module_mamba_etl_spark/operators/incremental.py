@@ -66,11 +66,37 @@ class WatermarkStore:
         self.path.write_text(json.dumps(state, indent=2, sort_keys=True))
 
 
-def changed_since(df: DataFrame, audit_col: str, watermark: str | None) -> DataFrame:
-    """Source rows newer than the watermark (pushdown-friendly predicate)."""
-    if watermark is None:
-        return df
-    return df.where(F.col(audit_col) > F.lit(watermark))
+def changed_since(
+    df: DataFrame,
+    audit_col: str,
+    watermark: str | None,
+    upper: str | None = None,
+) -> DataFrame:
+    """Source rows newer than the watermark (pushdown-friendly predicate).
+
+    ``upper`` closes the batch interval (``wm < audit <= upper``): against
+    a LIVE source, rows committing while the tick runs must be excluded
+    and picked up next tick — advancing the watermark past rows that were
+    visible to a later scan but not to the merge loses them forever.
+    """
+    out = df
+    if watermark is not None:
+        out = out.where(F.col(audit_col) > F.lit(watermark))
+    if upper is not None:
+        out = out.where(F.col(audit_col) <= F.lit(upper))
+    return out
+
+
+def snapshot_watermark(df: DataFrame, audit_col: str) -> str | None:
+    """Upper bound for THIS tick's batch, taken BEFORE any processing.
+
+    The bounded-batch pattern: snapshot max(audit) first, process only
+    rows at or below it, then advance the stored watermark to exactly this
+    value. Rows committing after the snapshot — even if a later scan of a
+    live source would see them — belong to the next tick, so no row can
+    fall between the processed set and the stored watermark.
+    """
+    return df.agg(F.max(audit_col).cast("string")).first()[0]
 
 
 def incremental_flatten_parquet(
@@ -106,14 +132,19 @@ def incremental_flatten_parquet(
     )
 
     wm = store.get(table)
+    batch_wm = snapshot_watermark(obs, audit_col)
     attrs = discover_attrs(obs, spec)
     target_exists = Path(target_path).exists()
 
     if wm is None or not target_exists:
-        merged = flatten(obs, spec, attrs=attrs)
+        merged = flatten(
+            changed_since(obs, audit_col, None, upper=batch_wm),
+            spec,
+            attrs=attrs,
+        )
     else:
         changed_entities = (
-            obs.where(F.col(audit_col) > F.lit(wm))
+            changed_since(obs, audit_col, wm, upper=batch_wm)
             .select(spec.entity_col)
             .distinct()
         )
@@ -136,9 +167,8 @@ def incremental_flatten_parquet(
         shutil.rmtree(target_path)
     os.replace(staging, target_path)
 
-    new_wm = obs.agg(F.max(audit_col).cast("string")).first()[0]
-    if new_wm is not None:
-        store.set(table, new_wm)
+    if batch_wm is not None:
+        store.set(table, batch_wm)
     return spark.read.parquet(target_path)
 
 
@@ -157,11 +187,12 @@ def incremental_refresh_parquet(
     advances the watermark to max(audit_col) actually observed.
     """
     wm = store.get(table)
-    updates = changed_since(source, audit_col, wm)
+    batch_wm = snapshot_watermark(source, audit_col)
+    updates = changed_since(source, audit_col, wm, upper=batch_wm)
 
     target_exists = Path(target_path).exists()
     if wm is None or not target_exists:
-        merged = source
+        merged = changed_since(source, audit_col, None, upper=batch_wm)
     else:
         base = spark.read.parquet(target_path)
         merged = merge_upsert(base, updates, keys)
@@ -177,9 +208,8 @@ def incremental_refresh_parquet(
         shutil.rmtree(final)
     os.replace(staging, target_path)
 
-    new_wm = source.agg(F.max(audit_col).cast("string")).first()[0]
-    if new_wm is not None:
-        store.set(table, new_wm)
+    if batch_wm is not None:
+        store.set(table, batch_wm)
     return spark.read.parquet(target_path)
 
 

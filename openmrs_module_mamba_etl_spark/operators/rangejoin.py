@@ -90,16 +90,15 @@ def interval_overlap_join(
     """
 
     def _spanned(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
+        hi = F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long")
+        # Degenerate (empty, end <= start) intervals: clamp to the start
+        # bucket. An unclamped descending F.sequence would replicate the
+        # row into buckets it never touches; the clamped single bucket is
+        # exactly where the theta predicate can still match it (it behaves
+        # as the point `start`, e.g. [s, s) vs a left strictly containing s).
         return df.withColumn(
-            "_b",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
-                    F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast(
-                        "long"
-                    ),
-                )
-            ),
+            "_b", F.explode(F.sequence(lo, F.greatest(lo, hi)))
         )
 
     l = _spanned(left, left_start, left_end)

@@ -44,7 +44,11 @@ def scd2_from_history(
     changed = (
         df.select(key_col, attr_col, ts_col, tiebreak_col)
         .withColumn("_prev", F.lag(attr_col).over(w))
-        .where(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        .withColumn("_first", F.lag(ts_col).over(w).isNull())
+        # null-SAFE inequality: a transition to or from a NULL attribute is
+        # a real change (plain != would be NULL there and drop it)
+        .where(F.col("_first") | ~F.col(attr_col).eqNullSafe(F.col("_prev")))
+        .drop("_first")
     )
     # Same partitioning + ordering as `w` — one exchange serves both windows.
     return changed.select(
@@ -78,10 +82,13 @@ def scd2_apply(
         F.col(effective_col).alias("_eff"),
     )
     joined = current.join(upd, current[key_col] == F.col("_k"), "left")
+    # null-SAFE inequality: an update that CLEARS the attribute (NULL)
+    # must still close the open row — plain != evaluates to NULL there
+    # and the change would be silently ignored.
     is_hit = (
         F.col("_k").isNotNull()
         & F.col("is_current")
-        & (F.col(attr_col) != F.col("_new_attr"))
+        & ~F.col(attr_col).eqNullSafe(F.col("_new_attr"))
     )
     closed = joined.select(
         key_col,

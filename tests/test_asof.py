@@ -55,3 +55,38 @@ def test_asof_multiple_left_rows_share_one_right(spark):
     )
     got = _rows(out, ["t", "asof_px", "asof_ts"])
     assert got == [(15, 9.5, 12), (16, 9.5, 12), (17, 9.5, 12)]
+
+
+def test_asof_left_column_name_collision(spark):
+    """A left column sharing a payload name must neither feed the carry
+    nor be dropped from the output."""
+    left = spark.createDataFrame(
+        [(1, 30, 999.0)], "k long, t long, price double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7.5)], "k long, t long, price double"
+    )
+    out = asof_join(
+        left, right, key_col="k", left_ts="t", right_ts="t",
+        payload_cols=["price"],
+    )
+    row = out.collect()[0]
+    assert row["price"] == 999.0      # left's own column survives intact
+    assert row["asof_price"] == 7.5   # carry comes from the right row
+    assert row["asof_ts"] == 10
+
+
+def test_asof_null_payload_from_latest_row(spark):
+    """The attached payload must come from the SAME row as asof_ts — a
+    newer right row with a NULL payload supersedes an older non-null."""
+    left = spark.createDataFrame([(1, 30)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 7.5), (1, 20, None)], "k long, t long, bid double"
+    )
+    out = asof_join(
+        left, right, key_col="k", left_ts="t", right_ts="t",
+        payload_cols=["bid"],
+    )
+    row = out.collect()[0]
+    assert row["asof_ts"] == 20
+    assert row["asof_bid"] is None

@@ -274,3 +274,19 @@ def test_semantic_dedup_invariant(spark, sf_dir):
 
     assert kept == expect_kept
     assert len(kept) < len(ids)  # the demo threshold must actually drop rows
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 30-node edit-chain (diameter 29) must collapse to ONE cluster
+    within the default round budget — pointer jumping gives O(log n)
+    convergence where plain propagation needed 29 rounds."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 31)}

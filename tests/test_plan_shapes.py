@@ -301,14 +301,16 @@ def test_shuffle_order_no_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in p
 
 
-def test_incremental_dedup_anti_join_broadcasts(spark, sf_dir):
-    # increment-vs-corpus must be a broadcast LeftAnti on the hash index —
-    # the corpus side must never shuffle
+def test_incremental_dedup_corpus_never_shuffles(spark, sf_dir):
+    # the corpus scan must be filtered map-side by a broadcast LeftSemi on
+    # the increment's hashes, and the final exclusion must be a broadcast
+    # LeftAnti — no plan may shuffle the corpus on the hash key
     p = plan(spark, sf_dir, "dedup_incremental")
-    assert "LeftAnti" in p
-    assert "BroadcastHashJoin LeftAnti" in p or (
-        "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin LeftSemi" in p.replace("\n", " ") or (
+        "LeftSemi" in p and "BroadcastHashJoin" in p
     )
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_multimodal_dedup_hashes_before_shuffle(spark, sf_dir):

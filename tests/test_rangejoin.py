@@ -41,3 +41,28 @@ def test_key_isolation(spark):
     intervals = [(300, 1, 10, 20)]
     got = _pairs(run(spark, points, intervals, width=10))
     assert got == [(1, 300)]
+
+
+def test_interval_overlap_degenerate_interval_matches_theta(spark):
+    """Empty [s, s) intervals must behave exactly like the theta predicate
+    (they act as the point s): no phantom bucket replication, no dupes."""
+    from openmrs_module_mamba_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 50, 200), (1, 150, 160)], "k long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 100)], "k long, rs long, re long"  # empty interval
+    )
+    got = sorted(
+        (r["ls"], r["le"], r["rs"], r["re"])
+        for r in interval_overlap_join(
+            left.withColumnRenamed("k", "lk"),
+            right.withColumnRenamed("k", "rk"),
+            "lk", "rk", "ls", "le", "rs", "re", bucket_width=50,
+        ).collect()
+    )
+    # theta: ls < re AND rs < le -> only [50,200) strictly contains 100
+    assert got == [(50, 200, 100, 100)]

@@ -127,3 +127,19 @@ def test_quantize_int8_range_and_extremes(spark):
     assert out[1] == [64, -127, 32, 0]  # max|x| maps to ±127, rest scale
     assert out[2] == [0, 0]  # zero vector → zeros, no div-by-zero
     assert all(-127 <= v <= 127 for v in out[1])
+
+
+def test_mixture_rates_survive_large_quotas(spark):
+    """1000 * quota must be 64-bit: web-corpus-scale target_rows used to
+    overflow int32 and silently zero out large strata (legacy mode) or
+    throw (ANSI)."""
+    from openmrs_module_mamba_etl_spark.llm.sampling import mixture_rates
+
+    df = spark.createDataFrame([("a",), ("b",)], "src string")
+    rates = {
+        r["src"]: r["rate_pm"]
+        for r in mixture_rates(
+            df, "src", {"a": 1, "b": 1}, target_rows=6_000_000
+        ).collect()
+    }
+    assert rates == {"a": 1000, "b": 1000}

@@ -102,3 +102,30 @@ def test_scd2_apply_folds_to_history_rebuild(spark):
         dim = dim.localCheckpoint()
 
     assert _rows(dim) == want
+
+
+def test_scd2_null_transitions(spark):
+    """Transitions to and from NULL attributes are real changes: history
+    a -> NULL -> a must produce three intervals, and an update clearing
+    the attribute must close the open row."""
+    hist = spark.createDataFrame(
+        [(1, "a", 10, 0), (1, None, 20, 1), (1, "a", 30, 2)], HIST_SCHEMA
+    )
+    got = {tuple(r) for r in scd2_from_history(
+        hist, "k", "attr", "ts", "seq").collect()}
+    assert got == {
+        (1, "a", 10, 20, False),
+        (1, None, 20, 30, False),
+        (1, "a", 30, None, True),
+    }
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, None, True)], DIM_SCHEMA
+    )
+    upd = spark.createDataFrame([(1, None, 20)], "k long, attr string, eff long")
+    merged = {tuple(r) for r in scd2_apply(
+        dim, upd, "k", "attr", "eff").collect()}
+    assert merged == {
+        (1, "a", 10, 20, False),
+        (1, None, 20, None, True),
+    }
