@@ -42,8 +42,16 @@ _MYSQL_TOKENS = [
     ("%W", "EEEE"),
     ("%b", "MMM"),
     ("%T", "HH:mm:ss"),
+    ("%p", "a"),
+    ("%l", "h"),
+    ("%r", "hh:mm:ss a"),
+    ("%f", "SSSSSS"),
     ("%%", "%"),
 ]
+
+#: MySQL tokens with no faithful DateTimeFormatter equivalent — loud
+#: failure beats a silently-literal "%D" in every report row.
+_UNSUPPORTED_TOKENS = {"%D", "%U", "%u", "%V", "%v", "%X", "%x", "%w"}
 
 _FN_REWRITES = [
     (re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE), "current_date()"),
@@ -54,13 +62,23 @@ _FN_REWRITES = [
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
 ]
 
-_DATE_FORMAT_CALL = re.compile(
-    r"(DATE_FORMAT\s*\(.*?,\s*')([^']*)('\s*\))", re.IGNORECASE | re.DOTALL
-)
-
-
 def _translate_format(fmt: str) -> str:
-    out = []
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        literal.clear()
+        # One quoted run per stretch of literal text: quoting letters one
+        # at a time would put '' between neighbors, which
+        # DateTimeFormatter reads as an ESCAPED QUOTE ('o''f' -> o'f).
+        if any(c.isalpha() for c in run) or "'" in run:
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+
     i = 0
     while i < len(fmt):
         ch = fmt[i]
@@ -68,24 +86,89 @@ def _translate_format(fmt: str) -> str:
             tok = fmt[i : i + 2]
             repl = next((s for m, s in _MYSQL_TOKENS if m == tok), None)
             if repl is not None:
+                flush()
                 out.append(repl)
                 i += 2
                 continue
-        # Literal character inside a SimpleDateFormat pattern: letters must be
-        # quoted or they are interpreted as pattern tokens.
-        if ch.isalpha():
-            out.append(f"'{ch}'")
-        else:
-            out.append(ch)
+            if tok in _UNSUPPORTED_TOKENS:
+                raise ValueError(
+                    f"MySQL DATE_FORMAT token {tok!r} has no Spark "
+                    "DateTimeFormatter equivalent"
+                )
+            raise ValueError(f"unknown MySQL DATE_FORMAT token {tok!r}")
+        literal.append(ch)
         i += 1
+    flush()
     return "".join(out)
+
+
+def _rewrite_date_format_calls(sql: str) -> str:
+    """Translate the format literal of every DATE_FORMAT(expr, 'fmt') call.
+
+    A paren/quote-aware scan — not a regex — finds the top-level argument
+    comma, so a first argument containing quoted commas
+    (``DATE_FORMAT(CONCAT('a','b'), '%Y')``) is never mis-split.
+    Calls whose second argument is not a plain string literal pass through
+    untouched.
+    """
+    out = []
+    i = 0
+    lower = sql.lower()
+    while True:
+        j = lower.find("date_format", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # must be a standalone identifier followed by (
+        before_ok = j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+        k = j + len("date_format")
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if not before_ok or k >= len(sql) or sql[k] != "(":
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        # scan the argument list, tracking depth and single-quoted strings
+        depth, pos, in_str = 1, k + 1, False
+        top_commas: list[int] = []
+        while pos < len(sql) and depth > 0:
+            c = sql[pos]
+            if in_str:
+                if c == "'":
+                    # '' is an escaped quote inside the literal
+                    if pos + 1 < len(sql) and sql[pos + 1] == "'":
+                        pos += 1
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                top_commas.append(pos)
+            pos += 1
+        close = pos - 1  # index of the matching ')'
+        if depth != 0 or len(top_commas) != 1:
+            out.append(sql[i:pos])
+            i = pos
+            continue
+        second = sql[top_commas[0] + 1 : close].strip()
+        if len(second) >= 2 and second[0] == "'" and second[-1] == "'":
+            fmt = second[1:-1].replace("''", "'")
+            translated = _translate_format(fmt).replace("'", "''")
+            # keep everything up to the comma verbatim, swap the literal
+            out.append(sql[i : top_commas[0] + 1])
+            out.append(f" '{translated}')")
+        else:
+            out.append(sql[i:pos])
+        i = pos
 
 
 def translate_mysql(sql: str) -> str:
     """Rewrite a MySQL report query into Spark SQL."""
-    out = _DATE_FORMAT_CALL.sub(
-        lambda m: m.group(1) + _translate_format(m.group(2)) + m.group(3), sql
-    )
+    out = _rewrite_date_format_calls(sql)
     for pat, repl in _FN_REWRITES:
         out = pat.sub(repl, out)
     return out

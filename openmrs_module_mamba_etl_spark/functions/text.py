@@ -60,9 +60,9 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def punct_count(text: Column) -> Column:
-    """Punctuation characters (counted by strip-and-diff so the same SQL
-    works verbatim in the DuckDB oracle)."""
-    return F.length(text) - F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\-]", ""))
+    """Punctuation characters (counted by strip-punct-and-diff so the same
+    SQL works verbatim in the DuckDB oracle)."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?'\"()\-]", ""))
 
 
 def mean_word_length(text: Column) -> Column:

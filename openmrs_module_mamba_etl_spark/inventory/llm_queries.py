@@ -628,7 +628,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len(toks) > 0
                   THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
                   ELSE 0.0 END AS mwl,
-             length(text) - length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
                AS n_punct
       FROM t
     )
@@ -883,7 +883,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len(toks) > 0
                   THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
                   ELSE 0.0 END AS mwl,
-             length(text) - length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
                AS n_punct
       FROM t
     ), scored AS (

@@ -286,18 +286,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, s_us * 1000 AS session_start_ns,
            e_us * 1000 AS session_end_ns, n_events, sum_value
     FROM sess s, mx
-    WHERE NOT (sid = (SELECT MAX(sid) FROM sess s2
-                      WHERE s2.user_id = s.user_id)
-               AND e_us + 21600000000 > m - 3600000000)
+    WHERE e_us + 21600000000 <= ((m // 1000) - 3600000) * 1000
     """,
 )
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming sessionization over the events table: one
     availableNow drain through ``applyInPandasWithState`` (6 h gap, 1 h
-    watermark). The emission set is deterministic — every session EXCEPT a
-    user's trailing one when that session could still absorb events
-    (end + gap above the final watermark = max event time − delay) — which
-    is exactly what the oracle's gaps-and-islands SQL pins. The
+    watermark). The emission set is deterministic — exactly the sessions
+    whose ``end + gap`` lies at or below the final watermark (max event
+    time − delay, millisecond-floored the way Spark tracks it); later
+    sessions stay in state because an admissible late event could still
+    extend them. The oracle's gaps-and-islands SQL pins that set; the
     incremental batch/stream equivalence is separately pinned by
     tests/test_streaming.py."""
     import os

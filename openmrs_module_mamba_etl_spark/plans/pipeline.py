@@ -86,6 +86,12 @@ def materialize(
     for name, df in ctx.tables.items():
         path = os.path.join(target_dir, name)
         df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path).createOrReplaceTempView(name)
+        stored = spark.read.parquet(path)
+        stored.createOrReplaceTempView(name)
+        # repoint the context too: later steps that reach a table through
+        # ctx.tables must read the materialized files, not re-execute the
+        # build lineage (which re-scans sources and can diverge from the
+        # written store if they change)
+        ctx.tables[name] = stored
         paths[name] = path
     return paths

@@ -38,14 +38,21 @@ class EtlScheduler:
 
     def run(self, max_ticks: int | None = None) -> None:
         """Tick until ``max_ticks`` (None = forever). First tick immediate,
-        like the reference's setup which runs ETL at module start."""
-        while max_ticks is None or self.ticks < max_ticks:
+        like the reference's setup which runs ETL at module start.
+
+        ``max_ticks`` counts THIS call's ticks; ``self.ticks`` is the
+        lifetime total (it decides full-vs-incremental, which must survive
+        across calls — a resumed scheduler must not redo the full build).
+        """
+        call_ticks = 0
+        while max_ticks is None or call_ticks < max_ticks:
             start = time.monotonic()
             # First tick is a full build even in incremental deployments —
             # the reference behaves the same (no state ⇒ full refresh).
             self.run_once(self.incremental and self.ticks > 0)
             self.ticks += 1
-            if max_ticks is not None and self.ticks >= max_ticks:
+            call_ticks += 1
+            if max_ticks is not None and call_ticks >= max_ticks:
                 break
             elapsed = time.monotonic() - start
             time.sleep(max(0.0, self.interval_seconds - elapsed))
@@ -63,11 +70,17 @@ def stream_incremental(
 ) -> StreamingQuery:
     """File-source incremental stream → ``foreachBatch(batch_fn)``.
 
-    ``availableNow=True`` drains everything new then stops (the idiomatic
-    periodic-batch trigger); a ``processing_interval`` like ``"1800 seconds"``
-    reproduces the reference's resident scheduler. The checkpoint tracks
-    which source files were consumed — the streaming-native watermark.
+    ``availableNow=True`` (the default) drains everything new then stops —
+    the idiomatic periodic-batch trigger. Passing ``processing_interval``
+    (e.g. ``"1800 seconds"``) selects the reference's resident scheduler
+    and overrides the drain-once default; asking for both explicitly is a
+    contradiction and raises. The checkpoint tracks which source files
+    were consumed — the streaming-native watermark.
     """
+    if processing_interval and available_now:
+        # available_now's default True must not silently win over an
+        # explicit interval — the caller asked for a resident scheduler.
+        available_now = False
     reader = spark.readStream.format(fmt).schema(schema).load(source_dir)
     writer = reader.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint_dir

@@ -1,10 +1,15 @@
 """Stateful streaming sessionization — `applyInPandasWithState` carrier.
 
 The batch formulation lives in :mod:`..operators.sessionize`; this module
-runs the same 6-hour-gap semantics continuously: per-key session state is
-kept by the engine's state store, sessions closed by an in-batch gap emit
-immediately, and trailing open sessions emit when the event-time watermark
-passes ``last_event + gap`` (EventTimeTimeout).
+runs the same 6-hour-gap semantics continuously: per-key sessions are kept
+in the engine's state store and a session emits ONLY once the event-time
+watermark passes ``last_event + gap`` — the point after which no
+late-but-admissible event could still extend or merge it. (Emitting on
+in-batch gap evidence alone would be retractable: a later batch may carry
+an older-but-within-watermark event that belonged to the "closed" session,
+and append mode cannot retract.) Sessions are merged as atomic
+[start, last] blocks under the gap rule, so late events that bridge two
+pending sessions collapse them exactly as a batch re-run would.
 
 This is the "custom stateful operator" seam: the kernel is an
 Arrow-batched pandas function (vectorized gap detection — no per-row
@@ -24,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -45,13 +51,14 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
-#: (session_start_ns, last_event_ns, n_events, sum_value)
+#: Parallel arrays, one entry per not-yet-watermark-safe session (the
+#: trailing open session included) — a key's pending sessions, oldest first.
 STATE_SCHEMA = StructType(
     [
-        StructField("start", LongType()),
-        StructField("last", LongType()),
-        StructField("n", LongType()),
-        StructField("s", DoubleType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("ss", ArrayType(DoubleType())),
     ]
 )
 
@@ -63,57 +70,72 @@ def _make_kernel(gap_ns: int, ts_col: str, value_col: str):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
 
-        def row(start: int, last: int, n: int, s: float) -> dict:
-            return {
-                "user_id": int(user_id),
-                "session_start_ns": int(start),
-                "session_end_ns": int(last),
-                "n_events": int(n),
-                "sum_value": round(float(s), 2),
-            }
+        # blocks: [start, last, n, sum] — state sessions + batch events as
+        # singletons. Sessionization is interval merging under the gap
+        # rule, which treats an aggregated block exactly like its events.
+        blocks: list[list] = []
+        if state.exists:
+            starts, lasts, ns_, ss = state.get
+            blocks = [
+                [int(a), int(b), int(c), float(d)]
+                for a, b, c, d in zip(starts, lasts, ns_, ss)
+            ]
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs))
+            if len(pdf):
+                ts = pdf[ts_col].to_numpy(dtype=np.int64)
+                val = pdf[value_col].to_numpy(dtype=np.float64)
+                blocks += [
+                    [int(t), int(t), 1, float(v)] for t, v in zip(ts, val)
+                ]
 
-        if state.hasTimedOut:
-            start, last, n, s = state.get
+        blocks.sort(key=lambda b: (b[0], b[1]))
+        merged: list[list] = []
+        for b in blocks:
+            if merged and b[0] - merged[-1][1] <= gap_ns:
+                m = merged[-1]
+                m[1] = max(m[1], b[1])
+                m[2] += b[2]
+                m[3] += b[3]
+            else:
+                merged.append(list(b))
+
+        # Emit only watermark-safe sessions (nothing admissible can still
+        # touch them); everything else — trailing open session included —
+        # stays in state until its own timeout.
+        done = [m for m in merged if m[1] + gap_ns <= wm_ns]
+        keep = [m for m in merged if m[1] + gap_ns > wm_ns]
+
+        if keep:
+            state.update(
+                (
+                    [m[0] for m in keep],
+                    [m[1] for m in keep],
+                    [m[2] for m in keep],
+                    [m[3] for m in keep],
+                )
+            )
+            next_ms = -(-(min(m[1] for m in keep) + gap_ns) // 1_000_000)
+            state.setTimeoutTimestamp(max(wm_ms + 1, next_ms))
+        elif state.exists:
             state.remove()
-            yield pd.DataFrame([row(start, last, n, s)])
-            return
 
-        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy(dtype=np.int64)
-        val = pdf[value_col].to_numpy(dtype=np.float64)
-
-        carry = state.get if state.exists else None
-        # Vectorized gap detection; the carried session supplies the
-        # "previous event" for the first row (sentinel forces a new
-        # session when no state exists).
-        prev0 = carry[1] if carry else ts[0] - gap_ns - 1
-        prev = np.concatenate(([prev0], ts[:-1]))
-        sid = np.cumsum((ts - prev) > gap_ns)  # 0 ⇒ continues carried session
-
-        out = []
-        if carry and sid[0] > 0:  # batch starts a new session → close carried
-            out.append(row(*carry))
-
-        bounds = np.flatnonzero(np.concatenate(([True], sid[1:] != sid[:-1])))
-        segments = np.split(np.arange(len(ts)), bounds[1:])
-        for seg in segments[:-1]:
-            st, en = ts[seg[0]], ts[seg[-1]]
-            n, s = len(seg), float(val[seg].sum())
-            if sid[seg[0]] == 0:  # carried session extended then closed
-                st, n, s = carry[0], carry[2] + n, carry[3] + s
-            out.append(row(st, en, n, s))
-
-        seg = segments[-1]  # trailing (open) session → state
-        st, en = ts[seg[0]], ts[seg[-1]]
-        n, s = len(seg), float(val[seg].sum())
-        if sid[seg[0]] == 0 and carry:
-            st, n, s = carry[0], carry[2] + n, carry[3] + s
-        state.update((int(st), int(en), int(n), float(s)))
-        # Close the open session when the watermark passes last + gap.
-        state.setTimeoutTimestamp((int(en) + gap_ns) // 1_000_000)
-
-        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "session_start_ns": int(m[0]),
+                    "session_end_ns": int(m[1]),
+                    "n_events": int(m[2]),
+                    "sum_value": round(float(m[3]), 2),
+                }
+                for m in done
+            ],
+            columns=[f.name for f in OUTPUT_SCHEMA.fields],
+        )
 
     return kernel
 

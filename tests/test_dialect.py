@@ -8,10 +8,32 @@ def test_date_format_tokens():
     assert "yyyy-MM-dd" in out
 
 
-def test_date_format_literal_letters_quoted():
-    # Literal alpha chars inside a SimpleDateFormat pattern must be quoted.
-    out = translate_mysql("SELECT DATE_FORMAT(d, '%Yy%mT') FROM t")
-    assert "yyyy'y'MM'T'" in out
+def test_date_format_literal_letters_quoted(spark):
+    # Literal alpha chars inside a SimpleDateFormat pattern must be quoted
+    # (as ONE run — per-char quoting makes '' = escaped quote) and the
+    # rewritten SQL must actually execute.
+    spark.sql("SELECT timestamp'2024-03-05 13:07:09' AS d")         .createOrReplaceTempView("_dlt")
+    out = translate_mysql("SELECT DATE_FORMAT(d, '%Yy%mT') AS f FROM _dlt")
+    assert spark.sql(out).collect()[0]["f"] == "2024y03T"
+    out = translate_mysql("SELECT DATE_FORMAT(d, '%d of %M') AS f FROM _dlt")
+    assert spark.sql(out).collect()[0]["f"] == "05 of March"
+    out = translate_mysql("SELECT DATE_FORMAT(d, '%h:%i %p') AS f FROM _dlt")
+    assert spark.sql(out).collect()[0]["f"] == "01:07 PM"
+
+
+def test_date_format_comma_inside_first_arg(spark):
+    # the argument scanner must not split on commas inside nested quotes
+    out = translate_mysql(
+        "SELECT DATE_FORMAT(CONCAT('2024-03-05',' ','13:07:09'), '%Y') AS f"
+    )
+    assert spark.sql(out).collect()[0]["f"] == "2024"
+
+
+def test_date_format_unsupported_token_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="%D"):
+        translate_mysql("SELECT DATE_FORMAT(d, '%D') FROM t")
 
 
 def test_date_format_fixed_suffix():

@@ -190,6 +190,10 @@ def test_etl_scheduler_ticks():
     sched.run(max_ticks=3)
     # first tick full (False), later ticks incremental (True)
     assert seen == [False, True, True]
+    # a resumed run() ticks again (max_ticks is per-call) and must NOT
+    # redo the full build — lifetime state says it already ran
+    sched.run(max_ticks=2)
+    assert seen == [False, True, True, True, True]
 
 
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
