@@ -5,8 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed to completion with results drained executor-side
-(count over a fully materialized plan) so the measurement is engine time,
-not driver-transfer time. A warm-up action first absorbs JVM/session start.
+through the noop sink, which materializes EVERY output column — count()
+would let Catalyst prune the very expressions being measured (a pure
+projection collapses to a bare scan). A warm-up action first absorbs
+JVM/session start.
 """
 
 from __future__ import annotations
@@ -48,8 +50,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
     registry.load_all()
 
     spark = get_spark(app_name="mamba-bench")
@@ -69,7 +74,7 @@ def main() -> None:
         for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 

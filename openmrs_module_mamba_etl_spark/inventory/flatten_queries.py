@@ -12,16 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from openmrs_module_mamba_etl_spark.operators.flatten import (
-    FlattenSpec,
+    EVENTS_AS_OBS_SPEC as EVENTS_SPEC,
     auto_flatten_by_type,
     flatten,
 )
 from openmrs_module_mamba_etl_spark.registry import query
 from openmrs_module_mamba_etl_spark.sources.parquet import table
-
-EVENTS_SPEC = FlattenSpec(
-    entity_col="user_id", attr_col="event_type", value_col="value", order_col="ts"
-)
 
 _LATEST_CTE = """
     WITH latest AS (

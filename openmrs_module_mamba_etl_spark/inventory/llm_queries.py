@@ -436,11 +436,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search ---------------------------------------------------
 
 
-def _assert_emb_dim(spark: SparkSession, sf_dir: str) -> None:
+def _assert_emb_dim(
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+    width: int | None = None,
+) -> None:
     """The hyperplane oracles bake 8×_EMB_DIM literals at import time while
     the Spark side infers the width from the data — fail LOUDLY instead of
-    hash-mismatching confusingly if a testdata generation changes width."""
-    width = len(_query_vec(spark, sf_dir, 0))
+    hash-mismatching confusingly if a testdata generation changes width.
+    Pass ``width`` when the caller already knows it; otherwise the query
+    vector is probed."""
+    if width is None:
+        width = len(_query_vec(spark, sf_dir, 0))
     if width != _EMB_DIM:
         raise AssertionError(
             f"embeddings width {width} != {_EMB_DIM}; regenerate the "
@@ -512,11 +519,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seed-42 projection literals, so the pruned candidate set —
     and the top-10 — replay exactly."""
     qv = _query_vec(spark, sf_dir, 0)
-    if len(qv) != _EMB_DIM:  # oracle literals are baked for _EMB_DIM
-        raise AssertionError(
-            f"embeddings width {len(qv)} != {_EMB_DIM}; regenerate the "
-            "hyperplane oracle (_hyperplane_bucket_sql) for the new width"
-        )
+    _assert_emb_dim(width=len(qv))
     return lsh_topk(
         table(spark, sf_dir, "embeddings"),
         "vec_id",

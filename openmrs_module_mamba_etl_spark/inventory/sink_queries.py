@@ -8,7 +8,6 @@ hash-checked against the oracle's relational definition of the final state.
 from __future__ import annotations
 
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -30,13 +29,18 @@ ORDER_COLS = [
 
 
 def _scratch_dir(name: str) -> str:
+    """Per-query scratch path, wiped on every call.
+
+    A fixed path per query name: each run owns its query's dir
+    exclusively (the repeated-verify/bench lifecycle), so random suffixes
+    would only orphan dead parquet for the next run to glob-clean.
+    """
     _SCRATCH.mkdir(exist_ok=True)
-    # prune earlier runs of the same query so repeated verify/bench cycles
-    # don't accumulate dead parquet under _scratch/
+    d = _SCRATCH / name
+    shutil.rmtree(d, ignore_errors=True)
+    # also prune suffixed dirs from older revisions' mkdtemp scheme
     for stale in _SCRATCH.glob(f"{name}_*"):
         shutil.rmtree(stale, ignore_errors=True)
-    d = Path(tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH))
-    shutil.rmtree(d, ignore_errors=True)
     return str(d)
 
 

@@ -236,6 +236,21 @@ def _events_stream_schema():
 _EVENTS_STREAM_SCHEMA = _events_stream_schema()
 
 
+def _drain(q, seconds: int = 300) -> None:
+    """Await an availableNow drain; fail LOUDLY on timeout.
+
+    ``awaitTermination`` returns False (it does not raise) when the clock
+    runs out — reading the sink then would hand partial output to the
+    correctness gate while the query keeps writing into a scratch dir the
+    next run deletes from under it.
+    """
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {seconds}s"
+        )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File stream over the raw events table with ``ts`` normalized to the
     engine's canonical int64 ns (see sources/parquet.py). The stream schema
@@ -319,7 +334,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
@@ -364,7 +379,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
@@ -423,7 +438,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
@@ -464,7 +479,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
@@ -631,7 +646,7 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     out = spark.read.parquet(rollup)
     return out.select(
         F.col("chunk").cast("long").alias("chunk"),
@@ -714,7 +729,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
@@ -876,7 +891,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(cur["path"]).select(
         "user_id", "last_event", "last_value", "last_tus"
     )

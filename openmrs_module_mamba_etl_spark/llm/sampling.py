@@ -244,10 +244,15 @@ def temperature_rates(
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_rows"))
     n_min = counts.agg(F.min("n_rows").alias("n_min"))
-    boost = F.pow(
-        F.col("n_min").cast("double") / F.col("n_rows").cast("double"),
-        F.lit(1.0 - alpha),
-    )
+    ratio = F.col("n_min").cast("double") / F.col("n_rows").cast("double")
+    if abs((1.0 - alpha) - 0.5) < 1e-15:
+        # alpha=0.5 (the standard recipe): sqrt is IEEE correctly rounded
+        # on every engine; Java's Math.pow is only within 1 ulp, so a
+        # boundary ratio could floor() to a different permille than
+        # DuckDB's SQRT and flip the sampled set.
+        boost = F.sqrt(ratio)
+    else:
+        boost = F.pow(ratio, F.lit(1.0 - alpha))
     return counts.join(F.broadcast(n_min)).select(
         F.col(stratum_col),
         F.col("n_rows"),

@@ -182,6 +182,15 @@ def apply_concept_locale(
     ).drop("__cid", "__cname")
 
 
+#: Canonical mapping of the testdata `events` table onto the obs EAV shape
+#: (entity=user, attribute=event type, value, event-time order) — shared by
+#: the inventory pivot queries and the clinical demo pipeline so the two
+#: access paths can never diverge.
+EVENTS_AS_OBS_SPEC = FlattenSpec(
+    entity_col="user_id", attr_col="event_type", value_col="value", order_col="ts"
+)
+
+
 @dataclass(frozen=True)
 class AutoFlattenResult:
     """One flat table per attribute-domain partition (e.g. encounter type)."""

@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from openmrs_module_mamba_etl_spark.operators.flatten import FlattenSpec, flatten
+from openmrs_module_mamba_etl_spark.operators.flatten import (
+    EVENTS_AS_OBS_SPEC,
+    flatten,
+)
 from openmrs_module_mamba_etl_spark.plans.pipeline import (
     MambaPipeline,
     PipelineContext,
@@ -28,9 +31,7 @@ PIPELINE = MambaPipeline()
 #: FlattenSpec for events-as-obs: one wide row per user, one column per
 #: event_type, latest value wins (reference flat-table semantics,
 #: README.md:8-12).
-EVENTS_AS_OBS = FlattenSpec(
-    entity_col="user_id", attr_col="event_type", value_col="value", order_col="ts"
-)
+EVENTS_AS_OBS = EVENTS_AS_OBS_SPEC
 
 
 @PIPELINE.register("mamba_dim_person")
