@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Training-data pipeline demo: profile → curate → cluster → decontaminate
-→ repetition-filter → mixture → split → pack → search.
+→ repetition-filter → mixture → split → pack → search → semantic dedup
+→ incremental ingest.
 
 The §2.I story end-to-end on testdata: health-check the corpus, filter to
 quality dedup survivors, close near-dup pairs into transitive clusters,
@@ -118,6 +119,24 @@ def main() -> None:
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     print("-- IVF top-5 neighbors of vec 0 --")
     ivf_topk(emb, "vec_id", "embedding", qv, k=5, n_cells=8, nprobe=3).show()
+
+    # 8. SemDeDup over the embedding space (cluster-then-dedup) and the
+    #    daily-ingest shape: dedup a new batch against the standing corpus
+    #    without ever shuffling the corpus
+    from openmrs_module_mamba_etl_spark.llm.dedup import (
+        incremental_exact_dedup,
+        semantic_dedup,
+    )
+
+    kept = semantic_dedup(emb, "vec_id", "embedding", n_cells=8, threshold=0.35)
+    print(f"SemDeDup keeps {kept.count()} of {emb.count()} embeddings")
+    fresh = incremental_exact_dedup(
+        docs.where(F.col("doc_id") % 2 == 0),   # standing corpus
+        docs.where(F.col("doc_id") % 2 == 1),   # today's increment
+        "doc_id",
+        "text",
+    )
+    print(f"incremental ingest admits {fresh.count()} genuinely-new docs")
 
 
 if __name__ == "__main__":
