@@ -347,3 +347,32 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
 
     out = [r["k"] for r in spark.read.parquet(target).collect()]
     assert sorted(out) == ["A", "A", "B", "C"]  # A re-admitted after eviction
+
+
+def test_streaming_sessionize_late_event_merges_pending(spark, tmp_path):
+    """A late-but-admissible event must MERGE into the pending session it
+    belongs to, not fork a retractable duplicate — the reason sessions
+    emit only once watermark-safe."""
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    target = str(tmp_path / "sessions")
+
+    # batch 1: events at 0h and 20h -> watermark 19h. Session [0,0] is
+    # watermark-safe (0+6h <= 19h) and emits; [20,20] stays pending.
+    b1 = [(1, T0, 1.0), (1, T0 + 20 * HOUR_NS, 2.0)]
+    spark.createDataFrame(b1, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got1 = _drain_sessions(spark, src, ckpt, target)
+    assert (1, T0, T0, 1, 1.0) in got1
+    assert not any(r[1] == T0 + 20 * HOUR_NS or r[2] == T0 + 20 * HOUR_NS
+                   for r in got1)
+
+    # batch 2: a LATE event at 19.5h (admissible: above the 19h watermark,
+    # within gap of the pending session) plus a 40h event that advances
+    # the watermark to 39h, making the merged session watermark-safe.
+    b2 = [(1, T0 + 19 * HOUR_NS + HOUR_NS // 2, 4.0),
+          (1, T0 + 40 * HOUR_NS, 8.0)]
+    spark.createDataFrame(b2, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    new2 = _drain_sessions(spark, src, ckpt, target) - got1
+    # ONE merged session [19.5h, 20h] with both events — never two
+    # overlapping fragments
+    assert (1, T0 + 19 * HOUR_NS + HOUR_NS // 2, T0 + 20 * HOUR_NS, 2, 6.0) in new2
+    assert len([r for r in new2 if r[1] <= T0 + 20 * HOUR_NS]) == 1
