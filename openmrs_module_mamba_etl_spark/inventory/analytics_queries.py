@@ -856,3 +856,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.round("pr", 2).alias("pagerank"))
+
+
+@query(
+    "window_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             ROUND(SUM(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(
+             (total * 0.3
+              + COALESCE(LAG(total, 1) OVER w, 0) * 0.3 * 0.7
+              + COALESCE(LAG(total, 2) OVER w, 0) * 0.3 * 0.49
+              + COALESCE(LAG(total, 3) OVER w, 0) * 0.3 * 0.343
+              + COALESCE(LAG(total, 4) OVER w, 0) * 0.3 * 0.2401
+              + COALESCE(LAG(total, 5) OVER w, 0) * 0.3 * 0.16807
+              + COALESCE(LAG(total, 6) OVER w, 0) * 0.3 * 0.117649),
+             4) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the per-type daily
+    rollup (α=0.3, 7-day horizon) — the smoothing primitive behind
+    monitoring dashboards and anomaly baselines.
+
+    Finite-horizon formulation as an explicit lag-weight sum: the
+    textbook recursive EWMA is inexpressible declaratively, and the
+    closed-form ``(1-α)^(d)``-rescaling trick explodes ``(1-α)^(-d)``
+    beyond double range on long histories. Seven lag terms with literal
+    weights are exact, engine-portable (the oracle is the same seven
+    terms), and stay inside one window sort — the same single exchange
+    every other per-type window here uses. The daily pre-aggregate
+    contracts the stream first, so the window runs over |types|×|days|
+    rows, never raw events."""
+    a = 0.3
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    terms = F.col("total") * F.lit(a)
+    for k in range(1, 7):
+        terms = terms + F.coalesce(
+            F.lag("total", k).over(w), F.lit(0.0)
+        ) * F.lit(a * (1 - a) ** k)
+    return daily.select(
+        "event_type", "day", F.round(terms, 4).alias("ewma")
+    )
