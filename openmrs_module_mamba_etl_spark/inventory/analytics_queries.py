@@ -912,3 +912,40 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", F.round(terms, 4).alias("ewma")
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, SUM(n) AS total FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           ROUND(-SUM((n * 1.0 / total) * LOG2(n * 1.0 / total)), 4)
+             AS type_entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity profile (0 = single-type bots, log2(5) ≈ 2.32 =
+    uniform across all five types). Two hash aggregates sharing the
+    user_id partitioning plus a broadcast-sized totals join; the entropy
+    sum runs over ≤|types| rows per user, so the plan is aggregate-bound
+    at any scale."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("type_entropy"))
+    )
