@@ -603,6 +603,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ), rd AS (
+      SELECT user_id, make_timestamp(tus) AS rts, value FROM r WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           rd.value AS asof_value, epoch_us(rd.rts) AS asof_tus
+    FROM orders o ASOF LEFT JOIN rd
+      ON o.o_custkey = rd.user_id AND rd.rts >= CAST(o.o_orderdate AS TIMESTAMP)
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each order enriched with the customer's
+    EARLIEST event value at or after the order date (the next-reading /
+    scheduling variant). Same union + one-window-sort plan as the
+    backward join — only the scan direction flips."""
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+        "value",
+    )
+    out = asof_join(
+        orders,
+        events,
+        key_col="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ets",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+        right_key_col="user_id",
+        direction="forward",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_value"),
+        F.unix_micros("asof_ts").alias("asof_tus"),
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT i.event_id AS purchase_id, p.event_id AS event_id

@@ -33,16 +33,26 @@ def asof_join(
     payload_cols: list[str],
     tiebreak_col: str | None = None,
     right_key_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time enrich ``left`` with the latest ``right`` payload.
+    """Point-in-time enrich ``left`` with the nearest ``right`` payload.
+
+    ``direction="backward"`` (default) attaches the LATEST right row with
+    ``right.ts <= left.ts``; ``"forward"`` the EARLIEST right row with
+    ``right.ts >= left.ts`` (the scheduling/next-reading variant). Both
+    are the same union + single window sort plan — forward just scans the
+    merged stream in descending time order, so the prefix carry picks the
+    nearest later row.
 
     ``right`` is first deduplicated to one row per (key, ts) —
     latest-``tiebreak_col`` wins — so the carried payload is deterministic
     even when several right rows share a timestamp. Left rows with no
-    right row at or before them keep NULL payloads (left-outer as-of).
+    right row on the required side keep NULL payloads (left-outer as-of).
     Payload columns are emitted as ``asof_<name>``. ``right_key_col``
     defaults to ``key_col`` when both sides share the name.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rk = right_key_col or key_col
     # Payload columns ride under reserved "_p_" names so a left column that
     # happens to share a payload name is never merged by unionByName (that
@@ -76,9 +86,13 @@ def asof_join(
     merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
     # right (_side 0) sorts before left (_side 1) at equal ts → ties count
+    # ("at or before" / "at or after" both include the equal timestamp)
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry the latest right row as ONE struct — all attached payload

@@ -90,3 +90,22 @@ def test_asof_null_payload_from_latest_row(spark):
     row = out.collect()[0]
     assert row["asof_ts"] == 20
     assert row["asof_bid"] is None
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "at10"), (1, 40, "at40")], "k long, t long, v string"
+    )
+    out = asof_join(
+        left, right, key_col="k", left_ts="t", right_ts="t",
+        payload_cols=["v"], direction="forward",
+    )
+    got = _rows(out, ["k", "t", "asof_v", "asof_ts"])
+    assert got == [
+        (1, 10, "at10", 10),   # equal ts counts ("at or after")
+        (1, 25, "at40", 40),   # earliest right >= 25
+        (1, 50, None, None),   # nothing after → outer nulls
+    ]
