@@ -206,7 +206,19 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
-@query("agg_sketch_merge")  # Datasketches HLL binary — no DuckDB equivalent
+@query(
+    "agg_sketch_merge",
+    # The sketch *binary* has no DuckDB twin, but the final estimate does:
+    # the sf0.01 key domain (150 distinct users) is far below the
+    # Datasketches HLL_4 sparse→dense transition at lgK=12 (~k/4 ≈ 1024
+    # coupons), so both the per-day sketches and their union stay in exact
+    # coupon mode and the estimate EQUALS COUNT(DISTINCT). Associativity of
+    # the dense path is pinned separately by tests/test_properties.py.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS est_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pre-aggregation — the 100 TB distinct-count
     pattern: sketch once at the fine grain (event_type × day), answer any
@@ -214,8 +226,9 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. HLL register-max merge is associative, so
     union-of-day-sketches yields the IDENTICAL estimate to one sketch
     over all rows (pinned exactly by tests/test_properties.py); accuracy
-    vs exact distinct is a fixed ~1.6% rel. std. error at lgK=12.
-    Rows-only check: the sketch binary has no DuckDB twin."""
+    vs exact distinct is a fixed ~1.6% rel. std. error at lgK=12, and the
+    estimate is exactly COUNT(DISTINCT) while the sketch remains in sparse
+    coupon mode (true on the sf0.01 oracle domain)."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")
