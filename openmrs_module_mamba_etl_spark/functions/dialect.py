@@ -150,20 +150,33 @@ def _rewrite_date_format_calls(sql: str) -> str:
                 top_commas.append(pos)
             pos += 1
         close = pos - 1  # index of the matching ')'
-        if depth != 0 or len(top_commas) != 1:
+        if depth != 0:
+            # unterminated call — emit the rest verbatim
             out.append(sql[i:pos])
             i = pos
+            continue
+        if len(top_commas) != 1:
+            # not the two-arg shape: emit up to the open paren and resume
+            # INSIDE the call so nested DATE_FORMATs in its arguments are
+            # still found
+            out.append(sql[i : k + 1])
+            i = k + 1
             continue
         second = sql[top_commas[0] + 1 : close].strip()
         if len(second) >= 2 and second[0] == "'" and second[-1] == "'":
             fmt = second[1:-1].replace("''", "'")
             translated = _translate_format(fmt).replace("'", "''")
-            # keep everything up to the comma verbatim, swap the literal
-            out.append(sql[i : top_commas[0] + 1])
-            out.append(f" '{translated}')")
+            # recurse into the first argument (nested DATE_FORMAT keeps its
+            # own MySQL literal otherwise), swap the format literal
+            out.append(sql[i : k + 1])
+            out.append(_rewrite_date_format_calls(sql[k + 1 : top_commas[0]]))
+            out.append(f", '{translated}')")
+            i = pos
         else:
-            out.append(sql[i:pos])
-        i = pos
+            # second arg not a plain literal: leave this call's name in
+            # place but keep scanning inside its argument list
+            out.append(sql[i : k + 1])
+            i = k + 1
 
 
 def translate_mysql(sql: str) -> str:

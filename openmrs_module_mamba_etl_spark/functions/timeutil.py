@@ -31,15 +31,27 @@ from pyspark.sql import functions as F
 _INT_TYPES = {"bigint", "long", "int", "integer"}
 
 
+def _floor_div_1000(col: str) -> Column:
+    """Exact integer ns→µs floor division, matching DuckDB's ``epoch_us``
+    floor semantics on pre-1970 (negative) values too.
+
+    ``div`` truncates toward zero; plain ``/`` would round-trip through
+    double (ns-since-epoch exceeds 2^53). ``(x - pmod(x, 1000)) div 1000``
+    subtracts the non-negative remainder first, so the ``div`` is exact and
+    the result is the floor for either sign — still pure codegen.
+    """
+    return F.expr(f"(({col} - pmod({col}, 1000)) div 1000)")
+
+
 def ts_us(df: DataFrame, col: str = "ts") -> Column:
     """Microseconds-since-epoch for ``df[col]`` regardless of physical type.
 
     int64 input is assumed ns-since-epoch (the legacy nanosAsLong read path)
-    and divided by 1000; timestamp input goes through ``unix_micros``.
+    and floor-divided by 1000; timestamp input goes through ``unix_micros``.
     """
     dtype = dict(df.dtypes).get(col, "")
     if dtype in _INT_TYPES:
-        return F.expr(f"{col} div 1000")
+        return _floor_div_1000(col)
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
@@ -47,5 +59,5 @@ def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:
     """``df[col]`` as a session-tz TIMESTAMP regardless of physical type."""
     dtype = dict(df.dtypes).get(col, "")
     if dtype in _INT_TYPES:
-        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+        return F.timestamp_micros(_floor_div_1000(col))
     return F.col(col).cast("timestamp")

@@ -78,12 +78,23 @@ def changed_since(
     a LIVE source, rows committing while the tick runs must be excluded
     and picked up next tick — advancing the watermark past rows that were
     visible to a later scan but not to the merge loses them forever.
+
+    NULL audit values: an audit-column contract cannot track rows the
+    source never stamps — ``audit > wm`` can never match them — so on the
+    FIRST-run full build (``watermark is None``) the upper bound keeps
+    NULL-audit rows (``audit <= upper OR audit IS NULL``) rather than
+    silently dropping them forever. Incremental ticks intentionally skip
+    them (they are immutable as far as the audit column can ever tell).
     """
     out = df
     if watermark is not None:
         out = out.where(F.col(audit_col) > F.lit(watermark))
-    if upper is not None:
-        out = out.where(F.col(audit_col) <= F.lit(upper))
+        if upper is not None:
+            out = out.where(F.col(audit_col) <= F.lit(upper))
+    elif upper is not None:
+        out = out.where(
+            (F.col(audit_col) <= F.lit(upper)) | F.col(audit_col).isNull()
+        )
     return out
 
 

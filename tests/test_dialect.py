@@ -29,6 +29,35 @@ def test_date_format_comma_inside_first_arg(spark):
     assert spark.sql(out).collect()[0]["f"] == "2024"
 
 
+def test_date_format_nested_first_arg(spark):
+    # A DATE_FORMAT nested inside the first argument of another must also
+    # get its format literal translated — the scanner recurses into the
+    # first argument instead of skipping the whole outer call.
+    out = translate_mysql(
+        "SELECT DATE_FORMAT(DATE_FORMAT(timestamp'2024-03-05 13:07:09',"
+        " '%Y-%m-01'), '%m') AS f"
+    )
+    assert "%Y" not in out and "%m" not in out
+    assert spark.sql(out).collect()[0]["f"] == "03"
+
+
+def test_date_format_nested_in_non_literal_call(spark):
+    # Outer call's second arg is not a plain literal → outer passes
+    # through, but the inner call inside its argument list still rewrites.
+    out = translate_mysql(
+        "SELECT CONCAT(DATE_FORMAT(timestamp'2024-03-05 13:07:09', '%Y'),"
+        " '-x') AS f"
+    )
+    assert "%Y" not in out
+    assert spark.sql(out).collect()[0]["f"] == "2024-x"
+
+
+def test_date_format_three_args_passthrough():
+    # Wrong arity: name left alone, scan continues inside the arg list.
+    sql = "SELECT DATE_FORMAT(a, b, c) FROM t"
+    assert translate_mysql(sql) == sql
+
+
 def test_date_format_unsupported_token_raises():
     import pytest
 

@@ -46,6 +46,31 @@ def test_changed_since(spark):
     assert changed_since(df, "ts", "15").count() == 1
 
 
+def test_changed_since_null_audit_kept_on_full_build(spark):
+    # NULL audit rows can never match `audit > wm`, so the first-run full
+    # build must include them instead of silently dropping them forever.
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, ts long"
+    )
+    full = changed_since(df, "ts", None, upper="20")
+    assert {r["id"] for r in full.collect()} == {1, 2, 3}
+    # incremental ticks intentionally skip NULL-audit rows
+    inc = changed_since(df, "ts", "10", upper="20")
+    assert {r["id"] for r in inc.collect()} == {2}
+
+
+def test_incremental_first_run_keeps_null_audit_rows(spark, tmp_path):
+    target = str(tmp_path / "tgt_null")
+    store = WatermarkStore(tmp_path / "wm_null.json")
+    src = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", None)], "id long, v string, audit long"
+    )
+    out = incremental_refresh_parquet(
+        spark, src, target, ["id"], "audit", store, "tn"
+    )
+    assert {r["id"] for r in out.collect()} == {1, 2}
+
+
 def test_incremental_refresh_end_to_end(spark, tmp_path):
     target = str(tmp_path / "tgt")
     store = WatermarkStore(tmp_path / "wm.json")
