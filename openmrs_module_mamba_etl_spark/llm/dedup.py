@@ -566,11 +566,58 @@ def semantic_dedup(
     )
 
 
+def _propagation_round(edges, labels, maybe_broadcast):
+    """One min-label-propagation + pointer-jumping round (un-checkpointed).
+
+    Extracted so the plan of a round is testable: with ``maybe_broadcast``
+    = identity, the round must contain NO forced broadcast — at scale the
+    label table can exceed broadcast range and AQE alone decides the
+    strategy (tests/test_llm.py pins this on the executed plan).
+    """
+    neighbor_min = (
+        edges.join(maybe_broadcast(labels), edges.dst == labels.node)
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    hopped = (
+        labels.join(
+            maybe_broadcast(neighbor_min),
+            labels.node == neighbor_min.src,
+            "left",
+        )
+        .select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+    )
+    # Path compression (pointer jumping): additionally adopt the label
+    # OF my label. Plain propagation moves the component min one hop
+    # per round (a 25-doc edit-chain needs 24 rounds); the shortcut
+    # roughly doubles the reach each round — O(log diameter) total.
+    lab_of_lab = hopped.select(
+        F.col("node").alias("_ln"), F.col("label").alias("_ll")
+    )
+    return (
+        hopped.join(
+            maybe_broadcast(lab_of_lab), hopped.label == F.col("_ln"), "left"
+        )
+        .select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+            ).alias("label"),
+        )
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
@@ -605,52 +652,37 @@ def duplicate_clusters(
         .localCheckpoint()
     )
 
-    # The label table is one row per node-with-a-duplicate — orders of
-    # magnitude smaller than the edge list (dup clusters are near-cliques).
-    # Broadcasting it keeps every iteration a map-side join of the static
-    # checkpointed edges; without the hint each round re-shuffles all edges.
-    # (For a dup graph whose node set outgrows broadcast, drop the hint —
-    # the algorithm is unchanged.)
+    # The label table is one row per node-with-a-duplicate — usually orders
+    # of magnitude smaller than the edge list (dup clusters are
+    # near-cliques). While it fits, broadcasting keeps every iteration a
+    # map-side join of the static checkpointed edges. But "usually small"
+    # is not a contract: a corpus-wide run can surface a dup-node set far
+    # past broadcast range, and a hard-coded hint would then OOM the
+    # driver inside the one iterative operator most likely to be run at
+    # full scale. So the hint is a measured, size-based branch — the node
+    # count is already materialized (labels is checkpointed) and one
+    # count() is O(partitions). Above the threshold every join runs as a
+    # plain shuffle join: edges were checkpointed hash-partitioned on the
+    # probe key (dst), so AQE reuses that exchange and only the (smaller)
+    # label side moves each round. The algorithm is identical either way
+    # (pinned by tests/test_llm.py across both paths).
+    n_nodes = labels.count()
+    if n_nodes <= broadcast_max_nodes:
+        maybe_broadcast = F.broadcast
+    else:
+        def maybe_broadcast(df: DataFrame) -> DataFrame:
+            return df
+        edges = edges.repartition("dst").localCheckpoint()
+
     converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(F.broadcast(labels), edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        hopped = (
-            labels.join(
-                F.broadcast(neighbor_min), labels.node == neighbor_min.src, "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # Path compression (pointer jumping): additionally adopt the label
-        # OF my label. Plain propagation moves the component min one hop
-        # per round (a 25-doc edit-chain needs 24 rounds); the shortcut
-        # roughly doubles the reach each round — O(log diameter) total.
-        lab_of_lab = hopped.select(
-            F.col("node").alias("_ln"), F.col("label").alias("_ll")
-        )
-        new_labels = (
-            hopped.join(
-                F.broadcast(lab_of_lab), hopped.label == F.col("_ln"), "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _propagation_round(edges, labels, maybe_broadcast).localCheckpoint()
         changed = (
             new_labels.alias("n")
-            .join(F.broadcast(labels.alias("o")), F.col("n.node") == F.col("o.node"))
+            .join(
+                maybe_broadcast(labels.alias("o")),
+                F.col("n.node") == F.col("o.node"),
+            )
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()

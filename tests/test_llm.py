@@ -236,6 +236,53 @@ def test_duplicate_clusters_transitive(spark):
     }
 
 
+def test_duplicate_clusters_shuffle_path_matches_broadcast(spark):
+    """Forcing the node count over broadcast_max_nodes must flip every
+    per-round join to the co-partitioned shuffle path (no driver-side
+    label broadcast anywhere) and produce identical clusters."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 10), (9, 11)], "id_a long, id_b long"
+    )
+    expect = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    big = duplicate_clusters(pairs, broadcast_max_nodes=0)
+    got = {(r["doc_id"], r["cluster_id"]) for r in big.collect()}
+    assert got == expect
+
+    # Plan pin: a propagation round built with the identity hint must carry
+    # NO forced broadcast — with auto-broadcast disabled, any
+    # BroadcastExchange in the plan could only come from a hard-coded
+    # F.broadcast, which is exactly the driver-OOM hazard at corpus scale.
+    from pyspark.sql import functions as F
+    from openmrs_module_mamba_etl_spark.llm.dedup import _propagation_round
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        rnd = _propagation_round(edges, labels, lambda df: df)
+        plan = rnd._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "ShuffleExchange" in plan or "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_semantic_dedup_invariant(spark, sf_dir):
     """Keep/drop must match the brute-force SemDeDup rule exactly: a row is
     dropped iff some lower-id row in the SAME IVF cell has cosine >= tau."""
