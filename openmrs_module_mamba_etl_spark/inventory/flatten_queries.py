@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from openmrs_module_mamba_etl_spark.operators.flatten import (
     EVENTS_AS_OBS_SPEC as EVENTS_SPEC,
     auto_flatten_by_type,
+    run_per_type,
     flatten,
 )
 from openmrs_module_mamba_etl_spark.registry import query
@@ -118,9 +119,10 @@ def flatten_auto_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype", F.when(F.col("user_id") % 2 == 0, "even_users").otherwise("odd_users")
     )
     res = auto_flatten_by_type(ev, "etype", EVENTS_SPEC)
-    rows = [
-        (name, df.count(), len(df.columns)) for name, df in sorted(res.tables.items())
-    ]
+    # per-type count jobs submitted concurrently (run_per_type) — a driver
+    # for-loop would serialize N independent Spark jobs
+    counts = run_per_type(res, lambda _n, df: (df.count(), len(df.columns)))
+    rows = [(name, *counts[name]) for name in sorted(res.tables)]
     return spark.createDataFrame(rows, "table_name string, n_rows long, n_cols int")
 
 

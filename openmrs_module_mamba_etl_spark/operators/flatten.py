@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -229,3 +230,51 @@ def auto_flatten_by_type(
         sliced = df.where(F.col(type_col) == etype)
         tables[name] = flatten(sliced, spec, attrs=sorted(attrs))
     return AutoFlattenResult(tables=tables)
+
+
+def run_per_type(
+    result: AutoFlattenResult,
+    action: Callable[[str, DataFrame], object],
+    max_concurrency: int = 8,
+) -> dict[str, object]:
+    """Run ``action(name, df)`` over every flat table CONCURRENTLY.
+
+    The per-type plans are independent Spark jobs; submitting them from a
+    driver for-loop serializes wall-clock on the driver even though the
+    cluster is idle between jobs — at hundreds of encounter types
+    (reference: one table per type, README.md:246-248) that is the
+    bottleneck. A thread pool submits up to ``max_concurrency`` jobs at
+    once and Spark's scheduler interleaves their stages, so wall-clock
+    approaches max(job) rather than sum(job). Results keep deterministic
+    (sorted-name) ordering; the first failure propagates after all
+    submitted jobs settle.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(result.tables)
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(max_concurrency, len(names) or 1))
+    ) as pool:
+        futures = {
+            name: pool.submit(action, name, result.tables[name])
+            for name in names
+        }
+        return {name: futures[name].result() for name in names}
+
+
+def write_auto_flatten(
+    result: AutoFlattenResult,
+    base_path: str,
+    mode: str = "overwrite",
+    max_concurrency: int = 8,
+) -> dict[str, str]:
+    """Write every per-type flat table under ``base_path/<name>`` in
+    parallel; returns name → path."""
+    import os
+
+    def _write(name: str, df: DataFrame) -> str:
+        path = os.path.join(base_path, name)
+        df.write.mode(mode).parquet(path)
+        return path
+
+    return run_per_type(result, _write, max_concurrency=max_concurrency)  # type: ignore[return-value]

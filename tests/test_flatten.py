@@ -122,3 +122,56 @@ def test_flatten_null_attrs_ignored(spark):
     df = obs_df(spark, [(1, None, "x", 1), (1, "weight", "60", 1)])
     wide = flatten(df, SPEC)
     assert wide.columns == ["encounter_id", "weight"]
+
+
+def test_run_per_type_concurrent_wall_clock(spark):
+    """With a ~0.7 s artificial cost per type, 4 types must finish in far
+    less than 4×0.7 s — the per-type jobs overlap instead of running from
+    a serial driver loop. Generous margin: parallel ≈ 0.7 s + overhead,
+    serial ≥ 2.8 s; the 2.2 s cutoff separates them robustly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.operators.flatten import (
+        AutoFlattenResult,
+        run_per_type,
+    )
+
+    @F.udf("long")
+    def slow_id(x):
+        time.sleep(0.7)
+        return x
+
+    tables = {
+        f"t{i}": spark.range(1).select(slow_id(F.col("id")).alias("id"))
+        for i in range(4)
+    }
+    res = AutoFlattenResult(tables=tables)
+    t0 = time.monotonic()
+    counts = run_per_type(res, lambda _n, df: df.count())
+    wall = time.monotonic() - t0
+    assert counts == {f"t{i}": 1 for i in range(4)}
+    assert wall < 2.2, f"per-type jobs did not overlap: {wall:.2f}s"
+
+
+def test_write_auto_flatten_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.operators.flatten import (
+        write_auto_flatten,
+    )
+
+    df = obs_df(
+        spark,
+        [(1, "weight", "60", 1), (2, "hiv_result", "neg", 1)],
+    ).withColumn(
+        "etype",
+        F.when(F.col("concept") == "weight", "anc").otherwise("hts"),
+    )
+    res = auto_flatten_by_type(df, "etype", SPEC)
+    paths = write_auto_flatten(res, str(tmp_path / "flat"))
+    assert sorted(paths) == sorted(res.tables)
+    for name, path in paths.items():
+        back = spark.read.parquet(path)
+        assert back.count() == res.tables[name].count()
