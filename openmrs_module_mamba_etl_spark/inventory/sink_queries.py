@@ -65,6 +65,32 @@ def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_jdbc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC write-back to the analysis DB (reference: README.md:125,
+    pom.xml:282-283 ``-a analysis_db``): overwrite-write a dim table over
+    JDBC with connection capping + insert batching, read it back over
+    JDBC. Embedded Derby stands in for MySQL (same in-process-DB strategy
+    as the reference's H2 tests, MambaTest.java:34-41); the write path
+    (batchsize, numPartitions coalesce, isolationLevel) is identical for
+    any JDBC URL."""
+    from openmrs_module_mamba_etl_spark.sources.jdbc import JdbcSink
+
+    sink = JdbcSink(
+        url="jdbc:derby:memory:mamba_analysis;create=true", batch_size=1000
+    )
+    dim = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink.write(dim, "analysis_nation", mode="overwrite", num_partitions=2)
+    return sink.read_back(spark, "analysis_nation")
+
+
+@query(
     "sink_incremental",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
