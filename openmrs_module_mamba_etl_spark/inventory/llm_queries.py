@@ -781,6 +781,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height
+    FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path end-to-end: synthesize an actual PNG per sampled
+    document (pure-python encoder, pixels from the text bytes, dimensions
+    a function of doc_id), then decode with ``fake=False`` — PIL when
+    importable, else the pure-python PNG decoder (llm/png.py). The oracle
+    pins that decode recovers the constructed dimensions exactly, i.e. a
+    real encode→decode round trip survives the Arrow-batched mapInPandas
+    plumbing. Sampled 1-in-17 so the Python encode stays off the hot
+    path."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.png import encode_png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        for pdf in it:
+            out_ids, out_png = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 4 + did % 13, 3 + did % 7
+                need = w * h * 3
+                payload = (text.encode() or b"\x00") * (need // max(1, len(text)) + 2)
+                out_ids.append(did)
+                out_png.append(encode_png(w, h, payload[:need]))
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "content": out_png,
+                    "mime": "image/png",
+                    "source_uri": [f"synthetic://{i}" for i in out_ids],
+                }
+            )
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import MEDIA_SCHEMA
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return decode_images(media, n_features=4, fake=False).select(
+        "media_id", "width", "height"
+    )
+
+
+@query(
     "multimodal_frames",
     oracle="""
     SELECT doc_id AS media_id,

@@ -94,20 +94,62 @@ def _fake_decode(content: bytes, n_features: int) -> tuple[int, int, list[float]
     return width, height, feats
 
 
+def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """Real decode to (width, height, raw RGB): PIL when importable, else
+    the pure-python PNG codec (llm/png.py). Non-PNG payloads without PIL
+    raise — an honest seam, not a silent fake."""
+    from openmrs_module_mamba_etl_spark.llm import png as pngc
+
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(content)) as im:
+            rgb = im.convert("RGB")
+            width, height = rgb.size
+            return width, height, rgb.tobytes()
+    except ImportError:
+        if not pngc.is_png(content):
+            raise NotImplementedError(
+                "real decoding of non-PNG media requires PIL/cv2, not "
+                "available in this environment (PNG decodes via the "
+                "pure-python codec; use fake=True for other formats)"
+            ) from None
+        return pngc.decode_png(content)
+
+
+def _real_decode(content: bytes, n_features: int) -> tuple[int, int, list[float]]:
+    """Real image decode + features: luminance of a k×k nearest-neighbor
+    thumbnail (k = ceil(sqrt(n_features))), normalized to [0,1] —
+    deterministic, resolution-independent, and identical between the PIL
+    and pure-python paths for PNG input."""
+    import math
+
+    from openmrs_module_mamba_etl_spark.llm import png as pngc
+
+    width, height, raw = _decode_rgb(content)
+    k = max(1, math.isqrt(n_features - 1) + 1) if n_features > 0 else 1
+    thumb = pngc.resize_nearest(width, height, raw, k, k)
+    feats = [
+        (0.299 * thumb[i * 3] + 0.587 * thumb[i * 3 + 1] + 0.114 * thumb[i * 3 + 2])
+        / 255.0
+        for i in range(k * k)
+    ][:n_features]
+    return width, height, [float(f) for f in feats]
+
+
 def decode_images(
     media: DataFrame, n_features: int = 16, fake: bool = True
 ) -> DataFrame:
     """Decode + feature-extract media payloads via Arrow-batched mapInPandas.
 
-    Real-decoder seam: replace ``_fake_decode`` with a PIL/cv2 kernel — the
-    Spark plan (scan → repartition-free mapInPandas → columnar output) does
-    not change.
+    Real-decoder seam: ``fake=False`` decodes for real — PIL when
+    importable, else the pure-python PNG codec (llm/png.py); the Spark
+    plan (scan → repartition-free mapInPandas → columnar output) is
+    identical on both paths.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/cv2, not available in this "
-            "environment; run with fake=True for the deterministic stub"
-        )
+    kernel = _fake_decode if fake else _real_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -121,7 +163,7 @@ def decode_images(
             decoded = pdf["content"].map(
                 lambda b: (None, None, None)
                 if b is None
-                else _fake_decode(b, n_features)
+                else kernel(b, n_features)
             )
             out["width"] = decoded.map(lambda t: t[0])
             out["height"] = decoded.map(lambda t: t[1])
@@ -171,31 +213,37 @@ def resize_images(
     The fake kernel tiles the payload's sha256 digest to exactly
     ``width × height × 3`` bytes — deterministic, size-exact, so the
     downstream contract (fixed-shape tensors for batch feature extraction)
-    is fully exercised. A real kernel swaps in PIL/cv2 ``resize``; the
-    Spark plan and output schema do not change.
+    is fully exercised. ``fake=False`` resizes for real: decode (PIL or
+    the pure-python PNG codec) then nearest-neighbor resample to the same
+    fixed-size RGB buffer; the Spark plan and output schema do not change.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image resizing requires PIL/cv2; use fake=True for the "
-            "deterministic stub"
-        )
     out_len = width * height * 3
+
+    def _resize_fake(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        seed = hashlib.sha256(b).digest()
+        reps = out_len // len(seed) + 1
+        return (seed * reps)[:out_len]
+
+    def _resize_real(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        from openmrs_module_mamba_etl_spark.llm import png as pngc
+
+        w, h, raw = _decode_rgb(b)
+        return pngc.resize_nearest(w, h, raw, width, height)
+
+    kernel = _resize_fake if fake else _resize_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def _resize(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
-                seed = hashlib.sha256(b).digest()
-                reps = out_len // len(seed) + 1
-                return (seed * reps)[:out_len]
-
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "content": pdf["content"].map(_resize),
+                    "content": pdf["content"].map(kernel),
                 }
             )
 
