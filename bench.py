@@ -48,6 +48,19 @@ HEADLINE = [
     "dedup_semantic",
 ]
 
+#: Multi-second heavies tracked per-round so regressions on the most
+#: regression-prone operators (PPJoin candidate filtering, iterative CC,
+#: streaming drain, hypertable rollup) are machine-visible — measured with
+#: ONE run each (they are long enough that cold-start noise is <10%) and
+#: reported in `queries` but NOT in the headline total, which stays
+#: comparable across rounds.
+HEAVY = [
+    "dedup_token_jaccard",
+    "dedup_clusters",
+    "stream_sessionize",
+    "rollup_hypertable",
+]
+
 
 def main() -> None:
     import re
@@ -79,6 +92,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    heavy_timings: dict[str, float] = {}
+    for name in HEAVY:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        heavy_timings[name] = round(time.perf_counter() - start, 3)
+    timings.update(heavy_timings)
+
     print(
         json.dumps(
             {
@@ -86,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline_queries": HEADLINE,
+                "heavy_total": round(sum(heavy_timings.values()), 3),
                 "sf": sf,
             }
         )
