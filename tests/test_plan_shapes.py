@@ -324,3 +324,32 @@ def test_multimodal_dedup_hashes_before_shuffle(spark, sf_dir):
     exchange_detail = p.split(") Exchange")[1]
     assert "content_sha" in exchange_detail[:400]
     assert "content#" not in exchange_detail[:400]
+
+
+def test_tpch_q21_no_nested_loop_regression(spark, sf_dir):
+    """The double EXISTS / NOT-EXISTS correlation over lineitem must plan
+    as hash joins + aggregates — a regression to a correlated nested-loop
+    or cartesian re-execution of the fact table is the classic Q21 scale
+    killer. Top-k must avoid a global sort."""
+    p = plan(spark, sf_dir, "tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # lineitem-derived aggregates shuffle on suppkey/orderkey only —
+    # bounded exchange count (tree lists each exchange once)
+    tree = p.split("(1) ")[0]
+    import re as _re
+
+    shuffles = len(_re.findall(r"\+- Exchange |:- Exchange ", tree))
+    assert shuffles <= 4, f"tpch_q21 grew to {shuffles} shuffles"
+
+
+def test_recursive_cte_native_union_loop(spark, sf_dir):
+    """The recursive CTE must run as Spark's native UnionLoop operator —
+    not a driver-side unrolled union — and its join against orders must
+    stay a hash join (no cartesian / nested-loop blow-up per iteration)."""
+    p = plan(spark, sf_dir, "sql_recursive_cte")
+    assert "UnionLoop" in p
+    assert "UnionLoopRef" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
