@@ -587,6 +587,7 @@ def _propagation_round(edges, labels, maybe_broadcast):
         )
         .select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -599,12 +600,15 @@ def _propagation_round(edges, labels, maybe_broadcast):
     lab_of_lab = hopped.select(
         F.col("node").alias("_ln"), F.col("label").alias("_ll")
     )
+    # old_label rides along so the convergence check is a scan of THIS
+    # round's checkpointed output — not an extra old⋈new join per round.
     return (
         hopped.join(
             maybe_broadcast(lab_of_lab), hopped.label == F.col("_ln"), "left"
         )
         .select(
             "node",
+            "old_label",
             F.least(
                 F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
             ).alias("label"),
@@ -678,16 +682,11 @@ def duplicate_clusters(
     for _ in range(max_iters):
         new_labels = _propagation_round(edges, labels, maybe_broadcast).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(
-                maybe_broadcast(labels.alias("o")),
-                F.col("n.node") == F.col("o.node"),
-            )
-            .where(F.col("n.label") != F.col("o.label"))
+            new_labels.where(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
