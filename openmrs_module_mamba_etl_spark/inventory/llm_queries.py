@@ -16,6 +16,7 @@ from openmrs_module_mamba_etl_spark.llm.ann import (
     brute_force_topk,
     ivf_topk,
     knn_join,
+    knn_join_lsh,
     lsh_topk,
 )
 from openmrs_module_mamba_etl_spark.llm.dedup import (
@@ -578,6 +579,53 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") < 20)
     return knn_join(left, emb, "vec_id", "vec_id", "embedding", k=3)
+
+
+@query(
+    "ann_knn_join_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql(8)} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS lid, c.vec_id AS rid,
+             ROUND({_COS_SQL}, 6) AS cosine
+      FROM b a JOIN b c
+        ON bit_count(xor(a.bucket, c.bucket)) <= 1
+      WHERE a.vec_id < 20
+    )
+    SELECT lid, rid, cosine FROM (
+      SELECT lid, rid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY lid
+                                ORDER BY cosine DESC, rid ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN join — the scale-safe sibling of ann_knn_join: both
+    sides bucket by hyperplane signature, each left row probes its bucket
+    ±1 bit flip, candidates meet in an EQUI-join on the bucket id (no
+    cross product), top-3 per query via one window. The multiprobe set
+    {bucket ⊕ ≤1 flips} is exactly the Hamming ball
+    ``bit_count(xor) <= 1``, and the oracle carries the same seed-42
+    projection literals, so candidates — and the per-query top-3 —
+    replay exactly."""
+    _assert_emb_dim(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 20)
+    return knn_join_lsh(
+        left,
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        dim=_EMB_DIM,
+        k=3,
+        planes=8,
+        multiprobe_hamming=1,
+    )
 
 
 # --- text analysis -------------------------------------------------------

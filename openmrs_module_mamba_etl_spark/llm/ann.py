@@ -276,3 +276,70 @@ def knn_join(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Bucketed (scale-safe) k-NN join — the LSH sibling of ``knn_join``.
+
+    Both sides hash to hyperplane-signature buckets; each left row probes
+    its own bucket plus every bucket within ``multiprobe_hamming`` bit
+    flips (explode of a small literal-XOR array), and candidates meet in a
+    plain EQUI-join on the bucket id. A right row occupies exactly one
+    bucket, so the probe expansion cannot duplicate candidate pairs. The
+    per-query top-k is one window pass keyed on the left id.
+
+    Scale shape: no cross product anywhere — candidate volume is
+    Σ_bucket |L_probe(b)|·|R(b)| and both sides shuffle once on the bucket
+    key (or zero times when the right table is pre-bucketed/bucketed-write
+    on the signature). Recall follows the probe radius exactly like
+    ``lsh_topk``; exactness over the candidate set (score + top-k) is
+    oracle-checked with the same seed-42 projection literals.
+    """
+    from pyspark.sql import Window
+
+    def bucket(df: DataFrame, idc: str, alias_id: str, alias_vec: str):
+        return df.select(
+            F.col(idc).alias(alias_id),
+            F.col(vec_col).alias(alias_vec),
+            hyperplane_bucket(F.col(vec_col), dim, planes, seed).alias("_b"),
+        )
+
+    l = bucket(left, left_id, "lid", "lvec")
+    r = bucket(right, right_id, "rid", "rvec").withColumnRenamed("_b", "_rb")
+
+    flips = [0]
+    if multiprobe_hamming >= 1:
+        flips += [1 << p for p in range(planes)]
+    if multiprobe_hamming >= 2:
+        flips += [
+            (1 << p) | (1 << q)
+            for p in range(planes)
+            for q in range(p + 1, planes)
+        ]
+    probes = F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in flips])
+    probed = l.select(
+        "lid", "lvec", F.explode(probes).alias("_pb")
+    )
+
+    scored = probed.join(r, probed._pb == r._rb).select(
+        "lid",
+        "rid",
+        F.round(cosine(F.col("lvec"), F.col("rvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("lid").orderBy(F.col("cosine").desc(), F.col("rid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -353,3 +353,13 @@ def test_recursive_cte_native_union_loop(spark, sf_dir):
     assert "UnionLoopRef" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_knn_join_lsh_no_cross_product(spark, sf_dir):
+    """The bucketed k-NN join must be an equi-join on the bucket id — the
+    whole point of the LSH sibling is eliminating the knn_join cross
+    product, so any nested-loop/cartesian here is a regression."""
+    p = plan(spark, sf_dir, "ann_knn_join_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # candidates still meet in a real join
