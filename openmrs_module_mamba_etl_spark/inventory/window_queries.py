@@ -898,6 +898,98 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_jdbc_upsert",
+    oracle="""
+    SELECT user_id, event_type AS last_event,
+           ROUND(value, 2) AS last_value, epoch_us(ts) AS last_tus
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ETL handoff to the analysis DB: the stream_upsert MERGE
+    shape, but the state table lives in the JDBC analysis database
+    (reference target: MySQL, README.md:125) — each micro-batch reads the
+    current table back, merges latest-per-key by EVENT time, and
+    overwrite-publishes through JdbcSink (insert batching + connection
+    cap). Oracle = the one-shot batch latest-per-key, so parity proves
+    the JDBC round trip is batch-boundary-invariant end to end. Embedded
+    Derby stands in for MySQL exactly as in sink_jdbc."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.sources.jdbc import JdbcSink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_jdbc_upsert")
+    src = os.path.join(scratch, "in")
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    sink = JdbcSink(
+        url="jdbc:derby:memory:mamba_stream;create=true", batch_size=1000
+    )
+    dbtable = "analysis_latest_event"
+    state = {"exists": False}
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("last_tus").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        b = batch.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("last_event"),
+            F.round("value", 2).alias("last_value"),
+            F.expr("ts div 1000").alias("last_tus"),
+        )
+        merged = latest_per_key(b)
+        if state["exists"]:
+            prev = sink.read_back(ss, dbtable)
+            merged = latest_per_key(prev.unionByName(merged))
+        # JDBC overwrite is not atomic like the versioned-dir publish; a
+        # production MySQL target would MERGE/upsert by key or write to a
+        # staging table + RENAME. The batch-invariance contract (what the
+        # oracle pins) is identical.
+        sink.write(
+            merged.localCheckpoint(),  # materialize BEFORE dropping the table read above
+            dbtable,
+            mode="overwrite",
+            num_partitions=2,
+        )
+        state["exists"] = True
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return sink.read_back(spark, dbtable).select(
+        "user_id", "last_event", "last_value", "last_tus"
+    )
+
+
+@query(
     "window_nth_value",
     oracle="""
     SELECT o_custkey, o_orderkey,
