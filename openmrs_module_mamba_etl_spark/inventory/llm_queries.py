@@ -630,6 +630,99 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text analysis -------------------------------------------------------
 
+_BM25_TERMS = ("spark", "shuffle", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ), d AS (
+      SELECT doc_id, len(toks) AS dl FROM t
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d
+    ), posting AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM posting
+      WHERE tok IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+      GROUP BY doc_id, tok
+    ), idf AS (
+      SELECT tok,
+             ln((((SELECT n FROM stats) - COUNT(*) + 0.5)
+                 / (COUNT(*) + 0.5)) + 1.0) AS idf
+      FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * d.dl / (SELECT avgdl FROM stats)))) AS s
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN d ON d.doc_id = tf.doc_id
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus search (Robertson/Spärck Jones; the Okapi form with the
+    +1 idf floor) for a fixed query — the retrieval primitive a training
+    pipeline uses for corpus exploration and hard-negative mining.
+
+    Scale shape: term document-frequencies and (N, avgdl) are TWO tiny
+    aggregates whose outputs come back to the driver as a handful of
+    scalars and re-enter the plan as literals — the corpus itself is
+    scanned once more for scoring, entirely map-side (per-doc tf via a
+    codegen list filter; no explode, no shuffle except the final top-k
+    TakeOrdered). At 100 TB: 2 contracted passes + 1 map pass, no posting
+    list ever materializes."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("dl", F.size("toks"))
+    )
+    n, avgdl = docs.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    tf_cols = {
+        w: F.size(F.filter(F.col("toks"), lambda x: x == F.lit(w))).cast("double")
+        for w in _BM25_TERMS
+    }
+    dfs = docs.agg(
+        *[
+            F.count(F.when(tf_cols[w] > 0, 1)).alias(w)
+            for w in _BM25_TERMS
+        ]
+    ).first()
+    import math
+
+    idf = {
+        w: math.log((n - dfs[w] + 0.5) / (dfs[w] + 0.5) + 1.0)
+        for w in _BM25_TERMS
+    }
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(float(avgdl))
+    )
+    score = None
+    for w in _BM25_TERMS:
+        tf = tf_cols[w]
+        term_s = F.when(
+            tf > 0, F.lit(idf[w]) * tf * F.lit(_BM25_K1 + 1.0) / (tf + norm)
+        ).otherwise(F.lit(0.0))
+        score = term_s if score is None else score + term_s
+    return (
+        docs.select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
 _STOP_SQL = {
     code: "(" + ", ".join(f"'{w}'" for w in words) + ")"
     for code, words in T.STOPWORDS.items()
