@@ -50,10 +50,11 @@ HEADLINE = [
 
 #: Multi-second heavies tracked per-round so regressions on the most
 #: regression-prone operators (PPJoin candidate filtering, iterative CC,
-#: streaming drain, hypertable rollup) are machine-visible — measured with
-#: ONE run each (they are long enough that cold-start noise is <10%) and
-#: reported in `queries` but NOT in the headline total, which stays
-#: comparable across rounds.
+#: streaming drain, hypertable rollup) are machine-visible — measured as
+#: the min of TWO runs (the first run of a query pays multi-second
+#: codegen/footer/AQE-planning cold start: observed 12.7 s cold vs 3.7 s
+#: warm on dedup_token_jaccard) and reported in `queries` but NOT in the
+#: headline total, which stays comparable across rounds.
 HEAVY = [
     "dedup_token_jaccard",
     "dedup_clusters",
@@ -96,10 +97,13 @@ def main() -> None:
     heavy_timings: dict[str, float] = {}
     for name in HEAVY:
         fn = registry.QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        heavy_timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        heavy_timings[name] = round(best, 3)
     timings.update(heavy_timings)
 
     print(

@@ -656,6 +656,68 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ), rd AS (
+      SELECT user_id, make_timestamp(tus) AS rts, value FROM r WHERE rn = 1
+    ), raw AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             rd.value AS v, epoch_us(rd.rts) AS t
+      FROM orders o ASOF LEFT JOIN rd
+        ON o.o_custkey = rd.user_id AND rd.rts <= CAST(o.o_orderdate AS TIMESTAMP)
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP)) - t
+                     <= 2592000000000 THEN v END AS asof_value,
+           CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP)) - t
+                     <= 2592000000000 THEN t END AS asof_tus
+    FROM raw
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-distance bound (pandas merge_asof
+    ``tolerance`` semantics): enrich each order with the customer's most
+    recent event value at most 30 days old — staler matches revert to
+    NULL. The tolerance gates only the emit expressions; the carry plan
+    (union + one window sort) is unchanged, which the shared oracle CASE
+    confirms."""
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+        "value",
+    )
+    out = asof_join(
+        orders,
+        events,
+        key_col="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ets",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+        right_key_col="user_id",
+        tolerance_us=30 * 24 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_value"),
+        F.unix_micros("asof_ts").alias("asof_tus"),
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT i.event_id AS purchase_id, p.event_id AS event_id

@@ -34,6 +34,7 @@ def asof_join(
     tiebreak_col: str | None = None,
     right_key_col: str | None = None,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Point-in-time enrich ``left`` with the nearest ``right`` payload.
 
@@ -50,6 +51,13 @@ def asof_join(
     right row on the required side keep NULL payloads (left-outer as-of).
     Payload columns are emitted as ``asof_<name>``. ``right_key_col``
     defaults to ``key_col`` when both sides share the name.
+
+    ``tolerance_us`` bounds the match distance (pandas ``merge_asof
+    (tolerance=...)`` semantics): a carried right row further than the
+    tolerance from the left timestamp reverts to NULL payloads — the
+    carry itself is unchanged (still one window pass), only the emit
+    filters, so the plan shape is identical. Microseconds for timestamp
+    columns; the raw column unit for numeric timestamps.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -109,11 +117,28 @@ def asof_join(
     carried = merged.withColumn(
         "_asof", F.last(asof_row, ignorenulls=True).over(w)
     )
+
+    asof_ts = F.col("_asof").getField("__t")
+
+    def payload(c: str):
+        return F.col("_asof").getField(f"_p_{c}")
+
+    if tolerance_us is not None:
+        is_ts = str(r.schema["_ts"].dataType).startswith("Timestamp")
+        lt, at = F.col("_ts"), asof_ts
+        if is_ts:
+            lt, at = F.unix_micros(lt), F.unix_micros(at)
+        delta = (lt - at) if direction == "backward" else (at - lt)
+        valid = asof_ts.isNotNull() & (delta <= F.lit(tolerance_us))
+        orig_payload = payload
+
+        def payload(c: str):  # noqa: F811 — tolerance-gated emit
+            return F.when(valid, orig_payload(c))
+
+        asof_ts = F.when(valid, asof_ts)
+
     return carried.where(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[
-            F.col("_asof").getField(f"_p_{c}").alias(f"asof_{c}")
-            for c in payload_cols
-        ],
-        F.col("_asof").getField("__t").alias("asof_ts"),
+        *[payload(c).alias(f"asof_{c}") for c in payload_cols],
+        asof_ts.alias("asof_ts"),
     )
