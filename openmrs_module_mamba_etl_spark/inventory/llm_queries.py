@@ -634,6 +634,62 @@ _BM25_TERMS = ("spark", "shuffle", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _classifier_weights(n: int = 64, seed: int = 7) -> list[float]:
+    """Deterministic stand-in for trained fasttext-style weights; the same
+    double literals embed in the Spark plan AND the oracle SQL (shortest
+    repr round-trips to the identical IEEE value — the hyperplane-LSH
+    contract)."""
+    import numpy as np
+
+    return [float(x) for x in np.random.RandomState(seed).normal(size=n)]
+
+
+_CLF_W = _classifier_weights()
+_CLF_BIAS = 0.1
+
+
+@query(
+    "text_classifier_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE text IS NOT NULL AND len({_TOKS}) > 0
+    ), p AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), s AS (
+      SELECT doc_id,
+             SUM(list_extract(
+                   [{", ".join(repr(w) for w in _CLF_W)}],
+                   CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+                        AS INT) + 1)) AS wsum,
+             COUNT(*) AS n
+      FROM p GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(wsum / n + {_CLF_BIAS}))), 6)
+             AS quality_score,
+           CASE WHEN 1.0 / (1.0 + exp(-(wsum / n + {_CLF_BIAS}))) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference at corpus scale (the fasttext quality-classifier
+    pattern): hashed bag-of-tokens × broadcast weight-vector literal →
+    sigmoid → keep/drop. One map-side codegen pass, no shuffle, no model
+    server; the md5 feature hash and the weight literals replay in the
+    oracle so scores match to 6 dp."""
+    from openmrs_module_mamba_etl_spark.llm.curation import classifier_score
+
+    return classifier_score(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        weights=_CLF_W,
+        bias=_CLF_BIAS,
+    )
+
+
 @query(
     "text_bm25",
     oracle=f"""

@@ -164,3 +164,58 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear text-classifier inference (the fasttext-style quality-model
+    pattern): hashed bag-of-tokens features × a broadcast weight vector →
+    sigmoid score → keep/drop label.
+
+    Token → feature bucket via the engine's portable md5 contract
+    (llm/sampling.py:hash_bucket — identical one-liner in any ANSI SQL);
+    the weight vector embeds as ONE array literal, so scoring a 100 TB
+    corpus is a single map-side pass of codegen higher-order functions:
+    no model server, no Python, no shuffle. Mean-of-weights (bag
+    normalized by token count) keeps the logit scale length-invariant.
+    """
+    n_buckets = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    # Σ_tokens w[md5_bucket(token)] — one sequential fold, JVM-side
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                warr,
+                (
+                    F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                    % n_buckets
+                ).cast("int")
+                + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    logit = wsum / F.size(toks) + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .where(F.size(toks) > 0)
+        .select(
+            F.col(id_col),
+            F.round(score, 6).alias("quality_score"),
+            F.when(score >= F.lit(threshold), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
