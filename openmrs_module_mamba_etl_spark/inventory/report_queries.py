@@ -228,3 +228,59 @@ def sink_database(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mamba_analysis.order_status_counts"
     )
     return spark.table("mamba_analysis.order_status_counts")
+
+
+@query(
+    "etl_full_run",
+    oracle="""
+    SELECT 'mamba_dim_encounter' AS table_name,
+           (SELECT COUNT(*) FROM orders) AS n_rows, 5 AS n_cols
+    UNION ALL
+    SELECT 'mamba_dim_encounter_type',
+           (SELECT COUNT(*) FROM nation), 3
+    UNION ALL
+    SELECT 'mamba_dim_person',
+           (SELECT COUNT(*) FROM customer), 4
+    UNION ALL
+    SELECT 'mamba_fact_order_totals',
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders), 5
+    UNION ALL
+    SELECT 'mamba_flat_user_activity',
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type IS NOT NULL),
+           1 + (SELECT COUNT(DISTINCT event_type) FROM events
+                WHERE event_type IS NOT NULL)
+    """,
+)
+def etl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MAIN entry point end-to-end: one full ETL run
+    building every dim, flat, and fact table of the star schema
+    (reference: README.md:252-256; sp_mamba_data_processing_etl.sql —
+    the scheduler-invoked full-refresh procedure chain), as ONE
+    driver-checkable row per materialized table. The oracle recomputes
+    each table's exact shape contract from the raw sources: dims mirror
+    their source row counts, the fact keys are the distinct order
+    customers, and the flat table is one row per entity with one column
+    per discovered attribute. Per-table count jobs are submitted
+    concurrently (run_per_type pattern) — the same scheduler-overlap
+    property the auto-flatten path uses."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from openmrs_module_mamba_etl_spark.plans.clinical import (
+        run_clinical_pipeline,
+    )
+
+    ctx = run_clinical_pipeline(spark, sf_dir)
+    names = sorted(ctx.tables)
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        counts = {
+            n: c
+            for n, c in zip(
+                names,
+                pool.map(lambda n: ctx.tables[n].count(), names),
+            )
+        }
+    rows = [(n, counts[n], len(ctx.tables[n].columns)) for n in names]
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, n_cols int"
+    )
