@@ -634,6 +634,65 @@ _BM25_TERMS = ("spark", "shuffle", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled DuckDB replay of the BPE merge loop: vocab → per-round
+    (pair counts → argmax → greedy merge via the same double-space
+    replace trick). ``replace`` is left-to-right non-overlapping in both
+    engines, so representations — and every round's argmax — agree."""
+    parts = [
+        f"""WITH v AS (
+          SELECT w, COUNT(*) AS freq
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents
+                WHERE text IS NOT NULL) GROUP BY w
+        ), r0 AS (
+          SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS rep, freq
+          FROM v
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", p{i} AS (
+          SELECT pair, SUM(freq) AS freq FROM (
+            SELECT s.syms[i] || ' ' || s.syms[i + 1] AS pair, s.freq
+            FROM (SELECT string_split(rep, ' ') AS syms, freq
+                  FROM r{i - 1}) s,
+                 unnest(range(1, len(s.syms))) t(i)
+          ) GROUP BY pair
+        ), m{i} AS (
+          SELECT pair, freq FROM p{i}
+          ORDER BY freq DESC, pair ASC LIMIT 1
+        ), r{i} AS (
+          SELECT trim(replace(replace(
+                   ' ' || replace(rep, ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' '),
+                 '  ', ' ')) AS rep, freq
+          FROM r{i - 1}
+        )"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, pair, freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(3))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction (Sennrich 2016): learn the corpus's top-3
+    byte-pair merges. The corpus is scanned ONCE (word vocab); every
+    merge round runs over the contracted vocab table with a 1-row argmax
+    collect — the classic scalable shape. The oracle unrolls the loop to
+    chained CTEs and replays the greedy merge with the identical
+    double-space replace, so each round's argmax matches exactly."""
+    from openmrs_module_mamba_etl_spark.llm.bpe import bpe_train
+
+    merges = bpe_train(table(spark, sf_dir, "documents"), "text", n_merges=3)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, freq bigint"
+    )
+
+
 def _classifier_weights(n: int = 64, seed: int = 7) -> list[float]:
     """Deterministic stand-in for trained fasttext-style weights; the same
     double literals embed in the Spark plan AND the oracle SQL (shortest

@@ -109,3 +109,31 @@ def test_duplicate_span_stats_flags_within_doc_repeats(spark):
     assert r["n_spans"] == 11
     assert r["dup_spans"] == 2
     assert r["dup_frac"] == 0.1818
+
+
+def test_bpe_greedy_merge_overlap(spark):
+    """Greedy left-to-right application on overlapping candidates: merging
+    ('a','a') in 'aaaa' must give 'aa aa' (pairs consumed left to right,
+    no overlap), and 'aaa' must give 'aa a'."""
+    from openmrs_module_mamba_etl_spark.llm.bpe import _apply_merge
+
+    rep = spark.createDataFrame(
+        [("a a a a", 1), ("a a a", 1)], "rep string, freq long"
+    )
+    out = {r["rep"] for r in _apply_merge(rep, "a a").collect()}
+    assert out == {"aa aa", "aa a"}
+
+
+def test_bpe_train_learns_frequent_pair(spark):
+    from openmrs_module_mamba_etl_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lower")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    assert merges[0][0] == 1
+    # 'l o' and 'o w' both occur in every token (6 words); tie broken
+    # alphabetically -> 'l o' first, then the merged 'lo w'
+    assert merges[0][1] == "l o"
+    assert merges[1][1] == "lo w"
