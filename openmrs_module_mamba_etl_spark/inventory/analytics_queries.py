@@ -236,6 +236,97 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_interpolate",
+    oracle=f"""
+    WITH actual AS (
+      SELECT epoch_us(ts) // {_US_PER_DAY} AS day_idx,
+             ROUND(SUM(value), 2) AS day_value
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 97 = 0
+      GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM actual
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi)) AS day_idx FROM bounds
+    ), j AS (
+      SELECT s.day_idx, a.day_value, a.day_idx AS a_day_idx
+      FROM spine s LEFT JOIN actual a ON s.day_idx = a.day_idx
+    ), ctx AS (
+      SELECT day_idx, day_value,
+             LAST_VALUE(day_value IGNORE NULLS) OVER (
+               ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(a_day_idx IGNORE NULLS) OVER (
+               ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             FIRST_VALUE(day_value IGNORE NULLS) OVER (
+               ORDER BY day_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(a_day_idx IGNORE NULLS) OVER (
+               ORDER BY day_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM j
+    )
+    SELECT day_idx, day_value,
+           CASE WHEN day_value IS NOT NULL THEN day_value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE ROUND(pv + (nv - pv) * (day_idx - pi)
+                           / (ni - pi), 6)
+           END AS interp_value
+    FROM ctx ORDER BY day_idx
+    """,
+)
+def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — the TimescaleDB
+    ``interpolate`` sibling of rollup_gapfill's LOCF: each gap day takes
+    the line between the previous and next observed points; leading/
+    trailing gaps (no anchor on one side) stay NULL.
+
+    Same spine + join shape as LOCF, plus one backward-looking and one
+    forward-looking window over the SAME ordering — Catalyst evaluates
+    both frame directions in one Window operator pair over a single sort,
+    so the marginal cost vs LOCF is an extra scan of the (time-range-
+    proportional) spine, never of the data."""
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)
+    )
+    actual = ev.groupBy(
+        F.expr(f"(ts div 1000) div {_US_PER_DAY}").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    spine = (
+        actual.agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_idx"))
+    )
+    joined = spine.join(
+        actual.withColumnRenamed("day_idx", "a_day_idx"),
+        F.col("day_idx") == F.col("a_day_idx"),
+        "left_outer",
+    )
+    wb = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("day_idx").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    pv = F.last("day_value", ignorenulls=True).over(wb)
+    pi = F.last("a_day_idx", ignorenulls=True).over(wb)
+    nv = F.first("day_value", ignorenulls=True).over(wf)
+    ni = F.first("a_day_idx", ignorenulls=True).over(wf)
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None))
+        .otherwise(
+            F.round(pv + (nv - pv) * (F.col("day_idx") - pi) / (ni - pi), 6)
+        )
+    )
+    return (
+        joined.select(
+            "day_idx", "day_value", interp.alias("interp_value")
+        ).orderBy("day_idx")
+    )
+
+
+@query(
     "join_interval_overlap",
     oracle=f"""
     WITH o AS (
