@@ -338,6 +338,88 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(scratch, "out"))
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for its
+    state server; gate on the import so environments without
+    `google.protobuf` (like this container) simply don't register the
+    TWS twin instead of registering a guaranteed crash. The processor
+    logic itself is protobuf-free and unit-tested against fake state
+    handles either way (tests/test_streaming.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tus - prev > 21600000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ), tagged AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sid, MIN(tus) AS s_us, MAX(tus) AS e_us,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM tagged GROUP BY user_id, sid
+    ), mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+    SELECT user_id, s_us * 1000 AS session_start_ns,
+           e_us * 1000 AS session_end_ns, n_events, sum_value
+    FROM sess s, mx
+    WHERE e_us + 21600000000 <= ((m // 1000) - 3600000) * 1000
+    """
+
+
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on Spark 4's transformWithStateInPandas — the NEW
+    arbitrary-stateful API (typed state handles + explicit per-key
+    timers, RocksDB state store). Same gap/watermark emission contract as
+    stream_sessionize, pinned by the SAME oracle — proving the two
+    stateful-API carriers implement identical semantics."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.streaming.sessionize_tws import (
+        streaming_sessionize_tws,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TWS requires the RocksDB provider — also the provider for 100 TB
+    # state (spill-to-disk, changelog checkpoints)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    scratch = _scratch_dir("stream_sessionize_tws")
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        streaming_sessionize_tws(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.read.parquet(os.path.join(scratch, "out"))
+
+
+if _tws_available():
+    query("stream_sessionize_tws", oracle=_TWS_ORACLE)(stream_sessionize_tws)
+
+
 @query(
     "stream_windowed_counts",
     oracle="""

@@ -376,3 +376,110 @@ def test_streaming_sessionize_late_event_merges_pending(spark, tmp_path):
     # overlapping fragments
     assert (1, T0 + 19 * HOUR_NS + HOUR_NS // 2, T0 + 20 * HOUR_NS, 2, 6.0) in new2
     assert len([r for r in new2 if r[1] <= T0 + 20 * HOUR_NS]) == 1
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+def test_tws_processor_semantics_match_kernel():
+    """The transformWithStateInPandas processor (protobuf-gated in this
+    container) must implement the same merge/emit state machine as the
+    applyInPandasWithState kernel: emit only watermark-safe sessions,
+    keep the rest in state, re-register a timer at the oldest pending
+    session's safe point."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.streaming.sessionize_tws import (
+        SessionProcessor,
+    )
+
+    gap_ns = 6 * 3600 * 1_000_000_000
+    p2 = SessionProcessor(gap_ns, "ts", "value")
+    h2 = _FakeHandle()
+    p2.init(h2)
+    hr = 3600 * 1_000_000_000
+    batch2 = pd.DataFrame(
+        {"ts": [0, 1 * hr, 20 * hr], "value": [1.0, 2.0, 4.0]}
+    )
+    wm2_ns = 10 * hr  # session [0,1h] safe at 1h+6h<=10h; [20h] not
+    out2 = list(
+        p2.handleInputRows(
+            (7,), iter([batch2]), _FakeTimerValues(wm2_ns // 1_000_000)
+        )
+    )
+    emitted = pd.concat(out2)
+    assert len(emitted) == 1
+    row = emitted.iloc[0]
+    assert row["user_id"] == 7
+    assert row["session_start_ns"] == 0
+    assert row["session_end_ns"] == 1 * hr
+    assert row["n_events"] == 2
+    assert row["sum_value"] == 3.0
+    # pending session stays in state with a timer at its safe point
+    assert h2.state.exists()
+    assert h2.timers and h2.timers[-1] == (20 * hr + gap_ns) // 1_000_000
+
+    # timer expiry after the watermark passes -> pending session emits
+    out3 = list(
+        p2.handleExpiredTimer(
+            (7,), _FakeTimerValues((27 * hr) // 1_000_000), None
+        )
+    )
+    emitted3 = pd.concat(out3)
+    assert len(emitted3) == 1
+    assert emitted3.iloc[0]["session_start_ns"] == 20 * hr
+    assert not h2.state.exists()
+
+
+def test_tws_processor_merges_across_batches():
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.streaming.sessionize_tws import (
+        SessionProcessor,
+    )
+
+    hr = 3600 * 1_000_000_000
+    p = SessionProcessor(6 * hr, "ts", "value")
+    h = _FakeHandle()
+    p.init(h)
+    # batch 1: event at 10h stays pending (wm 0)
+    list(p.handleInputRows((1,), iter([pd.DataFrame({"ts": [10 * hr], "value": [1.0]})]), _FakeTimerValues(0)))
+    # batch 2: event at 12h merges into the pending session (gap 6h)
+    list(p.handleInputRows((1,), iter([pd.DataFrame({"ts": [12 * hr], "value": [2.0]})]), _FakeTimerValues(0)))
+    starts, lasts, ns_, ss = h.state.get()
+    assert list(starts) == [10 * hr] and list(lasts) == [12 * hr]
+    assert list(ns_) == [2] and list(ss) == [3.0]
