@@ -1110,6 +1110,65 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 + CAST(doc_id % 3 AS INT) * 4000 AS sample_rate,
+           (octet_length(CAST(text AS BLOB)) * 40) * 1000
+             // (8000 + (doc_id % 3) * 4000) AS duration_ms
+    FROM documents WHERE doc_id % 23 = 0 AND text IS NOT NULL
+    """,
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path end-to-end: synthesize an actual 16-bit PCM
+    WAV per sampled document (pure-python encoder, llm/wav.py; 40 samples
+    per text byte, rate a function of doc_id), then decode with
+    ``fake=False`` — header rate and exact sample-count duration must
+    round-trip through the Arrow-batched mapInPandas plumbing, which the
+    oracle recomputes from the construction. Sampled 1-in-23 to keep the
+    Python encode off the hot path."""
+    import numpy as np
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+    from openmrs_module_mamba_etl_spark.llm.wav import encode_wav
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 23 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        for pdf in it:
+            ids, wavs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + (did % 3) * 4000
+                raw = np.frombuffer(
+                    (text.encode() or b"\x00") * 40, dtype=np.uint8
+                )
+                samples = (raw.astype(np.int16) - 128) * 256
+                ids.append(did)
+                wavs.append(encode_wav(rate, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": wavs,
+                    "mime": "audio/wav",
+                    "source_uri": [f"synthetic://{i}" for i in ids],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return extract_audio_features(media, n_mfcc=8, fake=False).select(
+        "media_id", "sample_rate", "duration_ms"
+    )
+
+
+@query(
     "text_vocab",
     oracle=f"""
     WITH posting AS (

@@ -253,7 +253,8 @@ def resize_images(
 AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("sample_rate", IntegerType(), False),
+        # nullable: a NULL payload has no decodable rate on the real path
+        StructField("sample_rate", IntegerType(), True),
         # integer ms (exact: bytes*1000 // (rate*2)) — a float seconds value
         # sits on rounding boundaries that differ between engines
         StructField("duration_ms", LongType(), True),
@@ -269,32 +270,55 @@ def extract_audio_features(
 
     The fake kernel treats the payload as 16-bit PCM at ``sample_rate``
     (duration_ms = bytes × 1000 // (rate × 2), exact) and derives a deterministic
-    ``n_mfcc``-dim vector from the sha256 digest. A real kernel
-    (librosa/torchaudio) swaps in behind the same mapInPandas seam with
-    the same schema.
+    ``n_mfcc``-dim vector from the sha256 digest. ``fake=False`` decodes
+    for real via the pure-python WAV codec (llm/wav.py): actual header
+    sample rate, exact duration from the sample count, and per-frame RMS
+    energies as the feature vector; non-WAV payloads raise at the seam
+    (no MP3/OGG codec exists here — librosa/torchaudio slot in the same
+    way PIL does for images).
     """
-    if not fake:
-        raise NotImplementedError(
-            "real audio decoding requires librosa/torchaudio; use fake=True"
-        )
     bytes_per_s = sample_rate * 2
+
+    def _fake_row(b: bytes | None):
+        if b is None:
+            return (None, None, None)
+        d = hashlib.sha256(b).digest()
+        return (
+            sample_rate,
+            (len(b) * 1000) // bytes_per_s,
+            [float(x) / 255.0 for x in d[:n_mfcc]],
+        )
+
+    def _real_row(b: bytes | None):
+        if b is None:
+            return (None, None, None)
+        from openmrs_module_mamba_etl_spark.llm import wav as wavc
+
+        if not wavc.is_wav(b):
+            raise NotImplementedError(
+                "real decoding of non-WAV audio requires librosa/"
+                "torchaudio, not available in this environment (WAV "
+                "decodes via the pure-python codec; use fake=True for "
+                "other formats)"
+            )
+        rate, samples = wavc.decode_wav(b)
+        return (
+            rate,
+            (len(samples) * 1000) // rate,
+            wavc.frame_energies(samples, n_mfcc),
+        )
+
+    row = _fake_row if fake else _real_row
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def _mfcc(b: bytes | None) -> list[float] | None:
-                if b is None:
-                    return None
-                d = hashlib.sha256(b).digest()
-                return [float(x) / 255.0 for x in d[:n_mfcc]]
-
+            decoded = pdf["content"].map(row)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "sample_rate": sample_rate,
-                    "duration_ms": pdf["content"].map(
-                        lambda b: None if b is None else (len(b) * 1000) // bytes_per_s
-                    ),
-                    "mfcc": pdf["content"].map(_mfcc),
+                    "sample_rate": decoded.map(lambda t: t[0]),
+                    "duration_ms": decoded.map(lambda t: t[1]),
+                    "mfcc": decoded.map(lambda t: t[2]),
                 }
             )
 
