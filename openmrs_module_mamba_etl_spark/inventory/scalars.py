@@ -326,3 +326,38 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(l_returnflag AS INT)").alias("flag_as_int"),
         F.expr("TRY_CAST(l_shipdate AS DATE)").alias("ship_date"),
     )
+
+
+@query(
+    "fn_pseudonymize",
+    oracle="""
+    SELECT sha256('mamba-export-v1:' || CAST(c_custkey AS VARCHAR))
+             AS person_token,
+           c_mktsegment AS segment,
+           CAST(SUBSTR(CAST(c_custkey AS VARCHAR), 1, 1) || REPEAT('*',
+                LENGTH(CAST(c_custkey AS VARCHAR)) - 1) AS VARCHAR)
+             AS masked_id
+    FROM customer ORDER BY person_token
+    """,
+)
+def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization for de-identified export — the
+    healthcare-ETL requirement the reference's person data implies
+    (OpenMRS person rows leave the clinical boundary only de-identified):
+    a salted-hash token replaces the identifier (same input → same token,
+    so joins and longitudinal linkage still work across exported tables)
+    plus a display-masking variant. Pure codegen (sha2/concat), map-only;
+    the salt would come from a secret store in production — a fixed
+    literal here so the oracle can replay it."""
+    c = table(spark, sf_dir, "customer")
+    ids = F.col("c_custkey").cast("string")
+    return c.select(
+        F.sha2(F.concat(F.lit("mamba-export-v1:"), ids), 256).alias(
+            "person_token"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+        F.concat(
+            F.substring(ids, 1, 1),
+            F.repeat(F.lit("*"), F.length(ids) - 1),
+        ).alias("masked_id"),
+    ).orderBy("person_token")
