@@ -1110,6 +1110,67 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           LEAST(8, 2 + CAST(doc_id % 5 AS BIGINT)) AS n_frames,
+           48 AS frame_n_bytes
+    FROM documents WHERE doc_id % 29 = 0 AND text IS NOT NULL
+    """,
+)
+def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path end-to-end: synthesize an actual Y4M stream
+    per sampled document (pure-python encoder, llm/y4m.py; 2 + doc_id % 5
+    frames of 4×4 RGB derived from the text bytes), frame-sample with
+    ``fake=False`` (cap 8), and verify the decoded fan-out: frames per
+    media item and the fixed raw-RGB frame size, both recomputed by the
+    oracle from the construction. Sampled 1-in-29 to keep the Python
+    encode off the hot path."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+    from openmrs_module_mamba_etl_spark.llm.y4m import encode_y4m
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 29 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    w = h = 4
+
+    def encode(it):
+        for pdf in it:
+            ids, vids = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = 2 + did % 5
+                need = w * h * 3
+                raw = (text.encode() or b"\x00") * (need * n // max(1, len(text)) + 2)
+                frames = [
+                    bytes(raw[i * need : (i + 1) * need]) for i in range(n)
+                ]
+                ids.append(did)
+                vids.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": vids,
+                    "mime": "video/x-yuv4mpeg",
+                    "source_uri": [f"synthetic://{i}" for i in ids],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    frames = sample_frames(media, max_frames=8, fake=False)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.octet_length("frame_bytes")).cast("int").alias("frame_n_bytes"),
+    )
+
+
+@query(
     "multimodal_audio_real",
     oracle="""
     SELECT doc_id AS media_id,

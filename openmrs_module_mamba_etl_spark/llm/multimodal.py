@@ -178,15 +178,14 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame.
 
-    The fake kernel slices the payload every ``every_n_bytes``; a real video
-    kernel (ffmpeg) would emit decoded keyframes with the same fan-out shape
-    (explode-style row multiplication inside mapInPandas, so frame blow-up
-    never inflates driver memory).
+    The fake kernel slices the payload every ``every_n_bytes``;
+    ``fake=False`` decodes for real via the pure-python Y4M codec
+    (llm/y4m.py — the uncompressed video interchange format): decoded
+    frames emit as raw RGB bytes, capped at ``max_frames``. Compressed video raises at the seam (an ffmpeg
+    binding slots in with the same fan-out shape). Either way the frame
+    blow-up happens inside mapInPandas — explode-style row
+    multiplication executor-side, never through the driver.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real frame extraction requires ffmpeg bindings; use fake=True"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -194,10 +193,34 @@ def sample_frames(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                for i in range(min(max_frames, max(1, len(content) // every_n_bytes))):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(bytes(content[i * every_n_bytes : (i + 1) * every_n_bytes]))
+                if fake:
+                    for i in range(
+                        min(max_frames, max(1, len(content) // every_n_bytes))
+                    ):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(
+                            bytes(
+                                content[
+                                    i * every_n_bytes : (i + 1) * every_n_bytes
+                                ]
+                            )
+                        )
+                else:
+                    from openmrs_module_mamba_etl_spark.llm import y4m as y4mc
+
+                    if not y4mc.is_y4m(bytes(content)):
+                        raise NotImplementedError(
+                            "real frame extraction from compressed video "
+                            "requires ffmpeg bindings, not available in "
+                            "this environment (Y4M decodes via the "
+                            "pure-python codec; use fake=True otherwise)"
+                        )
+                    _w, _h, _fps, decoded = y4mc.decode_y4m(bytes(content))
+                    for i, fr in enumerate(decoded[:max_frames]):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fr)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_bytes": frames}
             )

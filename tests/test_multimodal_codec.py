@@ -218,3 +218,57 @@ def test_audio_non_wav_without_codec_raises_at_seam():
 
     src = inspect.getsource(extract_audio_features)
     assert "NotImplementedError" in src  # the seam is still honest
+
+
+def test_y4m_roundtrip():
+    from openmrs_module_mamba_etl_spark.llm.y4m import (
+        decode_y4m,
+        encode_y4m,
+        is_y4m,
+    )
+
+    w, h = 6, 4
+    frames = [_rgb(w, h, seed=s) for s in (1, 2, 3)]
+    data = encode_y4m(w, h, frames, fps=30)
+    assert is_y4m(data)
+    rw, rh, fps, back = decode_y4m(data)
+    assert (rw, rh, fps, len(back)) == (w, h, 30, 3)
+    # YUV444 round trip is lossy by at most the integer rounding of the
+    # two color transforms: every channel within ±2
+    for orig, dec in zip(frames, back):
+        a = np.frombuffer(orig, dtype=np.uint8).astype(np.int16)
+        b = np.frombuffer(dec, dtype=np.uint8).astype(np.int16)
+        assert np.abs(a - b).max() <= 2
+
+
+def test_y4m_rejects_non_y4m():
+    from openmrs_module_mamba_etl_spark.llm.y4m import decode_y4m
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_y4m(b"RIFF....WAVE not video")
+
+
+def test_sample_frames_real_path(spark):
+    from openmrs_module_mamba_etl_spark.llm.multimodal import sample_frames
+    from openmrs_module_mamba_etl_spark.llm.y4m import encode_y4m
+
+    w, h = 4, 4
+    vid = encode_y4m(w, h, [_rgb(w, h, seed=s) for s in range(5)])
+    media = spark.createDataFrame(
+        [(1, vid, "video/x-yuv4mpeg", "s://v1")], MEDIA_SCHEMA
+    )
+    rows = sample_frames(media, max_frames=3, fake=False).collect()
+    assert len(rows) == 3
+    assert sorted(r["frame_index"] for r in rows) == [0, 1, 2]
+    assert all(len(r["frame_bytes"]) == w * h * 3 for r in rows)
+
+
+def test_sample_frames_fake_path_unchanged(spark):
+    from openmrs_module_mamba_etl_spark.llm.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, b"x" * 3000, "application/octet-stream", "s://f")],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every_n_bytes=1024, max_frames=8).collect()
+    assert len(rows) == 2  # 3000 // 1024
