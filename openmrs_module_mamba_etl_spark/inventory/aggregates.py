@@ -489,3 +489,107 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _listagg_orders GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "profile_drift",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi,
+             MIN(epoch_us(ts)) AS tlo, MAX(epoch_us(ts)) AS thi
+      FROM events
+    ), binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
+               AS bin,
+             CASE WHEN epoch_us(ts) * 2 < tlo + thi THEN 1 ELSE 0 END
+               AS is_ref
+      FROM events CROSS JOIN b
+    ), counts AS (
+      SELECT event_type, bin,
+             SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+      FROM binned GROUP BY event_type, bin
+    ), spine AS (
+      SELECT et.event_type, r.range AS bin
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN range(10) r
+    ), full_counts AS (
+      SELECT s.event_type, s.bin,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.bin = c.bin
+    ), tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM full_counts GROUP BY event_type
+    )
+    SELECT f.event_type,
+           ROUND(SUM(
+             ((f.n_cur + 1.0) / (t.t_cur + 10.0)
+              - (f.n_ref + 1.0) / (t.t_ref + 10.0))
+             * ln(((f.n_cur + 1.0) / (t.t_cur + 10.0))
+                  / ((f.n_ref + 1.0) / (t.t_ref + 10.0)))
+           ), 6) AS psi
+    FROM full_counts f JOIN tot t ON f.event_type = t.event_type
+    GROUP BY f.event_type
+    ORDER BY f.event_type
+    """,
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the production gate a
+    training pipeline runs between data snapshots: per event type, the
+    `value` distribution of the later half of the time range is compared
+    to the earlier half over 10 equal-width bins;
+    PSI = Σ (q−p)·ln(q/p) with add-one smoothing (so empty bins are
+    well-defined). Rule of thumb: <0.1 stable, >0.25 investigate.
+
+    Scale shape: one bounds aggregate broadcast back, one
+    map-side-combinable (type, bin, window) count, a literal 10-row bin
+    spine joined in so absent bins still contribute, and a per-type
+    rollup — #types×10 rows survive every shuffle regardless of input
+    size. All arithmetic is IEEE double (ln/÷), replayed exactly by the
+    oracle."""
+    ev = table(spark, sf_dir, "events")
+    tus = F.expr("ts div 1000")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min(tus).alias("tlo"),
+        F.max(tus).alias("thi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        F.when(tus * 2 < F.col("tlo") + F.col("thi"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(10).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    full = (
+        spine.join(counts, ["event_type", "bin"], "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10.0)
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"))
+        .orderBy("event_type")
+    )
