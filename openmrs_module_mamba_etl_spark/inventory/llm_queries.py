@@ -260,6 +260,107 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage",
+    oracle=_SHINGLE_CTE
+    + """
+    , ex AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), mh AS (
+      SELECT doc_id, s.seed,
+             MIN(('0x' || substr(md5(s.seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS v
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(b.band::VARCHAR || '|' ||
+                  array_to_string(sig[b.band*4+1 : b.band*4+4], ',')), 1, 15))::BIGINT
+               AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
+    ), pairs AS (
+      SELECT id_a, id_b FROM scored
+      WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ), splits AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_x,
+           GREATEST(sa.split, sb.split) AS split_y,
+           COUNT(*) AS n_leaked_pairs
+    FROM pairs
+    JOIN splits sa ON sa.doc_id = id_a
+    JOIN splits sb ON sb.doc_id = id_b
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the gate that catches a test set
+    leaking into training through near-duplicates (the reason
+    deduplication must run BEFORE splitting): near-dup pairs from the
+    md5-contract MinHash pipeline joined against the deterministic
+    train/valid/test hash split; any pair straddling two splits is
+    leakage, reported per split pair.
+
+    Scale shape: the pair set is LSH-bucketed (never all-pairs), the
+    split label is a map-side pure function of the id (no shuffle to
+    assign), and the two label joins broadcast the (id, split)
+    projection of the pair endpoints. The oracle replays the ENTIRE
+    pipeline — shingles, 16 minima, band buckets, verification, split
+    hash — stage for stage."""
+    from openmrs_module_mamba_etl_spark.llm.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        verify_threshold=0.5,
+        portable=True,
+    ).select("id_a", "id_b")
+    splits = hash_split(
+        docs.select("doc_id"),
+        "doc_id",
+        [("train", 900), ("valid", 950), ("test", 1000)],
+    ).select("doc_id", "split")
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_x"),
+            F.greatest("split_a", "split_b").alias("split_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_leaked_pairs"))
+        .orderBy("split_x", "split_y")
+    )
+
+
+@query(
     "dedup_simhash_portable",
     oracle=_TOKS_CTE
     + """
