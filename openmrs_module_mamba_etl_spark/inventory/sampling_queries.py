@@ -140,6 +140,74 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sliding_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), wins AS (
+      SELECT doc_id, n, toks,
+             CAST(unnest(generate_series(0, GREATEST(1,
+               CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1) - 1)) AS INT)
+               AS chunk_index
+      FROM sized
+    )
+    SELECT doc_id, chunk_index,
+           len(toks[chunk_index * 48 + 1 : chunk_index * 48 + 64])
+             AS n_chunk_tok,
+           md5(array_to_string(
+             toks[chunk_index * 48 + 1 : chunk_index * 48 + 64], ' '))
+             AS chunk_md5
+    FROM wins
+    """,
+)
+def pack_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the OTHER pretraining
+    layout next to concat-and-chunk: each document explodes into
+    64-token windows at stride 48 (16-token overlap), so long documents
+    become model-sized samples without losing cross-boundary context.
+    The window fan-out is a pure codegen transform+explode (no UDF, no
+    shuffle — only the explode's row multiplication); the md5 of each
+    chunk's joined text proves exact chunk CONTENT against the oracle,
+    not just counts. At 100 TB the blow-up factor is bounded by
+    n_tok/stride per doc and happens map-side."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    chunk, stride = 64, 48
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+    )
+    n_win = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - chunk) / float(stride)).cast("long") + 1,
+    )
+    wins = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (n_win - 1).cast("int"))).alias(
+            "chunk_index"
+        ),
+    )
+    window = F.slice(
+        F.col("toks"), F.col("chunk_index") * stride + 1, chunk
+    )
+    return wins.select(
+        "doc_id",
+        "chunk_index",
+        F.size(window).cast("long").alias("n_chunk_tok"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
     "sink_shards",
     oracle=f"""
     SELECT {bucket_sql('doc_id', 16)} AS shard,
