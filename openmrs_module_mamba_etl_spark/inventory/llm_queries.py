@@ -729,6 +729,87 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql(8)} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+      FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.qid, b.vec_id, b.bucket, q.qb,
+             ROUND(
+               list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(b.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM b CROSS JOIN q
+    ), brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ), lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored WHERE bit_count(xor(bucket, qb)) <= 2
+      ) WHERE rn <= 10
+    )
+    SELECT brute.qid,
+           ROUND(COUNT(lsh.vec_id) / 10.0, 6) AS recall_at_10
+    FROM brute LEFT JOIN lsh
+      ON brute.qid = lsh.qid AND brute.vec_id = lsh.vec_id
+    GROUP BY brute.qid ORDER BY brute.qid
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the multiprobe-LSH index against
+    exact brute force, per query — the evaluation every approximate
+    index needs before it replaces the exact path in production. Both
+    pipelines are deterministic (seed-42 projections, id tiebreaks), so
+    the whole evaluation — ground truth, candidates, and the recall
+    division — replays in the oracle. Scale shape: ground truth costs
+    one brute pass over the N EVAL queries only (not the corpus
+    workload); candidates are the bucket-pruned set."""
+    from pyspark.sql import Window
+
+    _assert_emb_dim(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    brute = knn_join(queries_df, emb, "vec_id", "vec_id", "embedding", k=10)
+    lsh = knn_join_lsh(
+        queries_df,
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        dim=_EMB_DIM,
+        k=10,
+        planes=8,
+        multiprobe_hamming=2,
+    )
+    hits = brute.select("lid", "rid").join(
+        lsh.select("lid", "rid").withColumn("hit", F.lit(1)),
+        ["lid", "rid"],
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("lid").alias("qid"))
+        .agg(F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 6).alias("recall_at_10"))
+        .orderBy("qid")
+    )
+
+
 # --- text analysis -------------------------------------------------------
 
 _BM25_TERMS = ("spark", "shuffle", "vector")
