@@ -23,6 +23,10 @@ BNLJ_ALLOWED = {
     "ann_knn_join",
     "dedup_embedding_cosine",
     "join_theta",
+    # recall evaluation NEEDS exact brute-force ground truth over the
+    # handful of eval queries — the deliberate baseline the LSH side is
+    # being measured against, bounded by the eval-query count.
+    "ann_recall_eval",
     # Scalar-subquery shape: the broadcast side is a single aggregate row
     # (histogram bounds / corpus token total / q22 avg balance), so the
     # "nested loop" degenerates to one comparison per probe row — O(N),
@@ -30,6 +34,9 @@ BNLJ_ALLOWED = {
     "agg_histogram",
     "text_ngram_score",
     "tpch_q22",
+    # value/time bounds = one aggregate row broadcast against the event
+    # scan — the histogram-bounds scalar-subquery shape again.
+    "profile_drift",
     # counts(#strata rows) × broadcast(1-row n_min anchor) — the same
     # scalar-subquery degenerate join, sized by the stratum domain.
     "sample_temperature",
