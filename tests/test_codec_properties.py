@@ -1,0 +1,69 @@
+"""Property tests for the pure-python media codecs (no Spark needed):
+encode→decode must round-trip for ANY size/content, not just the fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openmrs_module_mamba_etl_spark.llm.png import decode_png, encode_png
+from openmrs_module_mamba_etl_spark.llm.wav import decode_wav, encode_wav
+from openmrs_module_mamba_etl_spark.llm.y4m import decode_y4m, encode_y4m
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ft, seed):
+    rgb = (
+        np.random.default_rng(seed)
+        .integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        .tobytes()
+    )
+    assert decode_png(encode_png(w, h, rgb, filter_type=ft)) == (w, h, rgb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    samples = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    r, back = decode_wav(encode_wav(rate, samples))
+    assert r == rate
+    assert np.array_equal(
+        np.rint(back * 32768.0).astype(np.int16), samples
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    n_frames=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_property(w, h, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    rw, rh, _fps, back = decode_y4m(encode_y4m(w, h, frames))
+    assert (rw, rh, len(back)) == (w, h, n_frames)
+    for orig, dec in zip(frames, back):
+        a = np.frombuffer(orig, dtype=np.uint8).astype(np.int16)
+        b = np.frombuffer(dec, dtype=np.uint8).astype(np.int16)
+        # YUV444 double transform: integer rounding error bounded by ±2
+        assert np.abs(a - b).max() <= 2
