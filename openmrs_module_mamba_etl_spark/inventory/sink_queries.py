@@ -91,6 +91,43 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_time_travel",
+    oracle="""
+    SELECT 1 AS version, c_custkey AS person_id, c_mktsegment AS segment
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT 2, c_custkey, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table log (sources/txnlog.py — the manifest-per-version
+    lakehouse core: atomic commits via rename, snapshot isolation,
+    optimistic concurrency): commit v0 (overwrite), v1 (append), v2
+    (overwrite), then read versions 1 AND 2 side by side — the AS OF
+    audit/rollback read plain Parquet cannot give. The oracle recomputes
+    both snapshots from the source table."""
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("person_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    t = VersionedParquetTable(_scratch_dir("sink_time_travel"))
+    t.write(cust.where(F.col("person_id") <= 50))
+    t.write(
+        cust.where((F.col("person_id") > 50) & (F.col("person_id") <= 100)),
+        mode="append",
+    )
+    t.write(cust.where(F.col("segment") == "BUILDING"), mode="overwrite")
+    v1 = t.read(spark, 1).withColumn("version", F.lit(1))
+    v2 = t.read(spark, 2).withColumn("version", F.lit(2))
+    return v1.unionByName(v2).select("version", "person_id", "segment")
+
+
+@query(
     "sink_incremental",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
