@@ -128,6 +128,46 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_log_diff",
+    oracle="""
+    SELECT 'insert' AS op, c_custkey AS person_id
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey > 100
+    UNION ALL
+    SELECT 'delete', c_custkey
+    FROM customer WHERE c_custkey <= 100 AND c_mktsegment <> 'BUILDING'
+    """,
+)
+def cdc_log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed from the versioned log: the row-level diff between two
+    retained versions (inserted/deleted keys via two anti-joins) — what a
+    downstream consumer replays instead of re-reading the whole table.
+    Unlike cdc_snapshot_diff (which needs both snapshots exported), the
+    log retains them natively, so the feed is computable AFTER the fact
+    for any retained version pair. The oracle recomputes the diff from
+    the construction: v0 = custkey ≤ 100, v1 = BUILDING segment."""
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("person_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    t = VersionedParquetTable(_scratch_dir("cdc_log_diff"))
+    t.write(cust.where(F.col("person_id") <= 100))
+    t.write(cust.where(F.col("segment") == "BUILDING"), mode="overwrite")
+    old = t.read(spark, 0).select("person_id")
+    new = t.read(spark, 1).select("person_id")
+    ins = new.join(old, "person_id", "left_anti").select(
+        F.lit("insert").alias("op"), "person_id"
+    )
+    removed = old.join(new, "person_id", "left_anti").select(
+        F.lit("delete").alias("op"), "person_id"
+    )
+    return ins.unionByName(removed)
+
+
+@query(
     "sink_incremental",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
