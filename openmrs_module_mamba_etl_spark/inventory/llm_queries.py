@@ -730,6 +730,48 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_incremental",
+    oracle="""
+    SELECT vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+    FROM embeddings b,
+         (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session pattern —
+    cf. EDBT 2020's incremental top-k similarity framework, PAPERS.md):
+    a standing top-k answer is updated by a NEW data batch without
+    rescoring the old corpus — merge(standing top-k, top-k(increment))
+    re-ranked to k. Correct because the global top-k is always contained
+    in the union of per-partition top-ks (monotone merge invariant); the
+    oracle is the full-recompute top-k over everything, so parity PROVES
+    the incremental path equals the one-shot answer. At scale the
+    standing answer is k rows — the increment is the only thing scored
+    per tick."""
+    qv = _query_vec(spark, sf_dir, 0)
+    _assert_emb_dim(width=len(qv))
+    emb = table(spark, sf_dir, "embeddings")
+    standing_corpus = emb.where(F.col("vec_id") % 2 == 0)
+    increment = emb.where(F.col("vec_id") % 2 == 1)
+    standing = brute_force_topk(standing_corpus, "vec_id", "embedding", qv, k=10)
+    delta = brute_force_topk(increment, "vec_id", "embedding", qv, k=10)
+    return (
+        standing.unionByName(delta)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "ann_recall_eval",
     oracle=f"""
     WITH b AS (
