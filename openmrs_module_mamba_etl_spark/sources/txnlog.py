@@ -76,7 +76,11 @@ class VersionedParquetTable:
     # ---- write path -----------------------------------------------------
 
     def write(
-        self, df: DataFrame, mode: str = "overwrite", max_retries: int = 20
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        max_retries: int = 20,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
@@ -85,6 +89,13 @@ class VersionedParquetTable:
         Optimistic concurrency: losing a manifest race re-reads the head
         and retries — appends from concurrent writers all land, in some
         serial order.
+
+        ``stats_cols`` records per-directory min/max of those columns in
+        the manifest (one tiny aggregate over the staged data), enabling
+        manifest-level pruning in :meth:`read_pruned` — the
+        Iceberg/Delta data-skipping layer: a reader with a range
+        predicate opens only directories whose [min, max] intersects it,
+        without touching any parquet footer of the rest.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -102,10 +113,31 @@ class VersionedParquetTable:
             data_dir = f"v{version:05d}-{uuid.uuid4().hex[:8]}"
             df.write.mode("overwrite").parquet(str(self._files / data_dir))
 
+            stats: dict[str, dict] = {}
+            if stats_cols:
+                from pyspark.sql import functions as F
+
+                row = df.sparkSession.read.parquet(
+                    str(self._files / data_dir)
+                ).agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+                ).first()
+                stats[data_dir] = {
+                    c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols
+                }
+
             dirs = [data_dir]
             if mode == "append" and head is not None:
-                dirs = self._manifest(head)["dirs"] + dirs
-            manifest = {"version": version, "op": mode, "dirs": dirs}
+                prev = self._manifest(head)
+                dirs = prev["dirs"] + dirs
+                stats = {**prev.get("stats", {}), **stats}
+            manifest = {
+                "version": version,
+                "op": mode,
+                "dirs": dirs,
+                "stats": stats,
+            }
 
             tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
             tmp.write_text(json.dumps(manifest, indent=2))
@@ -139,6 +171,48 @@ class VersionedParquetTable:
             )
         dirs = self._manifest(v)["dirs"]
         return spark.read.parquet(*[str(self._files / d) for d in dirs])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Range read ``lo <= col <= hi`` with manifest-level skipping.
+
+        Directories whose recorded [min, max] for ``col`` does not
+        intersect the requested range are never opened; directories
+        without stats are conservatively read. The residual filter is
+        still applied (stats prune at directory granularity, correctness
+        comes from the predicate). Returns (df, dirs_read, dirs_total) so
+        callers — and tests — can see the skipping actually happened.
+        """
+        head = self.latest_version()
+        if head is None:
+            raise FileNotFoundError(f"no committed version under {self.path}")
+        v = head if version is None else version
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for d in m["dirs"]:
+            rng = stats.get(d, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                keep.append(d)  # no stats → cannot skip safely
+            elif not (hi < rng[0] or lo > rng[1]):
+                keep.append(d)
+        from pyspark.sql import functions as F
+
+        if not keep:
+            # empty result with the right schema: read the full version
+            # lazily and filter to false-equivalent range
+            df = self.read(spark, v).where(F.lit(False))
+            return df, 0, len(m["dirs"])
+        df = spark.read.parquet(
+            *[str(self._files / d) for d in keep]
+        ).where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df, len(keep), len(m["dirs"])
 
     # ---- maintenance ----------------------------------------------------
 

@@ -96,3 +96,38 @@ def test_upsert_via_merge_then_overwrite(spark, tmp_path):
     assert {tuple(r) for r in t.read(spark, 0).collect()} == {
         (1, "a"), (2, "b"),
     }
+
+
+def test_manifest_stats_prune_directories(spark, tmp_path):
+    """Three appends covering disjoint id ranges: a range read touching one
+    range must open exactly one data directory — manifest-level skipping,
+    no parquet footer reads for the rest — and still return exact rows."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 100).toDF("id"), stats_cols=["id"])
+    t.write(
+        spark.range(100, 200).toDF("id"), mode="append", stats_cols=["id"]
+    )
+    t.write(
+        spark.range(200, 300).toDF("id"), mode="append", stats_cols=["id"]
+    )
+    df, read, total = t.read_pruned(spark, "id", 120, 150)
+    assert (read, total) == (1, 3)
+    assert {r["id"] for r in df.collect()} == set(range(120, 151))
+    # range spanning two dirs
+    df2, read2, _ = t.read_pruned(spark, "id", 90, 110)
+    assert read2 == 2
+    assert df2.count() == 21
+    # fully outside: nothing read, empty result, schema intact
+    df3, read3, _ = t.read_pruned(spark, "id", 1000, 2000)
+    assert read3 == 0 and df3.count() == 0 and df3.columns == ["id"]
+
+
+def test_stats_absent_dirs_read_conservatively(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 10).toDF("id"))  # no stats recorded
+    t.write(
+        spark.range(100, 110).toDF("id"), mode="append", stats_cols=["id"]
+    )
+    df, read, total = t.read_pruned(spark, "id", 0, 5)
+    assert (read, total) == (1, 2)  # stats-less dir kept, other pruned
+    assert df.count() == 6
