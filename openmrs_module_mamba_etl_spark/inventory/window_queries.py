@@ -421,6 +421,62 @@ if _tws_available():
 
 
 @query(
+    "stream_log_append",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    """,
+)
+def stream_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the versioned table log:
+    each micro-batch commits via ``append_batch`` (manifest records the
+    batch_id, so a re-delivered batch after a crash is a no-op — the
+    idempotent foreachBatch sink pattern). Four time-split micro-batches
+    must reassemble EXACTLY the source table, which is what the oracle
+    checks; the final manifest shows one commit per batch."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_log_append")
+    src = os.path.join(scratch, "in")
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    t = VersionedParquetTable(os.path.join(scratch, "log"))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        t.append_batch(
+            batch.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round("value", 2).alias("value"),
+            ),
+            batch_id,
+        )
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return t.read(spark)
+
+
+@query(
     "stream_windowed_counts",
     oracle="""
     WITH t AS (

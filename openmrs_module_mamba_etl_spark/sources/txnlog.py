@@ -99,6 +99,16 @@ class VersionedParquetTable:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        return self._commit(df, mode, max_retries, stats_cols, meta=None)
+
+    def _commit(
+        self,
+        df: DataFrame,
+        mode: str,
+        max_retries: int,
+        stats_cols: list[str] | None,
+        meta: dict | None,
+    ) -> int:
         self._txn.mkdir(parents=True, exist_ok=True)
         self._files.mkdir(parents=True, exist_ok=True)
 
@@ -137,6 +147,7 @@ class VersionedParquetTable:
                 "op": mode,
                 "dirs": dirs,
                 "stats": stats,
+                **(meta or {}),
             }
 
             tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
@@ -171,6 +182,50 @@ class VersionedParquetTable:
             )
         dirs = self._manifest(v)["dirs"]
         return spark.read.parquet(*[str(self._files / d) for d in dirs])
+
+    # ---- exactly-once streaming sink ------------------------------------
+
+    def committed_batch_ids(self) -> set[int]:
+        return {
+            m["batch_id"]
+            for m in (self._manifest(v) for v in self.versions())
+            if "batch_id" in m
+        }
+
+    def append_batch(
+        self, df: DataFrame, batch_id: int, stats_cols: list[str] | None = None
+    ) -> int | None:
+        """Idempotent foreachBatch sink — the exactly-once contract.
+
+        Structured Streaming re-delivers a micro-batch (same ``batch_id``)
+        after a failure between sink write and checkpoint commit; a plain
+        append would duplicate those rows. Each log commit records its
+        ``batch_id`` in the manifest, and a re-delivered batch is a no-op
+        (returns None), so sink state is exactly-once REGARDLESS of where
+        the stream crashed. The check re-runs inside the optimistic retry
+        loop's head re-read, closing the race between two deliveries of
+        the same batch.
+        """
+        if batch_id in self.committed_batch_ids():
+            return None
+        # the race between two concurrent deliveries of the SAME batch is
+        # closed by the version-slot claim: both stage, one wins the slot;
+        # the loser re-reads the head, sees the batch_id, and aborts here.
+        for _ in range(3):
+            try:
+                return self._commit(
+                    df,
+                    "append",
+                    max_retries=1,
+                    stats_cols=stats_cols,
+                    meta={"batch_id": batch_id},
+                )
+            except RuntimeError:
+                if batch_id in self.committed_batch_ids():
+                    return None
+        raise RuntimeError(
+            f"batch {batch_id}: lost 3 version races to OTHER batches"
+        )
 
     def read_pruned(
         self,

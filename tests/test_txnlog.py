@@ -131,3 +131,14 @@ def test_stats_absent_dirs_read_conservatively(spark, tmp_path):
     df, read, total = t.read_pruned(spark, "id", 0, 5)
     assert (read, total) == (1, 2)  # stats-less dir kept, other pruned
     assert df.count() == 6
+
+
+def test_append_batch_exactly_once(spark, tmp_path):
+    """A re-delivered micro-batch (same batch_id) must be a no-op — the
+    exactly-once contract under foreachBatch redelivery."""
+    t = VersionedParquetTable(tmp_path / "t")
+    assert t.append_batch(spark.range(5).toDF("id"), batch_id=0) == 0
+    assert t.append_batch(spark.range(5).toDF("id"), batch_id=0) is None
+    assert t.append_batch(spark.range(5, 8).toDF("id"), batch_id=1) == 1
+    assert t.read(spark).count() == 8
+    assert t.committed_batch_ids() == {0, 1}
