@@ -906,15 +906,17 @@ def _pagerank_oracle(iters: int) -> str:
     ), e AS (
       SELECT DISTINCT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b
       FROM contracted WHERE cn <> sn
-    ), tri AS (
-      SELECT COUNT(*) AS n FROM e e1
-      JOIN e e2 ON e1.b = e2.a
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     )
-    SELECT (SELECT COUNT(DISTINCT x) FROM (
-              SELECT a AS x FROM e UNION SELECT b FROM e)) AS n_nodes,
-           (SELECT COUNT(*) FROM e) AS n_edges,
-           (SELECT n FROM tri) AS n_triangles
+    SELECT 'n_nodes' AS metric,
+           (SELECT COUNT(DISTINCT x) FROM (
+              SELECT a AS x FROM e UNION SELECT b FROM e)) AS value
+    UNION ALL
+    SELECT 'n_edges', (SELECT COUNT(*) FROM e)
+    UNION ALL
+    SELECT 'n_triangles',
+           (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,14 +952,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e3,
         (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-    ).count()
-    nodes = e.select(F.col("a").alias("x")).union(
-        e.select(F.col("b").alias("x"))
-    ).distinct().count()
-    n_edges = e.count()
-    return spark.createDataFrame(
-        [(nodes, n_edges, tri)],
-        "n_nodes long, n_edges long, n_triangles long",
+    ).agg(F.count(F.lit(1)).alias("value"))
+    nodes = (
+        e.select(F.col("a").alias("x"))
+        .union(e.select(F.col("b").alias("x")))
+        .agg(F.countDistinct("x").alias("value"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("value"))
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"), "value")
+
+    # union of three aggregates, not a 1×1 cross join: keeps the summary
+    # plan join-free above the graph joins (the profile_constraints rule)
+    return (
+        tag(nodes, "n_nodes")
+        .unionByName(tag(n_edges, "n_edges"))
+        .unionByName(tag(tri, "n_triangles"))
     )
 
 
