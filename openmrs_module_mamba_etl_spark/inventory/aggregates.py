@@ -209,11 +209,14 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_sketch_merge",
     # The sketch *binary* has no DuckDB twin, but the final estimate does:
-    # the sf0.01 key domain (150 distinct users) is far below the
-    # Datasketches HLL_4 sparse→dense transition at lgK=12 (~k/4 ≈ 1024
-    # coupons), so both the per-day sketches and their union stay in exact
-    # coupon mode and the estimate EQUALS COUNT(DISTINCT). Associativity of
-    # the dense path is pinned separately by tests/test_properties.py.
+    # Datasketches HLL_4 is EXACT while in sparse coupon mode (capacity
+    # ~k/4), so with lgK=20 (~260k coupons) the estimate equals
+    # COUNT(DISTINCT) through sf10's user domain (~150k) — the oracle is
+    # valid at every test scale, not just the driver's sf0.01 (at lgK=12
+    # it already went dense, and ~1.6% off, at sf0.1's 1500 users). A
+    # production rollup tunes lgK back down and accepts the published
+    # error; the associativity of the dense path is pinned separately by
+    # tests/test_properties.py.
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS est_users
     FROM events GROUP BY event_type ORDER BY event_type
@@ -225,14 +228,14 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser rollup by UNIONING stored sketches instead of rescanning raw
     events. HLL register-max merge is associative, so
     union-of-day-sketches yields the IDENTICAL estimate to one sketch
-    over all rows (pinned exactly by tests/test_properties.py); accuracy
-    vs exact distinct is a fixed ~1.6% rel. std. error at lgK=12, and the
-    estimate is exactly COUNT(DISTINCT) while the sketch remains in sparse
-    coupon mode (true on the sf0.01 oracle domain)."""
+    over all rows (pinned exactly by tests/test_properties.py); the
+    estimate is exactly COUNT(DISTINCT) while the sketch remains in
+    sparse coupon mode (guaranteed across all test scales at lgK=20);
+    production-tuned lgK trades that for a fixed published rel. error."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(F.hll_sketch_agg("user_id", F.lit(20)).alias("sk"))
     return (
         daily.groupBy("event_type")
         .agg(

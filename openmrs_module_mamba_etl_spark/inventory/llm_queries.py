@@ -317,10 +317,12 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/valid/test hash split; any pair straddling two splits is
     leakage, reported per split pair.
 
-    Scale shape: the pair set is LSH-bucketed (never all-pairs), the
+    Scale shape: the pair set is LSH-bucketed (never all-pairs) and the
     split label is a map-side pure function of the id (no shuffle to
-    assign), and the two label joins broadcast the (id, split)
-    projection of the pair endpoints. The oracle replays the ENTIRE
+    assign). The label joins carry NO broadcast hint — the splits side
+    is corpus-sized, so forcing it driver-side is exactly the OOM hazard
+    duplicate_clusters' size gate exists for; AQE broadcasts the (small)
+    pair side at runtime instead. The oracle replays the ENTIRE
     pipeline — shingles, 16 minima, band buckets, verification, split
     hash — stage for stage."""
     from openmrs_module_mamba_etl_spark.llm.sampling import hash_split
@@ -348,8 +350,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "split_b"
     )
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy(
             F.least("split_a", "split_b").alias("split_x"),
@@ -1401,7 +1403,9 @@ def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
            8000 + CAST(doc_id % 3 AS INT) * 4000 AS sample_rate,
            (octet_length(CAST(text AS BLOB)) * 40) * 1000
              // (8000 + (doc_id % 3) * 4000) AS duration_ms
-    FROM documents WHERE doc_id % 23 = 0 AND text IS NOT NULL
+    FROM documents
+    WHERE doc_id % 23 = 0 AND text IS NOT NULL
+      AND octet_length(CAST(text AS BLOB)) > 0
     """,
 )
 def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,7 +1427,14 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         table(spark, sf_dir, "documents")
-        .where((F.col("doc_id") % 23 == 0) & F.col("text").isNotNull())
+        .where(
+            (F.col("doc_id") % 23 == 0)
+            & F.col("text").isNotNull()
+            # empty text would diverge from the oracle's byte arithmetic
+            # (no bytes → 0 samples, but a WAV needs ≥0 data; excluded on
+            # BOTH sides so the contract stays exact)
+            & (F.length("text") > 0)
+        )
         .select("doc_id", "text")
     )
 
@@ -1432,9 +1443,7 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, wavs = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 rate = 8000 + (did % 3) * 4000
-                raw = np.frombuffer(
-                    (text.encode() or b"\x00") * 40, dtype=np.uint8
-                )
+                raw = np.frombuffer(text.encode() * 40, dtype=np.uint8)
                 samples = (raw.astype(np.int16) - 128) * 256
                 ids.append(did)
                 wavs.append(encode_wav(rate, samples))

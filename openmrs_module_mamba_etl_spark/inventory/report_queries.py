@@ -264,23 +264,16 @@ def etl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     per discovered attribute. Per-table count jobs are submitted
     concurrently (run_per_type pattern) — the same scheduler-overlap
     property the auto-flatten path uses."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    from openmrs_module_mamba_etl_spark.operators.flatten import run_per_type
     from openmrs_module_mamba_etl_spark.plans.clinical import (
         run_clinical_pipeline,
     )
 
     ctx = run_clinical_pipeline(spark, sf_dir)
-    names = sorted(ctx.tables)
-    with ThreadPoolExecutor(max_workers=len(names)) as pool:
-        counts = {
-            n: c
-            for n, c in zip(
-                names,
-                pool.map(lambda n: ctx.tables[n].count(), names),
-            )
-        }
-    rows = [(n, counts[n], len(ctx.tables[n].columns)) for n in names]
+    counts = run_per_type(ctx.tables, lambda _n, df: df.count())
+    rows = [
+        (n, counts[n], len(ctx.tables[n].columns)) for n in sorted(ctx.tables)
+    ]
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int"
     )

@@ -42,6 +42,29 @@ def hyperplane_bucket(vec: Column, dim: int, planes: int = 12, seed: int = 42) -
     return bucket
 
 
+def _flip_masks(planes: int, multiprobe_hamming: int) -> list[int]:
+    """XOR masks for every bucket within ``multiprobe_hamming`` bit flips
+    (radius ≤ 2 supported — shared by lsh_topk and knn_join_lsh so the
+    two probe sets can never diverge). A larger radius must FAIL, not
+    silently truncate to 2: recall claims depend on the probe set."""
+    if not 0 <= multiprobe_hamming <= 2:
+        raise ValueError(
+            f"multiprobe_hamming must be 0..2, got {multiprobe_hamming} "
+            "(enumerate-all-flips multiprobe is quadratic in planes past "
+            "radius 2 — use more planes or IVF instead)"
+        )
+    masks = [0]
+    if multiprobe_hamming >= 1:
+        masks += [1 << p for p in range(planes)]
+    if multiprobe_hamming >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(planes)
+            for q in range(p + 1, planes)
+        ]
+    return masks
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -93,14 +116,7 @@ def lsh_topk(
     for b in qbits:
         qbucket = qbucket * 2 + b
 
-    probe = {qbucket}
-    if multiprobe_hamming >= 1:
-        for p in range(planes):
-            probe.add(qbucket ^ (1 << p))
-    if multiprobe_hamming >= 2:
-        for p in range(planes):
-            for r in range(p + 1, planes):
-                probe.add(qbucket ^ (1 << p) ^ (1 << r))
+    probe = {qbucket ^ m for m in _flip_masks(planes, multiprobe_hamming)}
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.withColumn(
@@ -318,15 +334,7 @@ def knn_join_lsh(
     l = bucket(left, left_id, "lid", "lvec")
     r = bucket(right, right_id, "rid", "rvec").withColumnRenamed("_b", "_rb")
 
-    flips = [0]
-    if multiprobe_hamming >= 1:
-        flips += [1 << p for p in range(planes)]
-    if multiprobe_hamming >= 2:
-        flips += [
-            (1 << p) | (1 << q)
-            for p in range(planes)
-            for q in range(p + 1, planes)
-        ]
+    flips = _flip_masks(planes, multiprobe_hamming)
     probes = F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in flips])
     probed = l.select(
         "lid", "lvec", F.explode(probes).alias("_pb")

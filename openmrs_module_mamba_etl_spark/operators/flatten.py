@@ -233,11 +233,13 @@ def auto_flatten_by_type(
 
 
 def run_per_type(
-    result: AutoFlattenResult,
+    result: "AutoFlattenResult | dict[str, DataFrame]",
     action: Callable[[str, DataFrame], object],
     max_concurrency: int = 8,
 ) -> dict[str, object]:
-    """Run ``action(name, df)`` over every flat table CONCURRENTLY.
+    """Run ``action(name, df)`` over every named table CONCURRENTLY.
+    Accepts an AutoFlattenResult or any name→DataFrame mapping (the
+    pipeline's table dict uses the same fan-out).
 
     The per-type plans are independent Spark jobs; submitting them from a
     driver for-loop serializes wall-clock on the driver even though the
@@ -251,13 +253,13 @@ def run_per_type(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    names = sorted(result.tables)
+    tables = result.tables if isinstance(result, AutoFlattenResult) else result
+    names = sorted(tables)
     with ThreadPoolExecutor(
         max_workers=max(1, min(max_concurrency, len(names) or 1))
     ) as pool:
         futures = {
-            name: pool.submit(action, name, result.tables[name])
-            for name in names
+            name: pool.submit(action, name, tables[name]) for name in names
         }
         return {name: futures[name].result() for name in names}
 

@@ -97,6 +97,7 @@ class ReportServer:
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+        self._started = False
 
     @property
     def port(self) -> int:
@@ -109,10 +110,16 @@ class ReportServer:
 
     def start(self) -> "ReportServer":
         self._thread.start()
+        self._started = True
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        # shutdown() BLOCKS until a running serve_forever loop acks it —
+        # calling it on a never-started server would deadlock the caller
+        # (e.g. cleanup after failed setup), so only the socket is closed
+        # in that case.
+        if self._started:
+            self._httpd.shutdown()
         self._httpd.server_close()
 
     def __enter__(self) -> "ReportServer":

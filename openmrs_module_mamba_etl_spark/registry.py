@@ -46,15 +46,16 @@ def _driver_history() -> tuple[set[str], set[str]]:
     """(verified, sampled) key sets from the CORRECTNESS_r*.json history.
 
     Used only to *order* registration: a time-budgeted external checker walks
-    QUERIES in dict order.  ``verified`` = keys with a value-hash-green row in
-    any round; ``sampled`` = keys that appeared in any round at all.  Rows-only
+    QUERIES in dict order.  ``verified`` = keys whose LATEST driver signal
+    (highest round that sampled them) is value-hash green — an earlier green
+    does not excuse a later red, so a regressed key re-samples first, not
+    last.  ``sampled`` = keys that appeared in any round at all.  Rows-only
     runs (``err: no_oracle``) and crashed rows count as sampled but NOT
     verified — many of those keys have since gained oracles or fixes and need
     a fresh sample.  Failure to read the files degrades to the neutral
     (alphabetical) order.
     """
-    verified: set[str] = set()
-    sampled: set[str] = set()
+    last_green: dict[str, bool] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -65,9 +66,10 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            sampled.add(key)
-            if row.get("hash_match") is True:
-                verified.add(key)
+            # files iterate in round order; the last write per key wins
+            last_green[key] = row.get("hash_match") is True
+    sampled = set(last_green)
+    verified = {k for k, green in last_green.items() if green}
     return verified, sampled
 
 

@@ -115,11 +115,10 @@ class JdbcSink:
         num_partitions: int | None = 8,
         truncate: bool = False,
     ) -> None:
-        out = df
-        if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
-            # cap connections; coalesce (not repartition) — no shuffle, the
-            # write path only narrows parallelism
-            out = df.coalesce(num_partitions)
+        # cap connections; coalesce (not repartition) — no shuffle, never
+        # widens, and a no-op when already at or below the cap, so no
+        # partition-count probe (df.rdd conversion) is needed
+        out = df.coalesce(num_partitions) if num_partitions is not None else df
         writer = (
             out.write.format("jdbc")
             .option("url", self.url)

@@ -274,8 +274,17 @@ class VersionedParquetTable:
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop manifests + data dirs older than the last ``keep_last``
         versions (that are not referenced by a retained version).
-        Returns the deleted data directory names."""
+        Returns the deleted data directory names.
+
+        Concurrent-writer safety: a dir named ``v<k>-...`` with k past
+        the committed head is an IN-FLIGHT writer's staging area — its
+        manifest may appear a moment later, so vacuum must never touch
+        it. Dirs at or below the head that no retained manifest
+        references are garbage (either superseded history or the
+        leftovers of a lost race, whose loser already retried under a
+        new name)."""
         vs = self.versions()
+        head = vs[-1] if vs else -1
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
         for v in keep_vs:
@@ -285,7 +294,11 @@ class VersionedParquetTable:
             if v not in keep_vs:
                 (self._txn / f"{v:05d}.json").unlink()
         for d in sorted(p.name for p in self._files.iterdir() if p.is_dir()):
-            if d not in referenced:
+            try:
+                dir_version = int(d.split("-")[0].lstrip("v"))
+            except ValueError:
+                dir_version = head + 1  # unparseable → treat as in-flight
+            if d not in referenced and dir_version <= head:
                 shutil.rmtree(self._files / d, ignore_errors=True)
                 deleted.append(d)
         return deleted

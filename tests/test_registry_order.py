@@ -50,3 +50,32 @@ def test_history_reader_tolerates_missing_and_garbage(tmp_path, monkeypatch):
     v, s = regmod._driver_history()
     assert v == {"good"}
     assert s == {"good", "ran_red", "rows_only"}
+
+
+def test_history_latest_signal_wins(tmp_path, monkeypatch):
+    # a key green in r01 but red in r02 must NOT count as verified —
+    # the latest driver signal governs, so regressions re-sample first
+    import openmrs_module_mamba_etl_spark.registry as regmod
+
+    monkeypatch.setattr(
+        regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "regressed": {"hash_match": True},
+                "recovered": {"hash_match": False, "err": "boom"},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "regressed": {"hash_match": False, "err": "boom"},
+                "recovered": {"hash_match": True},
+            }
+        )
+    )
+    v, s = regmod._driver_history()
+    assert v == {"recovered"}
+    assert s == {"regressed", "recovered"}

@@ -142,3 +142,25 @@ def test_append_batch_exactly_once(spark, tmp_path):
     assert t.append_batch(spark.range(5, 8).toDF("id"), batch_id=1) == 1
     assert t.read(spark).count() == 8
     assert t.committed_batch_ids() == {0, 1}
+
+
+def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
+    """A staged-but-uncommitted data dir for a FUTURE version (an
+    in-flight writer) must survive vacuum; unreferenced dirs at or below
+    the head are garbage and go."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(3).toDF("id"))
+    t.write(spark.range(5).toDF("id"), mode="overwrite")
+    t.write(spark.range(7).toDF("id"), mode="overwrite")
+    # simulate an in-flight writer staging for version 3 (head is 2)
+    inflight = t.path / "files" / "v00003-deadbeef"
+    spark.range(1).toDF("id").write.parquet(str(inflight))
+    # and a lost-race leftover at version 1 (<= head, unreferenced)
+    leftover = t.path / "files" / "v00001-feedface"
+    spark.range(1).toDF("id").write.parquet(str(leftover))
+    deleted = t.vacuum(keep_last=2)
+    assert "v00003-deadbeef" not in deleted
+    assert inflight.exists()
+    assert "v00001-feedface" in deleted
+    # retained versions still read
+    assert t.read(spark, 2).count() == 7
