@@ -236,6 +236,43 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_trending",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT (epoch_us(ts) // {_US_PER_DAY}) // 7 AS wk, event_type,
+             ROUND(SUM(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT wk, event_type, total, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY wk
+                                   ORDER BY total DESC, event_type ASC)
+                  AS rnk
+      FROM weekly
+    ) WHERE rnk <= 3
+    """,
+)
+def window_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items per time bucket: top-3 event types by weekly value
+    — the product-analytics leaderboard shape. One map-side-combined
+    (week, type) rollup then a rank window partitioned by week; the
+    window input is #weeks × #types rows, so the ranking cost is
+    bucket-bounded regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.expr(f"((ts div 1000) div {_US_PER_DAY}) div 7").alias("wk"),
+        "event_type",
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("wk").orderBy(
+        F.col("total").desc(), F.col("event_type").asc()
+    )
+    return (
+        weekly.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("wk", "event_type", "total", "rnk")
+    )
+
+
+@query(
     "rollup_interpolate",
     oracle=f"""
     WITH actual AS (

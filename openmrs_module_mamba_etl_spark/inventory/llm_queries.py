@@ -732,6 +732,57 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_zipf",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+            WHERE text IS NOT NULL)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+      FROM freq
+    )
+    SELECT ROUND(REGR_SLOPE(ln(f), ln(r)), 6) AS zipf_slope,
+           ROUND(REGR_R2(ln(f), ln(r)), 6) AS r2,
+           COUNT(*) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic: natural
+    text has log-frequency ≈ -1 × log-rank; a slope far from -1 (or a
+    poor R²) flags synthetic/templated/spam-heavy corpora before
+    training does. One token-histogram aggregate, one rank window over
+    the (vocab-sized, corpus-independent) frequency table, and a
+    sum-of-moments regression — the heavy input never leaves its first
+    contraction."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    freq = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+        ),
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+
+
+@query(
     "ann_topk_incremental",
     oracle="""
     SELECT vec_id,
