@@ -110,13 +110,18 @@ def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
             width, height = rgb.size
             return width, height, rgb.tobytes()
     except ImportError:
-        if not pngc.is_png(content):
-            raise NotImplementedError(
-                "real decoding of non-PNG media requires PIL/cv2, not "
-                "available in this environment (PNG decodes via the "
-                "pure-python codec; use fake=True for other formats)"
-            ) from None
-        return pngc.decode_png(content)
+        if pngc.is_png(content):
+            return pngc.decode_png(content)
+        from openmrs_module_mamba_etl_spark.llm import gif as gifc
+
+        if gifc.is_gif(content):
+            w, h, frames = gifc.decode_gif(content)
+            return w, h, frames[0]  # still-image view: first frame
+        raise NotImplementedError(
+            "real decoding of non-PNG/GIF media requires PIL/cv2, not "
+            "available in this environment (PNG and GIF decode via the "
+            "pure-python codecs; use fake=True for other formats)"
+        ) from None
 
 
 def _real_decode(content: bytes, n_features: int) -> tuple[int, int, list[float]]:
@@ -207,16 +212,22 @@ def sample_frames(
                             )
                         )
                 else:
+                    from openmrs_module_mamba_etl_spark.llm import gif as gifc
                     from openmrs_module_mamba_etl_spark.llm import y4m as y4mc
 
-                    if not y4mc.is_y4m(bytes(content)):
+                    payload = bytes(content)
+                    if y4mc.is_y4m(payload):
+                        _w, _h, _fps, decoded = y4mc.decode_y4m(payload)
+                    elif gifc.is_gif(payload):
+                        _w, _h, decoded = gifc.decode_gif(payload)
+                    else:
                         raise NotImplementedError(
                             "real frame extraction from compressed video "
                             "requires ffmpeg bindings, not available in "
-                            "this environment (Y4M decodes via the "
-                            "pure-python codec; use fake=True otherwise)"
+                            "this environment (Y4M and animated GIF "
+                            "decode via the pure-python codecs; use "
+                            "fake=True otherwise)"
                         )
-                    _w, _h, _fps, decoded = y4mc.decode_y4m(bytes(content))
                     for i, fr in enumerate(decoded[:max_frames]):
                         ids.append(mid)
                         idxs.append(i)

@@ -67,3 +67,26 @@ def test_y4m_roundtrip_property(w, h, n_frames, seed):
         b = np.frombuffer(dec, dtype=np.uint8).astype(np.int16)
         # YUV444 double transform: integer rounding error bounded by ±2
         assert np.abs(a - b).max() <= 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    n_colors=st.integers(2, 16),
+    n_frames=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, n_colors, n_frames, seed):
+    from openmrs_module_mamba_etl_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(n_colors)]
+    idx_frames = [
+        rng.integers(0, n_colors, size=w * h, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    rw, rh, frames = decode_gif(encode_gif(w, h, pal, idx_frames))
+    assert (rw, rh, len(frames)) == (w, h, n_frames)
+    for idx, rgb in zip(idx_frames, frames):
+        assert rgb == b"".join(bytes(pal[i]) for i in idx)

@@ -272,3 +272,82 @@ def test_sample_frames_fake_path_unchanged(spark):
     )
     rows = sample_frames(media, every_n_bytes=1024, max_frames=8).collect()
     assert len(rows) == 2  # 3000 // 1024
+
+
+def _palette():
+    return [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+
+def test_gif_roundtrip_multiframe():
+    from openmrs_module_mamba_etl_spark.llm.gif import decode_gif, encode_gif, is_gif
+
+    w, h = 7, 5
+    pal = _palette()
+    rng = np.random.default_rng(3)
+    idx_frames = [
+        rng.integers(0, len(pal), size=w * h, dtype=np.uint8).tobytes()
+        for _ in range(3)
+    ]
+    data = encode_gif(w, h, pal, idx_frames)
+    assert is_gif(data)
+    rw, rh, frames = decode_gif(data)
+    assert (rw, rh, len(frames)) == (w, h, 3)
+    for idx, rgb in zip(idx_frames, frames):
+        expect = b"".join(bytes(pal[i]) for i in idx)
+        assert rgb == expect
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code==next_code (KwKwK) branch: stream [CLEAR, 1, 6] at
+    min_code=2 must decode to pixels 1,1,1 — entry 6 is defined AS it is
+    consumed."""
+    from openmrs_module_mamba_etl_spark.llm.gif import _lzw_decode
+
+    acc, nbits, out = 0, 0, bytearray()
+    for code in (4, 1, 6, 5):  # clear, literal 1, KwKwK, EOI
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(2, bytes(out), 3) == bytes([1, 1, 1])
+
+
+def test_gif_large_frame_width_growth():
+    # >2^width literals force CLEAR re-emission in the encoder and table
+    # rebuilds in the decoder — a 64x64 frame crosses several cycles
+    from openmrs_module_mamba_etl_spark.llm.gif import decode_gif, encode_gif
+
+    w = h = 64
+    pal = _palette()
+    idx = (np.arange(w * h) % len(pal)).astype(np.uint8).tobytes()
+    _, _, frames = decode_gif(encode_gif(w, h, pal, [idx]))
+    assert frames[0] == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_decode_images_gif_fallback(spark):
+    from openmrs_module_mamba_etl_spark.llm.gif import encode_gif
+
+    pal = _palette()
+    idx = bytes([1, 2, 3, 4, 0, 1] * 4)  # 6x4
+    gif = encode_gif(6, 4, pal, [idx])
+    row = decode_images(
+        _media_df(spark, {9: gif}), n_features=4, fake=False
+    ).first()
+    assert (row["width"], row["height"]) == (6, 4)
+
+
+def test_sample_frames_gif_real_path(spark):
+    from openmrs_module_mamba_etl_spark.llm.gif import encode_gif
+    from openmrs_module_mamba_etl_spark.llm.multimodal import sample_frames
+
+    pal = _palette()
+    frames_idx = [bytes([i % len(pal)] * 12) for i in range(4)]  # 4x3 frames
+    gif = encode_gif(4, 3, pal, frames_idx)
+    media = spark.createDataFrame([(1, gif, "image/gif", "s://g")], MEDIA_SCHEMA)
+    rows = sample_frames(media, max_frames=2, fake=False).collect()
+    assert len(rows) == 2
+    assert all(len(r["frame_bytes"]) == 4 * 3 * 3 for r in rows)
