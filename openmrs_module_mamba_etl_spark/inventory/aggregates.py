@@ -208,15 +208,16 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_sketch_merge",
-    # The sketch *binary* has no DuckDB twin, but the final estimate does:
-    # Datasketches HLL_4 is EXACT while in sparse coupon mode (capacity
-    # ~k/4), so with lgK=20 (~260k coupons) the estimate equals
-    # COUNT(DISTINCT) through sf10's user domain (~150k) — the oracle is
-    # valid at every test scale, not just the driver's sf0.01 (at lgK=12
-    # it already went dense, and ~1.6% off, at sf0.1's 1500 users). A
-    # production rollup tunes lgK back down and accepts the published
-    # error; the associativity of the dense path is pinned separately by
-    # tests/test_properties.py.
+    # The sketch *binary* has no DuckDB twin, but the final estimate does
+    # at the CHECKED scales: Datasketches HLL_4 coupon mode stores 26-bit
+    # hashes, so it is collision-exact only while n ≪ 2^13 (birthday
+    # bound) — measured: exact at 150 (sf0.01) and 1,500 (sf0.1)
+    # distinct, off by 1 at 15,000, 0.3% at 150,000 even at lgK=20. The
+    # oracle therefore holds for the driver's sf0.01 gate and the local
+    # sf0.001/sf0.1 suites; at sf1+ the key must revert to rows-only (or
+    # the oracle to a tolerance check). lgK=20 (vs 12) buys the sf0.1
+    # margin; production rollups tune lgK down and accept the published
+    # error. Dense-path associativity is pinned by tests/test_properties.py.
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS est_users
     FROM events GROUP BY event_type ORDER BY event_type
@@ -229,9 +230,10 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. HLL register-max merge is associative, so
     union-of-day-sketches yields the IDENTICAL estimate to one sketch
     over all rows (pinned exactly by tests/test_properties.py); the
-    estimate is exactly COUNT(DISTINCT) while the sketch remains in
-    sparse coupon mode (guaranteed across all test scales at lgK=20);
-    production-tuned lgK trades that for a fixed published rel. error."""
+    estimate is exactly COUNT(DISTINCT) at the checked scales (measured
+    exact through sf0.1's 1,500-user domain at lgK=20; coupon-hash
+    collisions make larger domains approximate — see the oracle note);
+    production-tuned lgK trades exactness for a fixed published error."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")

@@ -38,7 +38,9 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
     eoi = clear + 1
     out = bytearray()
 
-    # bit reader over the concatenated sub-block payload
+    # bit reader over the concatenated sub-block payload — one
+    # int.from_bytes per code, not a python loop per bit (the per-pixel
+    # hot path of the decode)
     bitpos = 0
     total_bits = len(data) * 8
 
@@ -46,11 +48,10 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
         nonlocal bitpos
         if bitpos + nbits > total_bits:
             return eoi  # truncated stream → stop
-        v = 0
-        for i in range(nbits):
-            byte = data[(bitpos + i) >> 3]
-            if byte >> ((bitpos + i) & 7) & 1:
-                v |= 1 << i
+        chunk = data[bitpos >> 3 : (bitpos + nbits + 7) >> 3]
+        v = (int.from_bytes(chunk, "little") >> (bitpos & 7)) & (
+            (1 << nbits) - 1
+        )
         bitpos += nbits
         return v
 
@@ -174,6 +175,7 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
         ).reshape(n, 3)
         pos += 3 * n
     frames: list[bytes] = []
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
@@ -186,8 +188,10 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        _x, _y, fw, fh, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
         pos += 10
+        if fx + fw > width or fy + fh > height:
+            raise ValueError("GIF frame rectangle exceeds logical screen")
         palette = global_palette
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -210,8 +214,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
         )
         if len(idx) < fw * fh:
             raise ValueError("truncated GIF frame")
+        rows = idx.reshape(fh, fw)
         if iflags & 0x40:  # interlaced: reorder rows
-            rows = idx.reshape(fh, fw)
             order = (
                 list(range(0, fh, 8))
                 + list(range(4, fh, 8))
@@ -221,9 +225,13 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
             fixed = np.empty_like(rows)
             fixed[order] = rows
             rows = fixed
-            idx = rows.reshape(-1)
-        rgb = palette[np.clip(idx, 0, len(palette) - 1)]
-        frames.append(rgb.astype(np.uint8).tobytes())
+        # composite the (possibly sub-rectangle) frame onto the logical
+        # screen canvas — optimized animated GIFs ship partial updates,
+        # and the canvas accumulates (do-not-dispose semantics), so every
+        # emitted frame is always width×height×3
+        rgb = palette[np.clip(rows, 0, len(palette) - 1)].astype(np.uint8)
+        canvas[fy : fy + fh, fx : fx + fw] = rgb
+        frames.append(canvas.tobytes())
     if not frames:
         raise ValueError("GIF contains no image frames")
     return width, height, frames

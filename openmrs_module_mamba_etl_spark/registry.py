@@ -66,8 +66,15 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # files iterate in round order; the last write per key wins
-            last_green[key] = row.get("hash_match") is True
+            # files iterate in round order; the last SIGNAL per key wins.
+            # A rows-only run (no oracle existed that round) carries no
+            # hash verdict either way — it marks the key sampled but must
+            # not demote an earlier green.
+            hm = row.get("hash_match")
+            if hm is None and row.get("err") == "no_oracle":
+                last_green.setdefault(key, False)
+            else:
+                last_green[key] = hm is True
     sampled = set(last_green)
     verified = {k for k, green in last_green.items() if green}
     return verified, sampled

@@ -276,29 +276,27 @@ class VersionedParquetTable:
         versions (that are not referenced by a retained version).
         Returns the deleted data directory names.
 
-        Concurrent-writer safety: a dir named ``v<k>-...`` with k past
-        the committed head is an IN-FLIGHT writer's staging area — its
-        manifest may appear a moment later, so vacuum must never touch
-        it. Dirs at or below the head that no retained manifest
-        references are garbage (either superseded history or the
-        leftovers of a lost race, whose loser already retried under a
-        new name)."""
+        Concurrent-writer safety: vacuum only ever deletes directories a
+        DROPPED manifest referenced (and no retained manifest still
+        does). A directory never referenced by any manifest is either an
+        in-flight writer's staging area — for the next version slot, or
+        for an already-taken slot whose loser is mid-write and about to
+        retry — or crash garbage; deleting it under a running write
+        would fail that writer with an error its optimistic-retry loop
+        cannot absorb, so such orphans are left alone (an age-based
+        orphan sweep belongs to a maintenance window, not here)."""
         vs = self.versions()
-        head = vs[-1] if vs else -1
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
-        for v in keep_vs:
-            referenced.update(self._manifest(v)["dirs"])
+        dropped_refs: set[str] = set()
+        for v in vs:
+            dirs = self._manifest(v)["dirs"]
+            (referenced if v in keep_vs else dropped_refs).update(dirs)
         deleted = []
         for v in vs:
             if v not in keep_vs:
                 (self._txn / f"{v:05d}.json").unlink()
-        for d in sorted(p.name for p in self._files.iterdir() if p.is_dir()):
-            try:
-                dir_version = int(d.split("-")[0].lstrip("v"))
-            except ValueError:
-                dir_version = head + 1  # unparseable → treat as in-flight
-            if d not in referenced and dir_version <= head:
-                shutil.rmtree(self._files / d, ignore_errors=True)
-                deleted.append(d)
+        for d in sorted(dropped_refs - referenced):
+            shutil.rmtree(self._files / d, ignore_errors=True)
+            deleted.append(d)
         return deleted

@@ -351,3 +351,62 @@ def test_sample_frames_gif_real_path(spark):
     rows = sample_frames(media, max_frames=2, fake=False).collect()
     assert len(rows) == 2
     assert all(len(r["frame_bytes"]) == 4 * 3 * 3 for r in rows)
+
+
+def test_gif_subrectangle_frame_composited():
+    """Optimized animated GIFs ship partial-update frames: a 2x2 frame at
+    offset (1,1) of a 4x4 screen must composite onto the accumulated
+    canvas and still emit a full-screen RGB buffer."""
+    import struct
+    import zlib  # noqa: F401 — parity with sibling handmade-codec tests
+
+    from openmrs_module_mamba_etl_spark.llm.gif import (
+        _lzw_encode_literals,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = _palette()
+    full = bytes([1] * 16)  # 4x4 all red
+    data = bytearray(encode_gif(4, 4, pal, [full]))
+    assert data[-1] == 0x3B
+    del data[-1]
+    # hand-append a 2x2 frame of color 2 at offset (1,1)
+    data += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)
+    min_code = max(2, (len(_palette()) - 1).bit_length())
+    stream = _lzw_encode_literals(min_code, bytes([2, 2, 2, 2]))
+    data.append(min_code)
+    data.append(len(stream))
+    data += stream
+    data += bytes([0, 0x3B])
+    w, h, frames = decode_gif(bytes(data))
+    assert (w, h, len(frames)) == (4, 4, 2)
+    assert len(frames[1]) == 4 * 4 * 3
+    px = np.frombuffer(frames[1], dtype=np.uint8).reshape(4, 4, 3)
+    assert tuple(px[0, 0]) == pal[1]  # untouched area keeps frame-1 color
+    assert tuple(px[1, 1]) == pal[2]  # composited update
+    assert tuple(px[2, 2]) == pal[2]
+    assert tuple(px[3, 3]) == pal[1]
+
+
+def test_gif_frame_exceeding_screen_rejected():
+    import struct
+
+    from openmrs_module_mamba_etl_spark.llm.gif import (
+        _lzw_encode_literals,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = _palette()
+    data = bytearray(encode_gif(2, 2, pal, [bytes([0] * 4)]))
+    del data[-1]
+    data += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)  # overflows screen
+    min_code = max(2, (len(pal) - 1).bit_length())
+    stream = _lzw_encode_literals(min_code, bytes([0] * 4))
+    data.append(min_code)
+    data.append(len(stream))
+    data += stream
+    data += bytes([0, 0x3B])
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif(bytes(data))

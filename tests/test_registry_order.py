@@ -79,3 +79,24 @@ def test_history_latest_signal_wins(tmp_path, monkeypatch):
     v, s = regmod._driver_history()
     assert v == {"recovered"}
     assert s == {"regressed", "recovered"}
+
+
+def test_history_rows_only_does_not_demote(tmp_path, monkeypatch):
+    # a later rows-only sample (err: no_oracle, no hash verdict) is not a
+    # contrary signal — an earlier green must survive it
+    import openmrs_module_mamba_etl_spark.registry as regmod
+
+    monkeypatch.setattr(
+        regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"steady": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {"steady": {"hash_match": None, "err": "no_oracle", "spark_rows": 5}}
+        )
+    )
+    v, s = regmod._driver_history()
+    assert v == {"steady"}
+    assert s == {"steady"}

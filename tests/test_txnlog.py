@@ -145,22 +145,22 @@ def test_append_batch_exactly_once(spark, tmp_path):
 
 
 def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
-    """A staged-but-uncommitted data dir for a FUTURE version (an
-    in-flight writer) must survive vacuum; unreferenced dirs at or below
-    the head are garbage and go."""
+    """Any staged-but-never-referenced data dir (an in-flight writer for
+    the next slot OR a same-slot race loser still mid-write) must survive
+    vacuum; only dirs referenced exclusively by DROPPED manifests go."""
     t = VersionedParquetTable(tmp_path / "t")
     t.write(spark.range(3).toDF("id"))
     t.write(spark.range(5).toDF("id"), mode="overwrite")
     t.write(spark.range(7).toDF("id"), mode="overwrite")
-    # simulate an in-flight writer staging for version 3 (head is 2)
+    # in-flight writer staging for version 3 (head is 2)
     inflight = t.path / "files" / "v00003-deadbeef"
     spark.range(1).toDF("id").write.parquet(str(inflight))
-    # and a lost-race leftover at version 1 (<= head, unreferenced)
-    leftover = t.path / "files" / "v00001-feedface"
-    spark.range(1).toDF("id").write.parquet(str(leftover))
-    deleted = t.vacuum(keep_last=2)
-    assert "v00003-deadbeef" not in deleted
-    assert inflight.exists()
-    assert "v00001-feedface" in deleted
+    # same-slot race loser still mid-write at an already-taken version
+    loser = t.path / "files" / "v00001-feedface"
+    spark.range(1).toDF("id").write.parquet(str(loser))
+    v0_dirs = {d for d in t._manifest(0)["dirs"]}
+    deleted = set(t.vacuum(keep_last=2))
+    assert deleted == v0_dirs  # exactly the dropped manifest's dirs
+    assert inflight.exists() and loser.exists()
     # retained versions still read
     assert t.read(spark, 2).count() == 7
