@@ -598,3 +598,44 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n AS modal_count
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY n DESC, o_orderstatus ASC) AS rn
+      FROM (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+      )
+    ) WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent order status per
+    priority) as two stacked hash aggregates: count per (group, value),
+    then max_by(count) per group — both fully map-side-combinable, so
+    the second aggregate's input is |groups|×|domain| rows regardless of
+    fact volume. Ties break to the lexicographically smallest value on
+    BOTH sides (max_by on a (count, -ascii) pair), keeping the oracle
+    deterministic."""
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "max_by(o_orderstatus,"
+                " struct(n, -cast(ascii(o_orderstatus) AS BIGINT)))"
+            ).alias("modal_status"),
+            F.max("n").alias("modal_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
