@@ -505,8 +505,9 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), binned AS (
       SELECT event_type,
-             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
-               AS bin,
+             LEAST(CAST(FLOOR((value - lo) /
+                     (CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1 END))
+                   AS BIGINT), 9) AS bin,
              CASE WHEN epoch_us(ts) * 2 < tlo + thi THEN 1 ELSE 0 END
                AS is_ref
       FROM events CROSS JOIN b
@@ -561,7 +562,13 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(tus).alias("tlo"),
         F.max(tus).alias("thi"),
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(10)
+    # Degenerate-bounds guard: a constant-valued column makes hi == lo, and
+    # an unguarded (hi-lo)/10 width turns the bin expression into x/0 →
+    # NaN/NULL bins; width 1 short-circuits every row to bin 0 instead
+    # (mirrored in the oracle's CASE).
+    width = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / F.lit(10)
+    ).otherwise(F.lit(1.0))
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.least(
@@ -618,11 +625,12 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical mode per group (most frequent order status per
     priority) as two stacked hash aggregates: count per (group, value),
-    then max_by(count) per group — both fully map-side-combinable, so
-    the second aggregate's input is |groups|×|domain| rows regardless of
-    fact volume. Ties break to the lexicographically smallest value on
-    BOTH sides (max_by on a (count, -ascii) pair), keeping the oracle
-    deterministic."""
+    then min_by over (-count, value) per group — both fully
+    map-side-combinable, so the second aggregate's input is
+    |groups|×|domain| rows regardless of fact volume. Ties break to the
+    lexicographically smallest FULL value on both sides (struct ordering
+    compares the whole string, not just the first byte), keeping the
+    oracle deterministic for any value domain."""
     counts = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", "o_orderstatus")
@@ -632,8 +640,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.groupBy("o_orderpriority")
         .agg(
             F.expr(
-                "max_by(o_orderstatus,"
-                " struct(n, -cast(ascii(o_orderstatus) AS BIGINT)))"
+                "min_by(o_orderstatus, struct(-n, o_orderstatus))"
             ).alias("modal_status"),
             F.max("n").alias("modal_count"),
         )

@@ -1765,32 +1765,45 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT e.vec_id, ROUND(n.nrm, 6) AS nrm,
-           CASE WHEN n.nrm > 0
-                THEN list_transform(e.embedding,
-                       x -> ROUND(CAST(x AS DOUBLE) / n.nrm, 6))
-                ELSE list_transform(e.embedding, x -> 0.0) END AS unit
+           array_to_string(
+             CASE WHEN n.nrm > 0
+                  THEN list_transform(e.embedding,
+                         x -> printf('%.6f',
+                                ROUND(CAST(x AS DOUBLE) / n.nrm, 6)))
+                  ELSE list_transform(e.embedding,
+                         x -> printf('%.6f', 0.0))
+             END, ',') AS unit
     FROM embeddings e JOIN n USING (vec_id)
     """,
 )
 def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embedding vectors (the preprocessing step every
     cosine ANN index assumes): norm + per-element division, all JVM-side
-    array expressions — map-only, no shuffle, no Python."""
+    array expressions — map-only, no shuffle, no Python.
+
+    The unit vector is emitted as a canonical fixed-decimal CSV string
+    (``%.6f`` per element) rather than a raw ``array<double>`` — the
+    driver's pandas canonicalizer cannot sort list cells (round-3 red),
+    and a scalar string compares engine-portably."""
     from openmrs_module_mamba_etl_spark.functions.similarity import norm
 
     e = table(spark, sf_dir, "embeddings")
     nrm = norm(F.col("embedding"))
+    unit = F.when(
+        nrm > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.format_string(
+                "%.6f", F.round(x.cast("double") / nrm, 6)
+            ),
+        ),
+    ).otherwise(
+        F.transform("embedding", lambda x: F.format_string("%.6f", F.lit(0.0)))
+    )
     return e.select(
         "vec_id",
         F.round(nrm, 6).alias("nrm"),
-        F.when(
-            nrm > 0,
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double") / nrm, 6)
-            ),
-        )
-        .otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
-        .alias("unit"),
+        F.array_join(unit, ",").alias("unit"),
     )
 
 
@@ -1869,11 +1882,12 @@ def text_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_quantize",
     oracle="""
     SELECT vec_id,
-           CASE WHEN m > 0
-                THEN list_transform(emb, x -> CAST(ROUND(x * 127.0 / m)
-                                                   AS INTEGER))
-                ELSE list_transform(emb, x -> 0)
-           END AS q8,
+           array_to_string(
+             CASE WHEN m > 0
+                  THEN list_transform(emb, x -> CAST(ROUND(x * 127.0 / m)
+                                                     AS INTEGER))
+                  ELSE list_transform(emb, x -> 0)
+             END, ',') AS q8,
            ROUND(m, 6) AS max_abs
     FROM (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1888,7 +1902,11 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x-compression storage path for corpus-scale vector retention
     (candidate generation runs on int8, the short list re-ranks exact).
     Map-only codegen expression: no shuffle, no Python; at 100 TB this is
-    a streaming rewrite bounded by I/O."""
+    a streaming rewrite bounded by I/O.
+
+    ``q8`` is emitted as a CSV string of the int8 codes (not a raw
+    ``array<int>``) so the driver's scalar canonicalizer can hash it —
+    the production writer keeps the packed array form."""
     from openmrs_module_mamba_etl_spark.functions.similarity import (
         quantize_int8,
     )
@@ -1901,6 +1919,11 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        quantize_int8(F.col("embedding")).alias("q8"),
+        F.array_join(
+            F.transform(
+                quantize_int8(F.col("embedding")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("q8"),
         F.round(max_abs, 6).alias("max_abs"),
     )

@@ -163,13 +163,23 @@ def encode_gif(
 
 def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
     """→ (width, height, [raw RGB frame bytes, ...])."""
+
+    def need(end: int) -> None:
+        # All block-walk reads funnel through this bound so a truncated
+        # file raises the decoder's ValueError contract, never a raw
+        # IndexError/struct.error from data[pos].
+        if end > len(data):
+            raise ValueError("truncated GIF")
+
     if not is_gif(data):
         raise ValueError("not a GIF (bad magic)")
+    need(13)
     width, height, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_palette = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        need(pos + 3 * n)
         global_palette = np.frombuffer(
             data[pos : pos + 3 * n], dtype=np.uint8
         ).reshape(n, 3)
@@ -182,12 +192,15 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
             break
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 2
+            need(pos + 1)
             while data[pos] != 0:
                 pos += 1 + data[pos]
+                need(pos + 1)
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        need(pos + 10)
         fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
         pos += 10
         if fx + fw > width or fy + fh > height:
@@ -195,19 +208,24 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
         palette = global_palette
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
+            need(pos + 3 * n)
             palette = np.frombuffer(
                 data[pos : pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
             pos += 3 * n
         if palette is None:
             raise ValueError("GIF frame without any color table")
+        need(pos + 1)
         min_code = data[pos]
         pos += 1
         lzw = bytearray()
+        need(pos + 1)
         while data[pos] != 0:
             ln = data[pos]
+            need(pos + 1 + ln)
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            need(pos + 1)
         pos += 1
         idx = np.frombuffer(
             _lzw_decode(min_code, bytes(lzw), fw * fh), dtype=np.uint8

@@ -57,7 +57,19 @@ def _driver_history() -> tuple[set[str], set[str]]:
     """
     last_green: dict[str, bool] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def round_num(path: str) -> int:
+        # Parse the round number so r100 sorts AFTER r99 — a lexicographic
+        # filename sort would misorder them and let a stale verdict win.
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            return int(stem.rsplit("_r", 1)[-1])
+        except ValueError:
+            return -1
+
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                   key=round_num)
+    for path in paths:
         try:
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)

@@ -92,6 +92,10 @@ class SessionProcessor(StatefulProcessor):
         merged = _merge_blocks(blocks, self._gap_ns)
         done = [m for m in merged if m[1] + self._gap_ns <= wm_ns]
         keep = [m for m in merged if m[1] + self._gap_ns > wm_ns]
+        # One live timer per key: drop stale registrations before placing
+        # the new one — otherwise every settle pass with pending sessions
+        # stacks another timer on hot keys, each firing a redundant pass.
+        existing = list(self._handle.listTimers())
         if keep:
             self._state.update(
                 (
@@ -103,9 +107,17 @@ class SessionProcessor(StatefulProcessor):
             )
             wm_ms = wm_ns // 1_000_000
             next_ms = -(-(min(m[1] for m in keep) + self._gap_ns) // 1_000_000)
-            self._handle.registerTimer(max(wm_ms + 1, next_ms))
-        elif self._state.exists():
-            self._state.clear()
+            target = max(wm_ms + 1, next_ms)
+            for t in existing:
+                if t != target:
+                    self._handle.deleteTimer(t)
+            if target not in existing:
+                self._handle.registerTimer(target)
+        else:
+            for t in existing:
+                self._handle.deleteTimer(t)
+            if self._state.exists():
+                self._state.clear()
         return pd.DataFrame(
             [
                 {

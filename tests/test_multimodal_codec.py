@@ -410,3 +410,21 @@ def test_gif_frame_exceeding_screen_rejected():
     data += bytes([0, 0x3B])
     with pytest.raises(ValueError, match="exceeds logical screen"):
         decode_gif(bytes(data))
+
+
+def test_gif_truncated_raises_valueerror_everywhere():
+    """A GIF cut at ANY byte offset must raise the decoder's ValueError
+    contract, never a raw IndexError/struct.error from the block walk."""
+    from openmrs_module_mamba_etl_spark.llm.gif import decode_gif, encode_gif
+
+    pal = _palette()
+    data = encode_gif(4, 3, pal, [bytes([1] * 12), bytes([2] * 12)])
+    # prepend a graphic-control extension so the extension walk is exercised
+    data = data[:13 + 3 * 8] + bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0]) + data[13 + 3 * 8:]
+    for cut in range(1, len(data)):
+        truncated = data[:cut]
+        try:
+            decode_gif(truncated)
+        except ValueError:
+            pass  # the contract
+        # any other exception type propagates and fails the test

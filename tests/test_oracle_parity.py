@@ -15,6 +15,7 @@ from decimal import Decimal
 
 import duckdb
 import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 import __spark_entry__ as entrymod
 
@@ -70,6 +71,18 @@ def _canon_rows(cols, rows):
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_parity(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
+    # The driver's canonicalizer pandas-sorts result frames and dies on
+    # unhashable cells (round-3 red on emb_normalize/emb_quantize) — reject
+    # nested output types here so the class of bug never reaches the driver.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: nested-typed output columns {nested} break the driver's "
+        "canonicalizer — emit a canonical scalar (array_join / digest)"
+    )
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 

@@ -406,6 +406,13 @@ class _FakeHandle:
     def registerTimer(self, ms):
         self.timers.append(ms)
 
+    def listTimers(self):
+        return iter(list(self.timers))
+
+    def deleteTimer(self, ms):
+        if ms in self.timers:
+            self.timers.remove(ms)
+
 
 class _FakeTimerValues:
     def __init__(self, wm_ms):
@@ -449,9 +456,10 @@ def test_tws_processor_semantics_match_kernel():
     assert row["session_end_ns"] == 1 * hr
     assert row["n_events"] == 2
     assert row["sum_value"] == 3.0
-    # pending session stays in state with a timer at its safe point
+    # pending session stays in state with a timer at its safe point —
+    # and exactly ONE live timer (stale registrations are deleted)
     assert h2.state.exists()
-    assert h2.timers and h2.timers[-1] == (20 * hr + gap_ns) // 1_000_000
+    assert h2.timers == [(20 * hr + gap_ns) // 1_000_000]
 
     # timer expiry after the watermark passes -> pending session emits
     out3 = list(
