@@ -206,6 +206,16 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+#: Per-group distinct-count ceiling under which the lgK=20 HLL_4 coupon
+#: path is collision-exact (26-bit coupon hashes; birthday bound ≪ 2^13).
+#: DECISION for sf1+: the exact oracle below is scoped to domains under
+#: this bound — tests/test_properties.py asserts the bound holds at every
+#: tested SF, so a data generation that outgrows it fails CI loudly; at
+#: that point the key reverts to rows-only rather than a tolerance oracle
+#: (the driver's compare is exact-hash only).
+SKETCH_EXACT_DOMAIN_BOUND = 8192
+
+
 @query(
     "agg_sketch_merge",
     # The sketch *binary* has no DuckDB twin, but the final estimate does
@@ -214,10 +224,11 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound) — measured: exact at 150 (sf0.01) and 1,500 (sf0.1)
     # distinct, off by 1 at 15,000, 0.3% at 150,000 even at lgK=20. The
     # oracle therefore holds for the driver's sf0.01 gate and the local
-    # sf0.001/sf0.1 suites; at sf1+ the key must revert to rows-only (or
-    # the oracle to a tolerance check). lgK=20 (vs 12) buys the sf0.1
-    # margin; production rollups tune lgK down and accept the published
-    # error. Dense-path associativity is pinned by tests/test_properties.py.
+    # sf0.001/sf0.1 suites; SKETCH_EXACT_DOMAIN_BOUND above pins the
+    # scope mechanically (tests/test_properties.py). lgK=20 (vs 12) buys
+    # the sf0.1 margin; production rollups tune lgK down and accept the
+    # published error. Dense-path associativity is pinned by
+    # tests/test_properties.py.
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS est_users
     FROM events GROUP BY event_type ORDER BY event_type

@@ -496,6 +496,19 @@ def _hyperplane_bucket_sql(planes: int, vec: str = "embedding") -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Parametrized DuckDB cosine between two list columns — the same
+    left-to-right fold arithmetic as the Spark ``cosine`` expression."""
+    return f"""
+    list_sum(list_transform(list_zip({a}, {b}),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a},
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b},
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
 _COS_SQL = """
     list_sum(list_transform(list_zip(a.embedding, c.embedding),
                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -643,6 +656,59 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe filter is partition pruning, not a full scan."""
     qv = _query_vec(spark, sf_dir, 0)
     return ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_cells=16,
+        nprobe=4,
+    )
+
+
+@query(
+    "ann_topk_ivf_portable",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+               vec_id ASC) - 1 AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT cell, cv FROM ranked WHERE cell < 16
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT s.cell FROM seeds s, q
+      ORDER BY {_cos_sql('s.cv', 'q.qv')} DESC, s.cell ASC
+      LIMIT 4
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, s.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC,
+                        s.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT a.vec_id, ROUND({_cos_sql('a.embedding', 'q.qv')}, 6) AS cosine
+    FROM assign a, q
+    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the md5-seeded portable quantizer — the
+    oracle-checked twin of ``ann_topk_ivf`` (which stays rows-only: its
+    xxhash64 sample order has no DuckDB equivalent). The oracle replays
+    EVERY stage: seed selection in md5-hash order, argmax-cosine cell
+    assignment (ties to lowest cell), probe ranking, and final scoring —
+    so the IVF mechanics themselves are hash-verified, mirroring what
+    ``dedup_minhash_portable`` does for MinHash+LSH."""
+    from openmrs_module_mamba_etl_spark.llm.ann import ivf_topk_portable
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk_portable(
         table(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",

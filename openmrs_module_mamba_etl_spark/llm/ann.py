@@ -351,3 +351,90 @@ def knn_join_lsh(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+) -> list[list[float]]:
+    """Engine-portable coarse quantizer: the first ``n_cells`` vectors in
+    md5-hash order of the id (``portable_hash60``, ties on id).
+
+    This is IVF training with ``refine_iters=0`` — seeds ARE the
+    centroids, so there is no floating-point Lloyd step to reproduce and a
+    SQL oracle can replay the quantizer exactly:
+    ``ORDER BY ('0x'||substr(md5(id::VARCHAR),1,15))::BIGINT, id LIMIT n``.
+    The production trainer (:func:`ivf_train`) adds Lloyd refinement for
+    better cell balance; the recall/latency MECHANICS (assignment, probe
+    pruning) are identical. Driver-side cost is ``n_cells`` rows — tiny.
+    """
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash60,
+    )
+
+    rows = (
+        df.orderBy(
+            portable_hash60(F.col(id_col).cast("string")).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _cosine_lr(a: list[float], b: list[float]) -> float:
+    """Left-to-right-fold cosine — bit-identical to the Spark
+    ``F.aggregate`` fold and the DuckDB ``list_sum`` replay, unlike numpy
+    dot (BLAS pairwise accumulation), so probe rankings computed driver-
+    side can never diverge from the oracle on near-ties."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_topk_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k with the md5-seeded portable quantizer: every stage —
+    seed selection, cell assignment (argmax cosine, ties to lowest cell),
+    probe-set ranking, final scoring — is deterministic and replayable in
+    SQL, so the whole pipeline is oracle-checkable end to end.
+
+    Same scale shape as :func:`ivf_topk`: bounded driver-side quantizer,
+    distributed assignment, probe filter prunes the scan (partition
+    pruning when the table is written partitioned by cell).
+    """
+    centroids = ivf_seed_centroids(df, id_col, vec_col, n_cells)
+    sims = [_cosine_lr(c, query_vec) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
+
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spread.withColumn(
+            "_cell", nearest_cell(F.col(vec_col), centroids)
+        )
+        .where(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

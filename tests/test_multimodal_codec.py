@@ -428,3 +428,63 @@ def test_gif_truncated_raises_valueerror_everywhere():
         except ValueError:
             pass  # the contract
         # any other exception type propagates and fails the test
+
+
+def test_decode_rgb_prefers_pil_when_importable(monkeypatch):
+    """The first branch of the _decode_rgb fallback chain (PIL) must win
+    when PIL imports — proven here with a stub PIL module returning
+    sentinel pixels distinguishable from the pure-python PNG path, so the
+    branch is exercised even in containers without real Pillow."""
+    import sys
+    import types
+
+    from openmrs_module_mamba_etl_spark.llm import png as pngc
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    sentinel = bytes([9, 8, 7] * 4)  # 2x2 RGB unlike any encoded pixel
+
+    class _StubImage:
+        size = (2, 2)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return sentinel
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _StubImage()
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    data = pngc.encode_png(2, 2, bytes([255, 0, 0] * 4))
+    w, h, raw = _decode_rgb(data)
+    assert (w, h) == (2, 2)
+    assert raw == sentinel  # PIL branch won, not the pure-python codec
+
+
+def test_decode_rgb_real_pillow_jpeg_roundtrip():
+    """With REAL Pillow installed, _decode_rgb must decode a JPEG — the
+    compressed-format seam that raises NotImplementedError in containers
+    without PIL. Skips cleanly where Pillow is absent."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    im = PIL_Image.new("RGB", (8, 6), (200, 30, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG")
+    w, h, raw = _decode_rgb(buf.getvalue())
+    assert (w, h) == (8, 6)
+    assert len(raw) == 8 * 6 * 3

@@ -298,6 +298,40 @@ def test_hll_sketch_merge_is_associative_and_accurate(spark, sf_dir):
     assert abs(merged - exact) / exact < 0.05
 
 
+def test_sketch_merge_exactness_scope(spark):
+    """agg_sketch_merge's exact oracle is scoped to per-group distinct
+    domains under SKETCH_EXACT_DOMAIN_BOUND (HLL_4 coupon mode). Assert
+    the bound holds — and the estimate really is exact — at the LARGEST
+    tested scale, so a testdata generation that outgrows the bound fails
+    here before the driver's oracle can flap. If this fires: downgrade
+    agg_sketch_merge to rows-only (decision recorded at the constant)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.inventory.aggregates import (
+        SKETCH_EXACT_DOMAIN_BOUND,
+        agg_sketch_merge,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata absent")
+    ev = table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert max(r["n"] for r in exact) < SKETCH_EXACT_DOMAIN_BOUND
+    got = agg_sketch_merge(spark, sf_dir).collect()
+    assert [(r["event_type"], r["est_users"]) for r in got] == [
+        (r["event_type"], r["n"]) for r in exact
+    ]
+
+
 @given(
     st.lists(
         st.text(
