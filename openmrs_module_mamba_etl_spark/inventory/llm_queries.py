@@ -1993,3 +1993,101 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q8"),
         F.round(max_abs, 6).alias("max_abs"),
     )
+
+
+# --- LM scoring + PII scrubbing ------------------------------------------
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM pos
+    ), cbg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2
+    ), cctx AS (
+      SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(tk) AS tok FROM toks)
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((cb.c_bg + 1.0) / (cc.c_ctx + vocab.v))), 4)
+             AS avg_logp
+    FROM bg b
+    JOIN cbg cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+    JOIN cctx cc ON b.w1 = cc.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (KenLM/CCNet filter): the corpus trains
+    its own add-one-smoothed bigram model, each doc scores as mean
+    ``log P(w_i | w_{i-1})``. The oracle replays training AND scoring, so
+    the full two-pass pipeline — count tables, smoothing arithmetic,
+    per-doc aggregation — is hash-verified."""
+    from openmrs_module_mamba_etl_spark.llm.curation import ngram_lm_score
+
+    return ngram_lm_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+
+@query(
+    "text_pii_audit",
+    # raw string: the patterns contain \b, which a non-raw literal would
+    # silently turn into a backspace character
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || ' reach user' || doc_id ||
+             '@mail.example or +1-202-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(raw, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(raw, '\+?\d[\d\- ]{7,}\d')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+)
+def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit pass — per-doc match COUNTS by category plus the
+    redacted-text digest (the compliance report a scrubbing job files
+    alongside the rewrite; ``text_pii_redact`` in analytics_queries.py is
+    the rewrite itself). Deterministic PII-shaped strings are woven in
+    from doc_id (identically in the oracle — the synthetic corpus is
+    digit-free) and then counted + redacted via
+    llm/curation.py:pii_redact, whose PII_PATTERNS generated this oracle
+    verbatim (Java-regex ∩ RE2 dialect only). Map-only codegen: no
+    shuffle, no Python."""
+    from openmrs_module_mamba_etl_spark.llm.curation import pii_redact
+
+    docs = table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("raw"),
+    )
+    return pii_redact(synth, "doc_id", "raw")

@@ -219,3 +219,90 @@ def classifier_score(
             .alias("label"),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Bigram language-model quality scoring (the KenLM/CCNet filter
+    pattern): train an add-one-smoothed bigram model on the corpus itself,
+    then score every document by its mean token log-probability
+    ``avg log P(w_i | w_{i-1})`` — low scores flag gibberish/boilerplate.
+
+    Scale shape: the bigram stream shuffles ONCE per count table (both
+    map-side-combinable hash aggregates bounded by observed-bigram
+    cardinality, not corpus rows); scoring re-joins the stream to the two
+    count tables on their natural keys. At 100 TB the model is pruned to
+    top-K n-grams and BROADCAST so the scoring pass is join-free — here
+    the unpruned shuffle-join form keeps the oracle exact. Vocabulary
+    size enters as a broadcast 1-row aggregate. Documents with fewer
+    than 2 tokens have no bigrams and drop out (no defined score).
+    """
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    base = _spread(df, id_col).where(F.col(text_col).isNotNull())
+    toks = base.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    n = F.size("tk")
+    pairs = F.zip_with(
+        F.slice("tk", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("tk", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.where(n >= 2).select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    cctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = toks.select(F.explode("tk").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+
+    logp = F.log(
+        (F.col("c_bg") + F.lit(1.0)) / (F.col("c_ctx") + F.col("v"))
+    )
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+    )
+
+
+#: (label, pattern, replacement) — the conservative PII surface every
+#: pretraining-curation pass scrubs. Patterns use only syntax shared by
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs — so
+#: the redaction is replayable in the oracle dialect verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone-like digit runs): per-doc
+    match counts plus the redacted text and its md5 — the audit columns a
+    compliance pass records before the redacted corpus ships to training.
+
+    Pure row-local codegen (regexp_count + chained regexp_replace): no
+    shuffle, no Python — at 100 TB this is a map-only streaming rewrite
+    bounded by I/O. Patterns apply in PII_PATTERNS order so overlapping
+    matches (an email containing digits) resolve deterministically.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for label, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{label}")
+        )
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        *counts,
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -137,3 +137,74 @@ def test_bpe_train_learns_frequent_pair(spark):
     # alphabetically -> 'l o' first, then the merged 'lo w'
     assert merges[0][1] == "l o"
     assert merges[1][1] == "lo w"
+
+
+def test_pii_redact_scrubs_constructed_pii(spark):
+    from openmrs_module_mamba_etl_spark.llm.curation import pii_redact
+
+    df = _df(
+        spark,
+        [
+            (1, "contact bob.smith+x@example.co.uk or admin@host.io now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "call +1 555-123 4567 tomorrow"),
+            (4, "clean text with no identifiers at all"),
+            (5, None),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3, 4}  # null text filtered
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 0, 0)
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 2, 0)
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (0, 0, 1)
+    assert rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+    # redaction replaces the match, so equal inputs differing only in the
+    # PII value redact to the same digest
+    df2 = _df(
+        spark,
+        [
+            (10, "contact alice@foo.org please"),
+            (11, "contact carol@bar.net please"),
+        ],
+    )
+    r2 = {r["doc_id"]: r["redacted_md5"] for r in pii_redact(df2, "doc_id", "text").collect()}
+    assert r2[10] == r2[11]
+
+
+def test_ngram_lm_score_prefers_predictable_text(spark):
+    from openmrs_module_mamba_etl_spark.llm.curation import ngram_lm_score
+
+    # "a b" dominates the corpus; doc 3 is the sole unpredictable one
+    df = _df(
+        spark,
+        [
+            (1, "a b a b a b a b"),
+            (2, "a b a b a b"),
+            (3, "q z p m"),
+            (4, "solo"),  # < 2 tokens: no bigrams, drops out
+        ],
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bigrams"] == 7
+    assert rows[3]["n_bigrams"] == 3
+    # frequent bigrams score strictly higher than one-off ones
+    assert rows[1]["avg_logp"] > rows[3]["avg_logp"]
+    assert rows[2]["avg_logp"] > rows[3]["avg_logp"]
+
+
+def test_ngram_lm_score_exact_hand_computation(spark):
+    import math
+
+    from openmrs_module_mamba_etl_spark.llm.curation import ngram_lm_score
+
+    # corpus: doc1 "x y x", doc2 "y x"  → bigrams: (x,y) (y,x) (y,x)
+    # contexts: x:1, y:2 ; vocab V=2
+    df = _df(spark, [(1, "x y x"), (2, "y x")])
+    rows = {r["doc_id"]: r for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    p_xy = (1 + 1.0) / (1 + 2)  # c(x,y)=1, ctx x=1, V=2
+    p_yx = (2 + 1.0) / (2 + 2)  # c(y,x)=2, ctx y=2
+    exp1 = round((math.log(p_xy) + math.log(p_yx)) / 2, 4)
+    exp2 = round(math.log(p_yx), 4)
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["avg_logp"] == exp1
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["avg_logp"] == exp2
