@@ -363,3 +363,21 @@ def test_knn_join_lsh_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p  # candidates still meet in a real join
+
+
+def test_ivf_portable_pruned_scan_no_join(spark, sf_dir):
+    """The portable IVF top-k must stay a pruned scan: quantizer literals
+    embed in the expression (no join anywhere) and the final top-k is a
+    TakeOrdered, never a global sort."""
+    p = plan(spark, sf_dir, "ann_topk_ivf_portable")
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_lm_score_no_cartesian_vocab_broadcasts(spark, sf_dir):
+    """Bigram-LM scoring: the 1-row vocabulary aggregate must enter as a
+    broadcast (nested-loop on a 1-row build side), never a cartesian
+    product, and the count-table joins must be hash joins."""
+    p = plan(spark, sf_dir, "text_lm_score")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab scalar
