@@ -2091,3 +2091,55 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw"),
     )
     return pii_redact(synth, "doc_id", "raw")
+
+
+@query(
+    "emb_covariance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT i, AVG(v) AS mu FROM ex GROUP BY i
+    ), prod AS (
+      SELECT a.i AS i, b.i AS j, AVG(a.v * b.v) AS e2
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, ROUND(p.e2 - ma.mu * mb.mu, 6) + 0.0 AS cov
+    FROM prod p
+    JOIN m ma ON p.i = ma.i
+    JOIN m mb ON p.j = mb.i
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance of the embedding column in long form (i, j, cov)
+    — the one-pass second-moment accumulation behind distributed PCA /
+    whitening: only dim² accumulator cells ever shuffle (map-side
+    combine), never vectors. Oracle replays the moment arithmetic via a
+    within-row position join."""
+    from openmrs_module_mamba_etl_spark.llm.linalg import covariance_long
+
+    _assert_emb_dim(spark, sf_dir)
+    return covariance_long(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _EMB_DIM
+    )
+
+
+@query("emb_pca_project")  # eigendecomposition is engine-internal (numpy)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-4 principal
+    components (dimensionality reduction for clustering / visualization /
+    cheap prefilters). Covariance aggregates distributed (see
+    emb_covariance); eigh runs driver-side on the dim×dim matrix (8 MB at
+    dim=1024 — driver-bounded by WIDTH, not corpus); projection is a
+    map-only literal-matrix expression. Rows-only: eigenvector floats
+    have no DuckDB twin — the decomposition invariants (orthonormality,
+    variance recovery vs numpy PCA) are pinned in tests/test_llm.py."""
+    from openmrs_module_mamba_etl_spark.llm.linalg import pca_project
+
+    _assert_emb_dim(spark, sf_dir)
+    return pca_project(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _EMB_DIM, k=4
+    )

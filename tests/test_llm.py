@@ -337,3 +337,48 @@ def test_duplicate_clusters_long_chain_converges(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == {(i, 1) for i in range(1, 31)}
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed covariance + driver eigh must reproduce numpy PCA on
+    the same data: eigenvalues match, projections match up to the
+    canonical sign, components are orthonormal."""
+    from openmrs_module_mamba_etl_spark.llm.linalg import (
+        covariance_long,
+        pca_components,
+        pca_project,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    dim = X.shape[1]
+
+    # distributed covariance == numpy covariance (population, rounded)
+    C_spark = np.zeros((dim, dim))
+    for r in covariance_long(emb, "vec_id", "embedding", dim).collect():
+        C_spark[r["i"] - 1, r["j"] - 1] = r["cov"]
+    C_np = np.cov(X, rowvar=False, bias=True)
+    assert np.abs(C_spark - C_np).max() < 1e-5  # both rounded at 1e-6
+
+    mean, comps, ev = pca_components(emb, "vec_id", "embedding", dim, k=4)
+    assert np.abs(mean - X.mean(axis=0)).max() < 1e-5
+    # orthonormal components, descending eigenvalues
+    assert np.abs(comps @ comps.T - np.eye(4)).max() < 1e-8
+    assert ev[0] >= ev[1] >= ev[2] >= ev[3] > 0
+    # numpy reference eigenvalues of the same matrix
+    w_ref = np.sort(np.linalg.eigvalsh(C_np))[::-1][:4]
+    assert np.abs(ev - w_ref).max() < 1e-4
+
+    # projected variance per component == eigenvalue; projections match
+    # the numpy projection up to the canonical sign
+    proj = pca_project(emb, "vec_id", "embedding", dim, k=4)
+    rows = proj.orderBy("vec_id").collect()
+    P = np.array([[r[f"pc{c + 1}"] for c in range(4)] for r in rows])
+    assert np.abs(P.var(axis=0, ddof=0) - ev).max() < 1e-3
+    P_ref = (X - X.mean(axis=0)) @ comps.T
+    assert np.abs(P - P_ref).max() < 1e-4
