@@ -2143,3 +2143,61 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _EMB_DIM, k=4
     )
+
+
+@query(
+    "multimodal_decode_jpeg_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height
+    FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+    """,
+)
+def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-format sibling of ``multimodal_decode_real``: each
+    sampled document synthesizes an actual baseline JPEG (pure-python
+    encoder, llm/jpeg.py — DCT + Huffman + byte stuffing), then decodes
+    with ``fake=False`` through the same Arrow mapInPandas plumbing (PIL
+    when importable, else the pure-python JPEG decoder). The oracle pins
+    that decode recovers the constructed dimensions exactly — the seam
+    that previously raised NotImplementedError for JPEG corpora now
+    round-trips for real. Sampled 1-in-17: entropy coding in pure python
+    is test-scale, not the 100 TB hot path (that seam is PIL/libjpeg)."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import encode_jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        for pdf in it:
+            out_ids, out_jpg = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 4 + did % 13, 3 + did % 7
+                need = w * h * 3
+                payload = (text.encode() or b"\x00") * (need // max(1, len(text)) + 2)
+                out_ids.append(did)
+                out_jpg.append(
+                    encode_jpeg(w, h, payload[:need], quality=90,
+                                subsample=did % 2 == 0)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "content": out_jpg,
+                    "mime": "image/jpeg",
+                    "source_uri": [f"synthetic://{i}" for i in out_ids],
+                }
+            )
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import MEDIA_SCHEMA
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return decode_images(media, n_features=4, fake=False).select(
+        "media_id", "width", "height"
+    )

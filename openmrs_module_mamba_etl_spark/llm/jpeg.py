@@ -1,0 +1,610 @@
+"""Pure-python baseline JPEG codec — closing the compressed-image seam.
+
+The container has no PIL/cv2; PNG/GIF already decode via the pure-python
+codecs, but JPEG corpora previously raised at the seam. The format is
+public (ITU-T T.81 / ISO 10918-1 + JFIF); this module implements the
+subset a training-data pipeline's decode kernels need:
+
+- encode: 8-bit RGB → baseline sequential DCT, 4:4:4 or 4:2:0 chroma
+  subsampling, Annex-K quantization tables scaled by the libjpeg quality
+  curve, Annex-K DC Huffman tables + a valid-canonical full-coverage AC
+  table (see the spec note below), restart markers optional;
+- decode: baseline sequential (SOF0), any sampling factors (1-2 per
+  axis), multiple DQT/DHT per segment, restart markers (DRI/RSTn),
+  0xFF00 byte unstuffing; progressive (SOF2) and arithmetic coding raise
+  ``ValueError`` — an honest seam, not a silent fake.
+
+Quality note: JPEG is lossy — round-trip tests assert bounded per-pixel
+error (tight on flat/smooth content), not byte equality. Tables are
+carried in the file (DQT/DHT), so files from other encoders decode with
+their own embedded tables and vice versa.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants -----------------------------------------------------------
+
+#: zigzag scan: position i in scan order -> row-major index in the 8x8 block
+ZIGZAG: list[int] = []
+for _s in range(15):
+    for _r in range(_s + 1) if _s % 2 == 1 else range(_s, -1, -1):
+        _c = _s - _r
+        if _r < 8 and _c < 8:
+            ZIGZAG.append(_r * 8 + _c)
+_UNZIGZAG = np.argsort(np.array(ZIGZAG))
+
+#: Annex K.1 quantization tables (luminance / chrominance), row-major
+STD_LUMA_Q = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+STD_CHROMA_Q = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Huffman table specs (bits[16] = #codes per length 1..16, then values).
+# DC specs are Annex K.3; the AC value ORDER within each code length does
+# not affect validity (codes are canonical; tables ship in the file), so
+# the AC specs below enumerate all 162 symbols under a provably-valid
+# Kraft-complete length profile rather than trusting a from-memory copy of
+# the Annex ordering: every symbol gets a 9-or-10-bit code (2*256+... < 2^10).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    if sum(bits) != len(vals):
+        raise ValueError("huffman spec: bits/vals mismatch")
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# --- color + DCT ---------------------------------------------------------
+
+_DCT_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_T[_k, _n] = (0.5 if _k else 1 / np.sqrt(8)) * (
+            np.cos((2 * _n + 1) * _k * np.pi / 16) if _k else 1.0
+        )
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_T @ block @ _DCT_T.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT_T.T @ coef @ _DCT_T
+
+
+# --- bit I/O -------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, surfaces RSTn, stops at
+    any other marker (EOI ends the scan)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan")
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                self.marker = nxt
+                raise _MarkerReached()
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume the pending RSTn marker and realign."""
+        self._acc = 0
+        self._nbits = 0
+        self.marker = None
+        self.pos += 2  # the 0xFF Dn pair
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+# --- encoder -------------------------------------------------------------
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """→ (category ssss, appended bits) per T.81 F.1.2.1."""
+    ssss = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << ssss) - 1
+    return ssss, bits
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    # qtab is NATURAL (row-major) order here; the zigzag reorder below
+    # applies to the already-quantized coefficients
+    coef = np.round(_dct2(block - 128.0).reshape(64) / qtab).astype(np.int64)
+    zz = coef[ZIGZAG]
+    dc = int(zz[0])
+    ssss, bits = _magnitude(dc - pred)
+    code, length = dc_codes[ssss]
+    bw.write(code, length)
+    if ssss:
+        bw.write(bits, ssss)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+                break
+            run += 1
+            if run == 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run = 0
+            continue
+        ssss, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | ssss]
+        bw.write(code, length)
+        bw.write(bits, ssss)
+        run = 0
+    return dc
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -h % mult
+    pw = -w % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF JPEG from a ``width*height*3`` RGB buffer.
+
+    ``subsample=True`` writes 4:2:0 (2x2-mean chroma); default is 4:4:4.
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs.
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} bytes for {width}x{height} RGB, "
+            f"got {len(rgb)}"
+        )
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _rgb_to_ycbcr(px)
+    mcu = 16 if subsample else 8
+    y_plane = _pad_edge(ycc[..., 0], mcu)
+    cb_full = _pad_edge(ycc[..., 1], mcu)
+    cr_full = _pad_edge(ycc[..., 2], mcu)
+    if subsample:
+        cb_plane = cb_full.reshape(
+            cb_full.shape[0] // 2, 2, cb_full.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        cr_plane = cr_full.reshape(
+            cr_full.shape[0] // 2, 2, cr_full.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        y_samp, c_samp = (2, 2), (1, 1)
+    else:
+        cb_plane, cr_plane = cb_full, cr_full
+        y_samp, c_samp = (1, 1), (1, 1)
+
+    luma_q = _quality_scale(STD_LUMA_Q, quality)
+    chroma_q = _quality_scale(STD_CHROMA_Q, quality)
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_l = _build_codes(_AC_BITS, _AC_SYMBOLS)
+    ac_c = _build_codes(_AC_BITS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    for tid, q in ((0, luma_q), (1, chroma_q)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, (y_samp[0] << 4) | y_samp[1], 0])
+    out += bytes([2, (c_samp[0] << 4) | c_samp[1], 1])
+    out += bytes([3, (c_samp[0] << 4) | c_samp[1], 1])
+    for tc_th, spec in (
+        ((0, 0), (_DC_LUMA_BITS, _DC_LUMA_VALS)),
+        ((0, 1), (_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+        ((1, 0), (_AC_BITS, _AC_SYMBOLS)),
+        ((1, 1), (_AC_BITS, _AC_SYMBOLS)),
+    ):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc_th[0] << 4) | tc_th[1])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    bw = _BitWriter()
+    mcus_x = y_plane.shape[1] // mcu
+    mcus_y = y_plane.shape[0] // mcu
+    preds = [0, 0, 0]
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            if subsample:
+                for v in range(2):
+                    for h in range(2):
+                        r0, c0 = my * 16 + v * 8, mx * 16 + h * 8
+                        preds[0] = _encode_block(
+                            bw,
+                            y_plane[r0 : r0 + 8, c0 : c0 + 8],
+                            luma_q,
+                            dc_l,
+                            ac_l,
+                            preds[0],
+                        )
+                r0, c0 = my * 8, mx * 8
+                preds[1] = _encode_block(
+                    bw, cb_plane[r0 : r0 + 8, c0 : c0 + 8],
+                    chroma_q, dc_c, ac_c, preds[1],
+                )
+                preds[2] = _encode_block(
+                    bw, cr_plane[r0 : r0 + 8, c0 : c0 + 8],
+                    chroma_q, dc_c, ac_c, preds[2],
+                )
+            else:
+                r0, c0 = my * 8, mx * 8
+                preds[0] = _encode_block(
+                    bw, y_plane[r0 : r0 + 8, c0 : c0 + 8],
+                    luma_q, dc_l, ac_l, preds[0],
+                )
+                preds[1] = _encode_block(
+                    bw, cb_plane[r0 : r0 + 8, c0 : c0 + 8],
+                    chroma_q, dc_c, ac_c, preds[1],
+                )
+                preds[2] = _encode_block(
+                    bw, cr_plane[r0 : r0 + 8, c0 : c0 + 8],
+                    chroma_q, dc_c, ac_c, preds[2],
+                )
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -------------------------------------------------------------
+
+
+def is_jpeg(data: bytes | None) -> bool:
+    return data is not None and data[:2] == b"\xff\xd8"
+
+
+def _decode_huffman_tables(payload: bytes) -> dict[tuple[int, int], dict]:
+    tables = {}
+    pos = 0
+    while pos < len(payload):
+        tc_th = payload[pos]
+        bits = list(payload[pos + 1 : pos + 17])
+        n = sum(bits)
+        vals = list(payload[pos + 17 : pos + 17 + n])
+        if len(vals) < n:
+            raise ValueError("truncated DHT")
+        codes = _build_codes(bits, vals)
+        # invert: (length, code) -> symbol
+        tables[(tc_th >> 4, tc_th & 0x0F)] = {
+            (length, code): sym for sym, (code, length) in codes.items()
+        }
+        pos += 17 + n
+    return tables
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(v: int, ssss: int) -> int:
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _decode_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, qtab: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    ssss = _read_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    coef = (zz * qtab)[_UNZIGZAG].reshape(8, 8).astype(np.float64)
+    return _idct2(coef) + 128.0, dc
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, raw RGB bytes). Baseline sequential only."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad magic)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("JPEG contains no scan")
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if len(payload) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zzq = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                if len(zzq) < 64:
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = zzq
+                p += 65
+        elif marker == 0xC4:  # DHT
+            huff.update(_decode_huffman_tables(payload))
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG coding process (SOF{marker & 0x0F})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
+                scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
+            scan_pos = pos + 2 + seg_len
+            return _decode_scan(
+                data, scan_pos, frame, scan_tabs, qtabs, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan_tabs: dict,
+    qtabs: dict,
+    huff: dict,
+    restart_interval: int,
+) -> tuple[int, int, bytes]:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        for c in comps
+    }
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and n_mcu
+                    and n_mcu % restart_interval == 0
+                ):
+                    # drop the byte-alignment padding bits, then the
+                    # next bytes must be the RSTn marker
+                    br._acc = 0
+                    br._nbits = 0
+                    try:
+                        br._fill()
+                    except _MarkerReached:
+                        pass
+                    if br.marker is None or not 0xD0 <= br.marker <= 0xD7:
+                        raise ValueError("expected restart marker")
+                    br.restart()
+                    preds = {c["id"]: 0 for c in comps}
+                for c in comps:
+                    td, ta = scan_tabs[c["id"]]
+                    dc_tab = huff.get((0, td))
+                    ac_tab = huff.get((1, ta))
+                    qtab = qtabs.get(c["tq"])
+                    if dc_tab is None or ac_tab is None or qtab is None:
+                        raise ValueError("missing huffman/quant table")
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            block, preds[c["id"]] = _decode_block(
+                                br, dc_tab, ac_tab, qtab, preds[c["id"]]
+                            )
+                            r0 = (my * c["v"] + v) * 8
+                            c0 = (mx * c["h"] + hh) * 8
+                            planes[c["id"]][
+                                r0 : r0 + 8, c0 : c0 + 8
+                            ] = block
+                n_mcu += 1
+    except _MarkerReached as exc:
+        raise ValueError("truncated JPEG scan (marker inside MCU)") from exc
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 3:
+        ycc = np.stack(full, axis=-1)
+        rgb = _ycbcr_to_rgb(ycc)
+    elif len(full) == 1:  # grayscale
+        g = np.clip(full[0], 0, 255)
+        rgb = np.stack([g, g, g], axis=-1)
+    else:
+        raise ValueError(f"unsupported component count {len(full)}")
+    return w, h, np.round(rgb).astype(np.uint8).tobytes()

@@ -117,10 +117,15 @@ def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
         if gifc.is_gif(content):
             w, h, frames = gifc.decode_gif(content)
             return w, h, frames[0]  # still-image view: first frame
+        from openmrs_module_mamba_etl_spark.llm import jpeg as jpegc
+
+        if jpegc.is_jpeg(content):
+            return jpegc.decode_jpeg(content)
         raise NotImplementedError(
-            "real decoding of non-PNG/GIF media requires PIL/cv2, not "
-            "available in this environment (PNG and GIF decode via the "
-            "pure-python codecs; use fake=True for other formats)"
+            "real decoding of non-PNG/GIF/JPEG media requires PIL/cv2, not "
+            "available in this environment (PNG, GIF and baseline JPEG "
+            "decode via the pure-python codecs; use fake=True for other "
+            "formats)"
         ) from None
 
 

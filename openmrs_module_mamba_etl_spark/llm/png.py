@@ -11,9 +11,9 @@ subset a training-data pipeline's decode/resize kernels need:
 - nearest-neighbor resize over the raw RGB buffer (numpy, vectorized).
 
 ``llm.multimodal`` prefers PIL when importable and falls back here, so the
-``fake=False`` path is a working decoder either way; payloads that are not
-PNG still raise at the seam (that part of the surface remains an honest
-stub — no codec for JPEG/WebP exists in this environment).
+``fake=False`` path is a working decoder either way; GIF and baseline JPEG
+decode via their sibling pure-python codecs (llm/gif.py, llm/jpeg.py), and
+payloads with no codec (e.g. WebP) still raise at the honest seam.
 """
 
 from __future__ import annotations

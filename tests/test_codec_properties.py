@@ -90,3 +90,53 @@ def test_gif_roundtrip_property(w, h, n_colors, n_frames, seed):
     assert (rw, rh, len(frames)) == (w, h, n_frames)
     for idx, rgb in zip(idx_frames, frames):
         assert rgb == b"".join(bytes(pal[i]) for i in idx)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    quality=st.integers(70, 95),
+    subsample=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_flat_blocks_near_exact_property(w, h, quality, subsample, seed):
+    """Per-8x8-flat content survives the lossy round trip within a small
+    bound at any size/quality/subsampling — incl. odd dims (edge pad)."""
+    from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    color = rng.integers(30, 226, size=3)
+    rgb = np.tile(color.astype(np.uint8), (h, w, 1))
+    rw, rh, raw = decode_jpeg(
+        encode_jpeg(w, h, rgb.tobytes(), quality=quality, subsample=subsample)
+    )
+    assert (rw, rh) == (w, h)
+    out = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int16)
+    assert np.abs(out - rgb.astype(np.int16)).max() <= 3
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_noise_roundtrip_bounded_property(w, h, restart, seed):
+    """Arbitrary noise must decode to the same dims with bounded error —
+    JPEG is lossy, but a correct codec pair stays within the quantizer's
+    worst case; restart markers must not desynchronize the scan."""
+    from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(
+        w, h, rgb.tobytes(), quality=95, restart_interval=restart
+    )
+    rw, rh, raw = decode_jpeg(data)
+    assert (rw, rh) == (w, h)
+    out = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int16)
+    # quality-95 worst case on noise: quant steps are small but chroma
+    # error can still reach a few tens of levels on adversarial blocks
+    assert np.abs(out - rgb.astype(np.int16)).mean() < 12

@@ -119,8 +119,13 @@ def test_non_png_without_pil_raises_at_seam():
         pytest.skip("PIL available — the non-PNG fallback seam is inactive")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="non-PNG"):
+    # JPEG magic now routes to the pure-python JPEG decoder, which rejects
+    # a malformed payload with its ValueError contract
+    with pytest.raises(ValueError):
         _decode_rgb(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    # formats with no codec (e.g. WebP) still raise at the honest seam
+    with pytest.raises(NotImplementedError, match="non-PNG"):
+        _decode_rgb(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_png_rgba_alpha_dropped():
@@ -488,3 +493,103 @@ def test_decode_rgb_real_pillow_jpeg_roundtrip():
     w, h, raw = _decode_rgb(buf.getvalue())
     assert (w, h) == (8, 6)
     assert len(raw) == 8 * 6 * 3
+
+
+def test_jpeg_truncated_raises_valueerror_everywhere():
+    """A JPEG cut at ANY byte offset must either raise ValueError (the
+    header walk, segment parse, and entropy scan all bounds-check) or —
+    only when the cut lands after the final MCU's entropy bits, losing
+    just padding/EOI — still decode to the full correct dimensions. No
+    other exception type may escape."""
+    from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(10)
+        for x in range(9)
+        for c in range(3)
+    )
+    data = encode_jpeg(9, 10, rgb, quality=90, restart_interval=1)
+    for cut in range(1, len(data)):
+        try:
+            w, h, raw = decode_jpeg(data[:cut])
+        except ValueError:
+            continue  # the contract
+        assert (w, h) == (9, 10) and len(raw) == 9 * 10 * 3
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 (progressive) must raise the documented seam error, not
+    garbage output."""
+    import struct
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(8, 8, bytes(192), quality=90))
+    idx = data.find(b"\xff\xc0")
+    assert idx > 0
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_grayscale_single_component():
+    """A 1-component (grayscale) baseline JPEG decodes to replicated-Y
+    RGB — hand-build the file from the encoder's own segments."""
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm import jpeg as J
+
+    # build a grayscale JPEG by re-encoding only the Y plane
+    w = h = 8
+    gray = np.full((8, 8), 99.0)
+    luma_q = J._quality_scale(J.STD_LUMA_Q, 90)
+    dc_l = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._build_codes(J._AC_BITS, J._AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + bytes([0, 67, 0]) + bytes(
+        int(luma_q[z]) for z in J.ZIGZAG
+    )
+    import struct
+
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00)
+    out += bytes(J._DC_LUMA_BITS) + bytes(J._DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + 162, 0x10)
+    out += bytes(J._AC_BITS) + bytes(J._AC_SYMBOLS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    bw = J._BitWriter()
+    J._encode_block(bw, gray, luma_q, dc_l, ac_l, 0)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    rw, rh, raw = J.decode_jpeg(bytes(out))
+    assert (rw, rh) == (8, 8)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+    assert abs(int(px[4, 4, 0]) - 99) <= 2
+    assert (px[..., 0] == px[..., 1]).all() and (px[..., 0] == px[..., 2]).all()
+
+
+def test_jpeg_pillow_interop_both_directions():
+    """With real Pillow installed: our files decode in PIL, PIL's files
+    decode here (tables ship in the file). Skips cleanly without PIL."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = np.full((16, 24, 3), (120, 200, 40), dtype=np.uint8)
+    ours = encode_jpeg(24, 16, rgb.tobytes(), quality=92, subsample=True)
+    with PIL_Image.open(io.BytesIO(ours)) as im:
+        assert im.size == (24, 16)
+        theirs = np.asarray(im.convert("RGB")).astype(np.int16)
+    assert np.abs(theirs - rgb.astype(np.int16)).max() <= 4
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(rgb).save(buf, format="JPEG", quality=92)
+    w, h, raw = decode_jpeg(buf.getvalue())
+    ours_dec = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24, 3).astype(np.int16)
+    assert (w, h) == (24, 16)
+    assert np.abs(ours_dec - rgb.astype(np.int16)).max() <= 4
