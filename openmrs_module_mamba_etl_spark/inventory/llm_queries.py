@@ -2201,3 +2201,65 @@ def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media, n_features=4, fake=False).select(
         "media_id", "width", "height"
     )
+
+
+@query(
+    "multimodal_audio_adpcm_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 + CAST(doc_id % 3 AS INT) * 4000 AS sample_rate,
+           (octet_length(CAST(text AS BLOB)) * 40) * 1000
+             // (8000 + (doc_id % 3) * 4000) AS duration_ms
+    FROM documents
+    WHERE doc_id % 23 = 0 AND text IS NOT NULL
+      AND octet_length(CAST(text AS BLOB)) > 0
+    """,
+)
+def multimodal_audio_adpcm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-audio sibling of ``multimodal_audio_real``: the
+    same synthesized signals encode as IMA ADPCM (4 bits/sample, ~4x
+    smaller — llm/wav.py:encode_wav_adpcm) and decode through the same
+    ``fake=False`` plumbing; the ``fact`` chunk restores the exact sample
+    count, so the duration oracle stays byte-exact despite block padding.
+    Proves the audio seam handles a real compressed format end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+    from openmrs_module_mamba_etl_spark.llm.wav import encode_wav_adpcm
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % 23 == 0)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        for pdf in it:
+            ids, wavs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + (did % 3) * 4000
+                raw = np.frombuffer(text.encode() * 40, dtype=np.uint8)
+                samples = (raw.astype(np.int16) - 128) * 256
+                ids.append(did)
+                wavs.append(encode_wav_adpcm(rate, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": wavs,
+                    "mime": "audio/wav",
+                    "source_uri": [f"synthetic://{i}" for i in ids],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return extract_audio_features(media, n_mfcc=8, fake=False).select(
+        "media_id", "sample_rate", "duration_ms"
+    )

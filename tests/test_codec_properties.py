@@ -140,3 +140,32 @@ def test_jpeg_noise_roundtrip_bounded_property(w, h, restart, seed):
     # quality-95 worst case on noise: quant steps are small but chroma
     # error can still reach a few tens of levels on adversarial blocks
     assert np.abs(out - rgb.astype(np.int16)).mean() < 12
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    amp=st.floats(0.05, 0.9),
+    freq=st.integers(50, 2000),
+)
+def test_adpcm_roundtrip_property(n, rate, amp, freq):
+    """IMA ADPCM is lossy but must track a band-limited signal closely:
+    exact sample count back (fact chunk), bounded RMS error, exact first
+    sample (stored verbatim in each block header)."""
+    from openmrs_module_mamba_etl_spark.llm.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+        is_wav,
+    )
+
+    t = np.arange(n) / rate
+    sig = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    data = encode_wav_adpcm(rate, sig)
+    assert is_wav(data)
+    r, out = decode_wav(data)
+    assert r == rate and len(out) == n
+    assert out[0] == sig[0] / 32768.0
+    err = out - sig.astype(np.float64) / 32768.0
+    # step-adaptation transients bound: generous yet far below signal RMS
+    assert np.sqrt((err**2).mean()) < 0.08
