@@ -524,3 +524,50 @@ def source_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(good, bad)], "n_good bigint, n_bad int"
     )
+
+
+@query(
+    "sink_forget",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey <= 200 AND o_custkey NOT IN (7, 13, 64, 121, 190)
+    GROUP BY o_custkey
+    """,
+)
+def sink_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten maintenance (GDPR erasure): key-range-
+    bucketed commits give each data directory tight o_custkey stats, so
+    ``forget`` rewrites ONLY the directories whose [min, max] can contain
+    a requested key — the others carry into the new version by reference
+    (cost ∝ co-located data, not table size; sources/txnlog.py:forget).
+    The read-back aggregate must equal the source minus the forgotten
+    keys exactly; directory-skipping itself is pinned by
+    tests/test_txnlog.py. Erasure completes with vacuum(keep_last=1),
+    also exercised here so the final on-disk state retains NO version
+    containing the forgotten rows."""
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    t = VersionedParquetTable(_scratch_dir("sink_forget"))
+    # 4 range-bucketed commits → per-dir stats the forget can prune on
+    bounds = [(0, 50), (51, 100), (101, 150), (151, 200)]
+    for i, (lo, hi) in enumerate(bounds):
+        t.write(
+            orders.where(F.col("o_custkey").between(lo, hi)),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["o_custkey"],
+        )
+    t.forget(spark, "o_custkey", [7, 13, 64, 121, 190])
+    t.vacuum(keep_last=1)  # drop the pre-erasure versions from disk
+    return (
+        t.read(spark)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -271,6 +271,101 @@ class VersionedParquetTable:
 
     # ---- maintenance ----------------------------------------------------
 
+    def forget(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        keys: list,
+        max_retries: int = 20,
+    ) -> tuple[int, int, int]:
+        """Targeted delete-by-key (the right-to-be-forgotten maintenance
+        op): commit a new version WITHOUT the rows whose ``key_col`` is in
+        ``keys``, rewriting ONLY the data directories whose recorded
+        [min, max] stats can contain a requested key — every other
+        directory carries into the new version by reference, so deletion
+        cost is proportional to data co-located with the forgotten keys,
+        not to table size. Directories without stats are rewritten
+        conservatively (correctness first). → (version, dirs_rewritten,
+        dirs_total).
+
+        ``keys`` is a bounded driver-side list by contract (deletion
+        requests arrive in small batches); it embeds as an ``isin``
+        literal so the rewrite is one pruned scan + filter. TRUE erasure
+        is ``forget`` followed by ``vacuum(keep_last=1)`` — earlier
+        versions retain the rows for time travel until vacuumed, exactly
+        like the lakehouse formats.
+        """
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            head = self.latest_version()
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed version under {self.path}"
+                )
+            m = self._manifest(head)
+            stats = m.get("stats", {})
+            touched, untouched = [], []
+            for d in m["dirs"]:
+                rng = stats.get(d, {}).get(key_col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    touched.append(d)  # no stats → cannot prove key-free
+                elif any(rng[0] <= k <= rng[1] for k in keys):
+                    touched.append(d)
+                else:
+                    untouched.append(d)
+            version = head + 1
+            if not touched:
+                return head, 0, len(m["dirs"])
+
+            kept = spark.read.parquet(
+                *[str(self._files / d) for d in touched]
+            ).where(~F.col(key_col).isin(*keys))
+            data_dir = f"v{version:05d}-{uuid.uuid4().hex[:8]}"
+            kept.write.mode("overwrite").parquet(
+                str(self._files / data_dir)
+            )
+            stats_cols = sorted(
+                {c for s in stats.values() for c in s}
+            ) or [key_col]
+            row = spark.read.parquet(str(self._files / data_dir)).agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+            ).first()
+            new_dirs = list(untouched)
+            new_stats = {d: stats[d] for d in untouched if d in stats}
+            if row["n"] > 0:
+                new_dirs.append(data_dir)
+                new_stats[data_dir] = {
+                    c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols
+                }
+            else:  # all rows in the touched dirs were forgotten
+                shutil.rmtree(self._files / data_dir, ignore_errors=True)
+            manifest = {
+                "version": version,
+                "op": "forget",
+                "dirs": new_dirs,
+                "stats": new_stats,
+                "n_keys": len(keys),
+            }
+            tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
+            tmp.write_text(json.dumps(manifest, indent=2))
+            target = self._txn / f"{version:05d}.json"
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                tmp.unlink()
+                shutil.rmtree(self._files / data_dir, ignore_errors=True)
+                continue  # concurrent commit — re-derive against new head
+            tmp.unlink()
+            return version, len(touched), len(m["dirs"])
+        raise RuntimeError(
+            f"could not commit forget after {max_retries} retries"
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop manifests + data dirs older than the last ``keep_last``
         versions (that are not referenced by a retained version).

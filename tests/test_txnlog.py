@@ -164,3 +164,62 @@ def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
     assert inflight.exists() and loser.exists()
     # retained versions still read
     assert t.read(spark, 2).count() == 7
+
+
+def test_forget_rewrites_only_touched_dirs(spark, tmp_path):
+    """forget must carry key-disjoint directories into the new version BY
+    REFERENCE (same dir names), rewrite only the dirs whose stats can
+    contain a requested key, and keep the pre-erasure snapshot readable
+    until vacuum."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 100).toDF("id"), stats_cols=["id"])
+    t.write(spark.range(100, 200).toDF("id"), mode="append", stats_cols=["id"])
+    t.write(spark.range(200, 300).toDF("id"), mode="append", stats_cols=["id"])
+    dirs_before = t._manifest(2)["dirs"]
+
+    version, rewritten, total = t.forget(spark, "id", [150, 160])
+    assert (version, rewritten, total) == (3, 1, 3)
+    dirs_after = t._manifest(3)["dirs"]
+    # the two key-disjoint dirs carried over verbatim
+    assert set(dirs_before) & set(dirs_after) == {dirs_before[0], dirs_before[2]}
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == set(range(300)) - {150, 160}
+    # pre-erasure snapshot still time-travels ...
+    assert t.read(spark, 2).count() == 300
+    # ... until vacuum drops it
+    t.vacuum(keep_last=1)
+    assert t.versions() == [3]
+    remaining = {
+        f.name for f in (t.path / "files").iterdir() if f.is_dir()
+    }
+    assert remaining == set(dirs_after)
+
+
+def test_forget_noop_when_no_dir_can_contain_keys(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 50).toDF("id"), stats_cols=["id"])
+    head, rewritten, total = t.forget(spark, "id", [999])
+    assert (head, rewritten, total) == (0, 0, 1)
+    assert t.latest_version() == 0  # no new version committed
+
+
+def test_forget_drops_fully_erased_dir(spark, tmp_path):
+    """If every row of a touched dir is forgotten, the new manifest must
+    not reference an empty data dir."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 3).toDF("id"), stats_cols=["id"])
+    t.write(spark.range(10, 13).toDF("id"), mode="append", stats_cols=["id"])
+    version, rewritten, total = t.forget(spark, "id", [0, 1, 2])
+    assert (rewritten, total) == (1, 2)
+    assert len(t._manifest(version)["dirs"]) == 1
+    assert {r["id"] for r in t.read(spark).collect()} == {10, 11, 12}
+
+
+def test_forget_without_stats_is_conservative(spark, tmp_path):
+    """Dirs committed without stats cannot be proven key-free — forget
+    must rewrite them (correctness over speed)."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 10).toDF("id"))  # no stats
+    version, rewritten, total = t.forget(spark, "id", [5])
+    assert (rewritten, total) == (1, 1)
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(10)) - {5}
