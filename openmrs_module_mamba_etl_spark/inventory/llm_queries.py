@@ -2263,3 +2263,154 @@ def multimodal_audio_adpcm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media, n_mfcc=8, fake=False).select(
         "media_id", "sample_rate", "duration_ms"
     )
+
+
+@query(
+    "stream_dedup_minhash",
+    oracle=_SHINGLE_CTE
+    + """
+    , ex AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), mh AS (
+      SELECT doc_id, s.seed,
+             MIN(('0x' || substr(md5(s.seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS v
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(b.band::VARCHAR || '|' ||
+                  array_to_string(sig[b.band*4+1 : b.band*4+4], ',')), 1, 15))::BIGINT
+               AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), dropped AS (
+      SELECT DISTINCT id_b
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """,
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fuzzy dedup — near-dup detection at ingest time: a
+    foreachBatch drain maintains a standing MinHash-LSH index
+    ((id, band, bucket) + shingles, md5 contract); each micro-batch
+    probes the index AND itself with one (band, bucket) equi-join,
+    verifies candidates with exact Jaccard, and records the larger id of
+    every verified pair as dropped. The kept set is ALL seen docs minus
+    dropped — computed at drain end, so decisions are retroactive and the
+    result is batch-order-INVARIANT (a later batch can drop an
+    earlier-kept doc; contrast ``dedup_incremental``'s forward-only exact
+    hash). The oracle replays the whole pipeline on the full corpus:
+    4-batch streaming == one-shot batch, proving boundary invariance.
+
+    Scale shape: per batch, candidates = batch×(index ∪ batch) meeting in
+    an equi-join on the bucket key — incremental cost ∝ batch size ×
+    collision rate, never index², and the index appends (at 100 TB:
+    bucket-partitioned, shingles normalized per doc)."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+    )
+    from openmrs_module_mamba_etl_spark.llm.dedup import minhash_bucket_table
+
+    scratch = _scratch_dir("stream_dedup_minhash")
+    src = os.path.join(scratch, "in")
+    idx_dir = os.path.join(scratch, "index")
+    seen_dir = os.path.join(scratch, "seen")
+    drop_dir = os.path.join(scratch, "dropped")
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+
+    state = {"has_index": False, "has_dropped": False}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        bk = minhash_bucket_table(
+            batch, "doc_id", "text", num_hashes=16, bands=4, shingle_len=3,
+            portable=True,
+        ).persist()
+        batch.select("doc_id").write.mode("append").parquet(seen_dir)
+        combined = (
+            bk.unionByName(ss.read.parquet(idx_dir))
+            if state["has_index"]
+            else bk
+        )
+        cand = (
+            bk.alias("a")
+            .select("doc_id", "band", "bucket")
+            .join(
+                combined.alias("b").select(
+                    F.col("doc_id").alias("other_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .where(F.col("doc_id") != F.col("other_id"))
+            .select(
+                F.least("doc_id", "other_id").alias("id_a"),
+                F.greatest("doc_id", "other_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        sh = combined.select("doc_id", "shingles").dropDuplicates(["doc_id"])
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        dropped = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "id_b",
+            )
+            .where(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter) >= 0.5
+            )
+            .select("id_b")
+            .distinct()
+        )
+        if dropped.limit(1).count():
+            dropped.write.mode("append").parquet(drop_dir)
+            state["has_dropped"] = True
+        bk.write.mode("append").parquet(idx_dir)
+        state["has_index"] = True
+        bk.unpersist()
+
+    from openmrs_module_mamba_etl_spark.inventory.window_queries import _drain
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    kept = spark.read.parquet(seen_dir).distinct()
+    if state["has_dropped"]:
+        kept = kept.join(
+            spark.read.parquet(drop_dir).withColumnRenamed("id_b", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    return kept

@@ -703,3 +703,68 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def minhash_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The LSH INDEX rows for ``df``: (id, shingles, band, bucket) — one
+    row per (doc, band). This is the materialized form an incremental /
+    streaming dedup maintains between batches (``stream_dedup_minhash``):
+    new batches probe it with a plain equi-join on (band, bucket). Same
+    signature pipeline as :func:`minhash_lsh_pairs` (explode → codegen
+    hash → hash-aggregate min), same portable-md5 contract option.
+
+    Scale note: shingles ride along per band row here for verification
+    convenience; a 100 TB index stores them once per doc (or re-reads the
+    source) and keeps only (band, bucket, id) in the hot index.
+    """
+    rows_per_band = num_hashes // bands
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_len).alias("shingles"),
+    )
+
+    def shingle_hash(seed: int):
+        if portable:
+            return portable_hash60(F.concat(F.lit(f"{seed}:"), F.col("sh")))
+        return F.xxhash64("sh", F.lit(seed))
+
+    sigs = (
+        base.select(id_col, F.explode("shingles").alias("sh"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(shingle_hash(seed)).alias(f"mh_{seed}")
+                for seed in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("sig"),
+        )
+    )
+    return (
+        sigs.join(base, id_col)
+        .select(
+            id_col,
+            "shingles",
+            F.explode(
+                band_hashes(
+                    F.col("sig"), bands, rows_per_band, portable=portable
+                )
+            ).alias("bb"),
+        )
+        .select(
+            id_col,
+            "shingles",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
