@@ -4,9 +4,9 @@ Like llm/png.py for images: WAV needs only stdlib ``struct`` (the RIFF
 container and PCM encoding are public specs), so the ``fake=False`` audio
 path can decode for real in this container. Supported: 16-bit PCM, mono or
 multi-channel (downmixed by averaging), standard ``fmt ``/``fact``/``data``
-chunk walk, plus IMA ADPCM (wFormatTag 0x11) — a real COMPRESSED audio
-codec at 4 bits/sample (see below). Perceptual formats (MP3/OGG/FLAC)
-still raise at the seam — no codec for them exists here.
+chunk walk, plus two real COMPRESSED audio codecs: IMA ADPCM (wFormatTag
+0x11, 4 bits/sample) and G.711 mu-law (0x07, 8 bits/sample). Perceptual
+formats (MP3/OGG/FLAC) still raise at the seam — no codec for them here.
 """
 
 from __future__ import annotations
@@ -71,10 +71,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
                     if len(body) >= 20
                     else (block_align - 4) * 2 + 1
                 )
+            elif fmt_code == 0x07:  # G.711 mu-law (8 bits/sample)
+                if channels != 1:
+                    raise ValueError("mu-law WAV: mono only")
             elif fmt_code != 1 or bits != 16:
                 raise ValueError(
                     f"unsupported WAV: format {fmt_code}, {bits}-bit "
-                    "(16-bit PCM or IMA ADPCM only)"
+                    "(16-bit PCM, IMA ADPCM, or mu-law only)"
                 )
         elif tag == b"fact":
             fact_samples = struct.unpack("<I", body[:4])[0]
@@ -87,6 +90,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         samples = _decode_adpcm_data(pcm, block_align, samples_per_block)
         if fact_samples is not None:
             samples = samples[:fact_samples]  # drop final-block padding
+        return rate, samples / 32768.0
+    if fmt_code == 0x07:
+        samples = np.asarray(
+            [_mulaw_decode_sample(b) for b in pcm], dtype=np.float64
+        )
+        if fact_samples is not None:
+            samples = samples[:fact_samples]
         return rate, samples / 32768.0
     samples = np.frombuffer(
         pcm[: len(pcm) - len(pcm) % (2 * channels)], dtype="<i2"
@@ -224,3 +234,55 @@ def _decode_adpcm_data(
                 predictor, index = _ima_decode_nibble(code, predictor, index)
                 out.append(predictor)
     return np.asarray(out, dtype=np.float64)
+
+
+# --- G.711 mu-law (wFormatTag 0x07) --------------------------------------
+# Log-PCM telephony encoding: 8 bits/sample, 2x compression, public spec
+# (ITU-T G.711). Encode/decode are exact table-free bit manipulations.
+
+_MU_BIAS = 0x84
+_MU_CLIP = 32635
+
+
+def _mulaw_encode_sample(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, _MU_CLIP) + _MU_BIAS
+    exponent = s.bit_length() - 8  # s >= 0x84 so bit_length >= 8
+    mantissa = (s >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def _mulaw_decode_sample(b: int) -> int:
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    s = ((mantissa << 3) + _MU_BIAS) << exponent
+    s -= _MU_BIAS
+    return -s if sign else s
+
+
+def encode_wav_mulaw(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Mono G.711 mu-law WAV (8 bits/sample) from int16 samples."""
+    s = np.asarray(samples, dtype=np.int64)
+    payload = bytes(_mulaw_encode_sample(int(x)) for x in s)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHHH",
+        b"RIFF",
+        50 + len(payload),
+        b"WAVE",
+        b"fmt ",
+        18,
+        0x07,  # mu-law
+        1,
+        sample_rate,
+        sample_rate,
+        1,
+        8,
+        0,  # cbSize
+    )
+    hdr += struct.pack("<4sII", b"fact", 4, len(s))
+    hdr += struct.pack("<4sI", b"data", len(payload))
+    return hdr + payload

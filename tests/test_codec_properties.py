@@ -169,3 +169,29 @@ def test_adpcm_roundtrip_property(n, rate, amp, freq):
     err = out - sig.astype(np.float64) / 32768.0
     # step-adaptation transients bound: generous yet far below signal RMS
     assert np.sqrt((err**2).mean()) < 0.08
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    rate=st.sampled_from([8000, 16000]),
+    amp=st.floats(0.02, 0.95),
+    freq=st.integers(50, 1500),
+)
+def test_mulaw_roundtrip_property(n, rate, amp, freq):
+    """G.711 mu-law: exact sample count back, logarithmic quantization
+    error — relative error bounded for every sample (the G.711 SNR
+    guarantee), tiny RMS on band-limited signals."""
+    from openmrs_module_mamba_etl_spark.llm.wav import (
+        decode_wav,
+        encode_wav_mulaw,
+    )
+
+    t = np.arange(n) / rate
+    sig = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    r, out = decode_wav(encode_wav_mulaw(rate, sig))
+    assert r == rate and len(out) == n
+    err = np.abs(out * 32768.0 - np.clip(sig, -32635, 32635))
+    # mu-law segment size: quantization step ~ (|x|+132)/16 per segment
+    bound = (np.abs(sig.astype(np.float64)) + 132.0) / 16.0 + 4.0
+    assert (err <= bound).all()
