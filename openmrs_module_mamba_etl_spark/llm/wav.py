@@ -164,6 +164,8 @@ def encode_wav_adpcm(
     """
     if samples_per_block % 2 == 0:
         raise ValueError("samples_per_block must be odd")
+    import bisect
+
     s = np.asarray(samples, dtype=np.int64)
     block_align = 4 + (samples_per_block - 1) // 2
     blocks = bytearray()
@@ -171,6 +173,14 @@ def encode_wav_adpcm(
     for start in range(0, len(s), samples_per_block):
         chunk = s[start : start + samples_per_block]
         predictor = int(chunk[0])
+        if len(chunk) > 1:
+            # Per-block initial step sized to the first delta (the header
+            # carries the index, so any choice is spec-valid): a code-7
+            # nibble reaches ~1.75*step, so starting near |delta|/1.75
+            # removes the cold-start transient a zero index costs on
+            # signals that move immediately.
+            desired = max(7, int(abs(int(chunk[1]) - predictor) / 1.75))
+            index = min(bisect.bisect_left(_IMA_STEPS, desired), 88)
         blocks += struct.pack("<hBB", predictor, index, 0)
         nibbles: list[int] = []
         for sample in chunk[1:]:
