@@ -2414,3 +2414,109 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     return kept
+
+
+@query(
+    "etl_llm_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text, toks,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN {_STOP_SQL['en']})) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM t WHERE source <> 'src9'
+    ), scored AS (
+      SELECT doc_id, lang, toks,
+             ROUND(
+               (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
+               2) AS quality
+      FROM m
+    ), survivors AS (
+      SELECT md5(array_to_string({_TOKS}, ' ')) AS h, MIN(doc_id) AS kept_id
+      FROM documents WHERE source <> 'src9' GROUP BY 1
+    ), s5 AS (
+      SELECT doc_id, source, {_SH5} AS sh
+      FROM (SELECT doc_id, source, toks FROM t)
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM s5 WHERE source = 'src9'
+    ), tainted AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle
+            FROM s5 WHERE source <> 'src9') c
+      JOIN bench USING (shingle)
+    ), kept AS (
+      SELECT s.doc_id, s.lang, s.toks, s.quality,
+             CASE WHEN ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM scored s
+      JOIN survivors k ON s.doc_id = k.kept_id
+      LEFT JOIN tainted tt ON s.doc_id = tt.doc_id
+      WHERE s.quality >= 0.7 AND tt.doc_id IS NULL
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           SUM(len(toks)) AS n_tokens,
+           ROUND(AVG(quality), 2) AS avg_quality
+    FROM kept GROUP BY split, lang
+    """,
+)
+def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-curation pipeline as ONE DataFrame program —
+    what a user of this engine actually runs before tokenization:
+    quality-filter (Gopher-style heuristics) ∘ exact-dedup (min-id
+    survivors) ∘ benchmark-decontaminate (5-gram overlap vs the held-out
+    src9 slice) ∘ deterministic 90/5/5 hash split, reported as per
+    (split, lang) doc/token counts. Every stage is the exact operator its
+    standalone query registers, so this is the integration proof that
+    the pieces compose in one plan: two broadcast semi/anti joins against
+    the (small by construction) survivor-complement and tainted sets, no
+    extra corpus shuffles beyond the dedup hash-agg. The oracle replays
+    the full chain."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
+    from openmrs_module_mamba_etl_spark.llm.dedup import exact_dedup
+    from openmrs_module_mamba_etl_spark.llm.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src9")
+    bench = docs.where(F.col("source") == "src9")
+
+    survivors = exact_dedup(corpus, "doc_id", "text").select(
+        F.col("kept_id").alias("doc_id")
+    )
+    tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
+        "doc_id"
+    )
+    kept = (
+        corpus.select(
+            "doc_id",
+            "lang",
+            "text",
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .where(F.col("quality") >= 0.7)
+        .join(F.broadcast(survivors), "doc_id", "left_semi")
+        .join(F.broadcast(tainted), "doc_id", "left_anti")
+    )
+    split = hash_split(
+        kept, "doc_id", [("train", 900), ("valid", 950), ("test", 1000)]
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+            F.round(F.avg("quality"), 2).alias("avg_quality"),
+        )
+    )
