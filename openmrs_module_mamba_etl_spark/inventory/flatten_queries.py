@@ -209,3 +209,102 @@ def flatten_column_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(os.path.join(target, f"g{gi}")), "user_id"
         )
     return out.select("user_id", *value_cols)
+
+
+@query(
+    "stream_flatten",
+    oracle=_LATEST_CTE
+    + """
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           MAX(CASE WHEN event_type = 'error'    THEN value END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           MAX(CASE WHEN event_type = 'view'     THEN value END) AS view
+    FROM latest WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def stream_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS refresh of the signature EAV flatten — the reference's
+    periodic incremental ETL (README.md:133-140, 1800 s scheduler)
+    expressed streaming-natively: a foreachBatch drain maintains the flat
+    table's CELL STORE — latest (value, ts) per (entity, attribute) —
+    merging each micro-batch by event time with atomic versioned publish;
+    the wide table is a projection (one MAX(CASE) aggregate) of that
+    state. Four time-split micro-batches must converge to EXACTLY the
+    one-shot ``pivot_eav_flatten`` answer (same oracle), proving the
+    incremental refresh is batch-boundary-invariant. At scale the cell
+    store is hash-partitioned by entity and each merge touches only
+    changed cells — incremental cost ∝ change volume, the reference's
+    incremental-mode contract."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+    )
+    from openmrs_module_mamba_etl_spark.inventory.window_queries import (
+        _EVENTS_STREAM_SCHEMA,
+        _drain,
+    )
+
+    scratch = _scratch_dir("stream_flatten")
+    src = os.path.join(scratch, "in")
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    cur: dict[str, str] = {}
+
+    def latest_cells(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        cells = latest_cells(
+            batch.select("user_id", "event_type", "value", "ts")
+        )
+        if "path" in cur:
+            cells = latest_cells(
+                ss.read.parquet(cur["path"]).unionByName(cells)
+            )
+        new_path = os.path.join(scratch, f"cells_v{batch_id}")
+        cells.write.mode("overwrite").parquet(new_path)
+        old = cur.get("path")
+        cur["path"] = new_path
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    cells = spark.read.parquet(cur["path"])
+    attrs = sorted(r[0] for r in cells.select("event_type").distinct().collect())
+    return cells.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == a, F.col("value"))
+            ).alias(a)
+            for a in attrs
+        ]
+    )
