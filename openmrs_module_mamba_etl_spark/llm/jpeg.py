@@ -5,13 +5,18 @@ codecs, but JPEG corpora previously raised at the seam. The format is
 public (ITU-T T.81 / ISO 10918-1 + JFIF); this module implements the
 subset a training-data pipeline's decode kernels need:
 
-- encode: 8-bit RGB → baseline sequential DCT, 4:4:4 or 4:2:0 chroma
-  subsampling, Annex-K quantization tables scaled by the libjpeg quality
-  curve, Annex-K DC Huffman tables + a valid-canonical full-coverage AC
-  table (see the spec note below), restart markers optional;
-- decode: baseline sequential (SOF0), any sampling factors (1-2 per
-  axis), multiple DQT/DHT per segment, restart markers (DRI/RSTn),
-  0xFF00 byte unstuffing; progressive (SOF2) and arithmetic coding raise
+- encode: 8-bit RGB → baseline sequential DCT (SOF0) or progressive
+  spectral-selection (SOF2, ``encode_jpeg_progressive``), 4:4:4 or 4:2:0
+  chroma subsampling, Annex-K quantization tables scaled by the libjpeg
+  quality curve, Annex-K DC Huffman tables + a valid-canonical
+  full-coverage AC table (see the spec note below), restart markers
+  optional;
+- decode: a coefficient-accumulation scan machine covering baseline
+  sequential (SOF0/SOF1) AND progressive (SOF2) with spectral selection,
+  EOBRUN band-skip codes, and DC successive approximation; any sampling
+  factors (1-2 per axis), grayscale, multiple DQT/DHT per segment,
+  restart markers (DRI/RSTn), 0xFF00 byte unstuffing. Progressive AC
+  refinement scans (Ah≠0, Ss≥1) and lossless/arithmetic processes raise
   ``ValueError`` — an honest seam, not a silent fake.
 
 Quality note: JPEG is lossy — round-trip tests assert bounded per-pixel
@@ -397,6 +402,181 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder -------------------------------------------------
+
+
+def _plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Quantized zigzag-order coefficient blocks for a padded plane:
+    → int64[by, bx, 64]."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((by, bx, 64), dtype=np.int64)
+    for r in range(by):
+        for c in range(bx):
+            coef = np.round(
+                _dct2(plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0)
+                .reshape(64)
+                / qtab
+            ).astype(np.int64)
+            out[r, c] = coef[ZIGZAG]
+    return out
+
+
+def _emit_dc(bw: _BitWriter, dc: int, pred: int, dc_codes: dict) -> int:
+    ssss, bits = _magnitude(dc - pred)
+    code, length = dc_codes[ssss]
+    bw.write(code, length)
+    if ssss:
+        bw.write(bits, ssss)
+    return dc
+
+
+def _emit_ac_band(
+    bw: _BitWriter, zz: np.ndarray, ac_codes: dict, ss: int, se: int
+) -> None:
+    """Run-length + magnitude coding of the band zz[ss..se] with a
+    per-block EOB (an EOBRUN of exactly 1 — always spec-valid)."""
+    nz = np.nonzero(zz[ss : se + 1])[0]
+    last = (int(nz[-1]) + ss) if len(nz) else ss - 1
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        if v == 0:
+            if k > last:
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
+                return
+            run += 1
+            if run == 16:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run = 0
+            continue
+        ssss, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | ssss]
+        bw.write(code, length)
+        bw.write(bits, ssss)
+        run = 0
+    if last < se:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    subsample: bool = False,
+) -> bytes:
+    """Progressive (SOF2, spectral selection) JFIF JPEG: one interleaved
+    DC scan, then one full-band AC scan per component — the simplest
+    legal progressive scan script (no successive approximation, so every
+    scan is final for its band). Decodes to the IDENTICAL pixels as the
+    sequential encoding at the same quality: only the entropy-coded
+    ordering differs."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} bytes for {width}x{height} RGB, "
+            f"got {len(rgb)}"
+        )
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _rgb_to_ycbcr(px)
+    mcu = 16 if subsample else 8
+    y_plane = _pad_edge(ycc[..., 0], mcu)
+    cb_full = _pad_edge(ycc[..., 1], mcu)
+    cr_full = _pad_edge(ycc[..., 2], mcu)
+    if subsample:
+        cb_plane = cb_full.reshape(
+            cb_full.shape[0] // 2, 2, cb_full.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        cr_plane = cr_full.reshape(
+            cr_full.shape[0] // 2, 2, cr_full.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        y_samp, c_samp = (2, 2), (1, 1)
+    else:
+        cb_plane, cr_plane = cb_full, cr_full
+        y_samp, c_samp = (1, 1), (1, 1)
+
+    luma_q = _quality_scale(STD_LUMA_Q, quality)
+    chroma_q = _quality_scale(STD_CHROMA_Q, quality)
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac = _build_codes(_AC_BITS, _AC_SYMBOLS)
+
+    blocks = [
+        _plane_blocks(y_plane, luma_q),
+        _plane_blocks(cb_plane, chroma_q),
+        _plane_blocks(cr_plane, chroma_q),
+    ]
+    samp = [y_samp, c_samp, c_samp]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, q in ((0, luma_q), (1, chroma_q)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for i, cid in enumerate((1, 2, 3)):
+        out += bytes([cid, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1])
+    for tc_th, spec in (
+        ((0, 0), (_DC_LUMA_BITS, _DC_LUMA_VALS)),
+        ((0, 1), (_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+        ((1, 0), (_AC_BITS, _AC_SYMBOLS)),
+        ((1, 1), (_AC_BITS, _AC_SYMBOLS)),
+    ):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tc_th[0] << 4) | tc_th[1]
+        )
+        out += bytes(bits) + bytes(vals)
+
+    # scan 1: interleaved DC (Ss=Se=0)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])
+    bw = _BitWriter()
+    mcus_x = y_plane.shape[1] // mcu
+    mcus_y = y_plane.shape[0] // mcu
+    preds = [0, 0, 0]
+    dc_tabs = [dc_l, dc_c, dc_c]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                hc, vc = samp[ci]
+                for v in range(vc):
+                    for h in range(hc):
+                        zz = blocks[ci][my * vc + v, mx * hc + h]
+                        preds[ci] = _emit_dc(
+                            bw, int(zz[0]), preds[ci], dc_tabs[ci]
+                        )
+    bw.flush()
+    out += bw.out
+
+    # scans 2-4: one full-band AC scan per component over its SPEC block
+    # grid (ceil(comp_dim/8)), which may be smaller than the padded grid
+    for ci, cid in enumerate((1, 2, 3)):
+        hc, vc = samp[ci]
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        bx, by = -(-cw // 8), -(-ch // 8)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([cid, 0x00, 1, 63, 0])
+        bw = _BitWriter()
+        for r in range(by):
+            for c in range(bx):
+                _emit_ac_band(bw, blocks[ci][r, c], ac, 1, 63)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -------------------------------------------------------------
 
 
@@ -437,49 +617,39 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
-def _decode_block(
-    br: _BitReader, dc_tab: dict, ac_tab: dict, qtab: np.ndarray, pred: int
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    ssss = _read_symbol(br, dc_tab)
-    diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
-    dc = pred + diff
-    zz[0] = dc
-    k = 1
-    while k < 64:
-        rs = _read_symbol(br, ac_tab)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC coefficient index out of range")
-        zz[k] = _extend(br.read_bits(s), s)
-        k += 1
-    coef = (zz * qtab)[_UNZIGZAG].reshape(8, 8).astype(np.float64)
-    return _idct2(coef) + 128.0, dc
-
-
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """→ (width, height, raw RGB bytes). Baseline sequential only."""
+    """→ (width, height, raw RGB bytes).
+
+    Baseline sequential (SOF0/SOF1) and progressive (SOF2) with spectral
+    selection and DC successive approximation; progressive AC
+    refinement scans (Ah≠0, Ss≥1) raise ``ValueError`` — the documented
+    edge of this decoder. Coefficients accumulate across scans and the
+    image reconstructs once at EOI, so any legal scan script in the
+    supported subset decodes."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad magic)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     restart_interval = 0
-    frame = None
-    while True:
-        if pos + 4 > len(data):
-            raise ValueError("truncated JPEG")
+    frame: dict | None = None
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("JPEG contains no scan")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG")
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         payload = data[pos + 4 : pos + 2 + seg_len]
         if len(payload) != seg_len - 2:
@@ -499,7 +669,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 p += 65
         elif marker == 0xC4:  # DHT
             huff.update(_decode_huffman_tables(payload))
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -509,99 +679,232 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcus_x": mcus_x,
+                "mcus_y": mcus_y,
+                "progressive": marker == 0xC2,
+            }
+            for c in comps:
+                coefs[c["id"]] = np.zeros(
+                    (mcus_y * c["v"] * 8 // 8, mcus_x * c["h"] * 8 // 8, 64),
+                    dtype=np.int64,
+                )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG coding process (SOF{marker & 0x0F})")
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF{marker & 0x0F})"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan_tabs = {}
+            scomps = []
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
-                scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
-            scan_pos = pos + 2 + seg_len
-            return _decode_scan(
-                data, scan_pos, frame, scan_tabs, qtabs, huff, restart_interval
+                scomps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                data, pos + 2 + seg_len, frame, scomps,
+                ss, se, ah, al, huff, restart_interval, coefs,
             )
-        # APPn / COM / others: skip
+            saw_scan = True
+            continue
+        # APPn / COM / DNL / others: skip
         pos += 2 + seg_len
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG contains no scan")
+    return _reconstruct(frame, coefs, qtabs)
 
 
 def _decode_scan(
     data: bytes,
     pos: int,
     frame: dict,
-    scan_tabs: dict,
-    qtabs: dict,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
     huff: dict,
     restart_interval: int,
-) -> tuple[int, int, bytes]:
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        for c in comps
-    }
+    coefs: dict[int, np.ndarray],
+) -> int:
+    """Decode one entropy-coded scan into the coefficient store; returns
+    the byte position just after the scan's data."""
+    if ah != 0 and ss != 0:
+        raise ValueError(
+            "progressive AC successive-approximation refinement scans "
+            "not supported (spectral selection + DC refinement only)"
+        )
+    comps = {c["id"]: c for c in frame["comps"]}
     br = _BitReader(data, pos)
-    preds = {c["id"]: 0 for c in comps}
-    n_mcu = 0
+    preds = {cid: 0 for cid, _, _ in scomps}
+    state = {"eobrun": 0}
+
+    def dc_tab(td):
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("missing DC huffman table")
+        return t
+
+    def ac_tab(ta):
+        t = huff.get((1, ta))
+        if t is None:
+            raise ValueError("missing AC huffman table")
+        return t
+
+    def decode_dc_first(zz, cid, td):
+        ssss = _read_symbol(br, dc_tab(td))
+        diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
+        preds[cid] += diff
+        zz[0] = preds[cid] << al
+
+    def decode_dc_refine(zz):
+        if br.read_bit():
+            zz[0] |= 1 << al
+
+    def decode_ac_first(zz, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        tab = ac_tab(ta)
+        while k <= se:
+            rs = _read_symbol(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def decode_seq_block(zz, cid, td, ta):
+        decode_dc_first(zz, cid, td)
+        k = 1
+        tab = ac_tab(ta)
+        while k < 64:
+            rs = _read_symbol(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+
+    def handle_restart(n_units):
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            br._acc = 0
+            br._nbits = 0
+            try:
+                br._fill()
+            except _MarkerReached:
+                pass
+            if br.marker is None or not 0xD0 <= br.marker <= 0xD7:
+                raise ValueError("expected restart marker")
+            br.restart()
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    progressive = frame["progressive"]
     try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if (
-                    restart_interval
-                    and n_mcu
-                    and n_mcu % restart_interval == 0
-                ):
-                    # drop the byte-alignment padding bits, then the
-                    # next bytes must be the RSTn marker
-                    br._acc = 0
-                    br._nbits = 0
-                    try:
-                        br._fill()
-                    except _MarkerReached:
-                        pass
-                    if br.marker is None or not 0xD0 <= br.marker <= 0xD7:
-                        raise ValueError("expected restart marker")
-                    br.restart()
-                    preds = {c["id"]: 0 for c in comps}
-                for c in comps:
-                    td, ta = scan_tabs[c["id"]]
-                    dc_tab = huff.get((0, td))
-                    ac_tab = huff.get((1, ta))
-                    qtab = qtabs.get(c["tq"])
-                    if dc_tab is None or ac_tab is None or qtab is None:
-                        raise ValueError("missing huffman/quant table")
-                    for v in range(c["v"]):
-                        for hh in range(c["h"]):
-                            block, preds[c["id"]] = _decode_block(
-                                br, dc_tab, ac_tab, qtab, preds[c["id"]]
-                            )
-                            r0 = (my * c["v"] + v) * 8
-                            c0 = (mx * c["h"] + hh) * 8
-                            planes[c["id"]][
-                                r0 : r0 + 8, c0 : c0 + 8
-                            ] = block
-                n_mcu += 1
+        if len(scomps) > 1:
+            # interleaved MCU walk (sequential full-band, or DC band)
+            if progressive and ss != 0:
+                raise ValueError("progressive AC scans must be single-component")
+            n_mcu = 0
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    handle_restart(n_mcu)
+                    for cid, td, ta in scomps:
+                        c = comps[cid]
+                        for v in range(c["v"]):
+                            for h in range(c["h"]):
+                                zz = coefs[cid][my * c["v"] + v, mx * c["h"] + h]
+                                if not progressive:
+                                    decode_seq_block(zz, cid, td, ta)
+                                elif ah == 0:
+                                    decode_dc_first(zz, cid, td)
+                                else:
+                                    decode_dc_refine(zz)
+                    n_mcu += 1
+        else:
+            cid, td, ta = scomps[0]
+            c = comps[cid]
+            cw = -(-frame["w"] * c["h"] // frame["hmax"])
+            ch = -(-frame["h"] * c["v"] // frame["vmax"])
+            bx, by = -(-cw // 8), -(-ch // 8)
+            n_blk = 0
+            for r in range(by):
+                for cc in range(bx):
+                    handle_restart(n_blk)
+                    zz = coefs[cid][r, cc]
+                    if not progressive:
+                        decode_seq_block(zz, cid, td, ta)
+                    elif ss == 0:
+                        if ah == 0:
+                            decode_dc_first(zz, cid, td)
+                        else:
+                            decode_dc_refine(zz)
+                    else:
+                        decode_ac_first(zz, ta)
+                    n_blk += 1
     except _MarkerReached as exc:
         raise ValueError("truncated JPEG scan (marker inside MCU)") from exc
+    return br.pos
 
+
+def _reconstruct(
+    frame: dict, coefs: dict[int, np.ndarray], qtabs: dict[int, np.ndarray]
+) -> tuple[int, int, bytes]:
+    w, h = frame["w"], frame["h"]
     full = []
-    for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
+    for c in frame["comps"]:
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        C = coefs[c["id"]]  # [by, bx, 64] zigzag
+        deq = (C * q)[:, :, _UNZIGZAG].astype(np.float64)
+        by, bx = deq.shape[0], deq.shape[1]
+        blocks = deq.reshape(by, bx, 8, 8)
+        spat = (
+            np.einsum("ij,xyjk,kl->xyil", _DCT_T.T, blocks, _DCT_T) + 128.0
+        )
+        plane = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(
+            np.repeat(plane, frame["vmax"] // c["v"], axis=0),
+            frame["hmax"] // c["h"],
+            axis=1,
+        )
+        full.append(plane[:h, :w])
     if len(full) == 3:
-        ycc = np.stack(full, axis=-1)
-        rgb = _ycbcr_to_rgb(ycc)
+        rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     elif len(full) == 1:  # grayscale
         g = np.clip(full[0], 0, 255)
         rgb = np.stack([g, g, g], axis=-1)

@@ -518,18 +518,17 @@ def test_jpeg_truncated_raises_valueerror_everywhere():
         assert (w, h) == (9, 10) and len(raw) == 9 * 10 * 3
 
 
-def test_jpeg_progressive_rejected():
-    """SOF2 (progressive) must raise the documented seam error, not
-    garbage output."""
-    import struct
-
+def test_jpeg_unsupported_process_rejected():
+    """A coding process outside the supported subset (SOF3 lossless) must
+    raise the documented seam error, not garbage output. (SOF2
+    progressive used to live here — it is now supported.)"""
     from openmrs_module_mamba_etl_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
     data = bytearray(encode_jpeg(8, 8, bytes(192), quality=90))
     idx = data.find(b"\xff\xc0")
     assert idx > 0
-    data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    data[idx + 1] = 0xC3  # lossless sequential
+    with pytest.raises(ValueError, match="unsupported JPEG coding process"):
         decode_jpeg(bytes(data))
 
 
@@ -593,3 +592,104 @@ def test_jpeg_pillow_interop_both_directions():
     ours_dec = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24, 3).astype(np.int16)
     assert (w, h) == (24, 16)
     assert np.abs(ours_dec - rgb.astype(np.int16)).max() <= 4
+
+
+def test_jpeg_progressive_roundtrip_identical_to_sequential():
+    """Progressive (SOF2, spectral selection) must decode to bit-identical
+    pixels as the sequential encoding at the same quality — only the
+    entropy-coded ordering differs. Covers 4:4:4, 4:2:0, odd dims (spec
+    block grid smaller than the padded MCU grid)."""
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    for w, h, sub in [(24, 16, False), (19, 13, True), (33, 7, True)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        seq = decode_jpeg(encode_jpeg(w, h, rgb, quality=88, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, rgb, quality=88, subsample=sub)
+        )
+        assert seq == prog
+
+
+def test_jpeg_progressive_ac_refinement_rejected():
+    """A progressive AC scan with Ah != 0 (successive-approximation
+    refinement) must raise the documented seam error."""
+    import struct
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    data = bytearray(
+        encode_jpeg_progressive(8, 8, bytes([64] * 192), quality=90)
+    )
+    # find the first single-component AC SOS (len=8, ns=1) and set Ah=1
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i + 1)
+        assert i > 0
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        ns = data[i + 4]
+        if ns == 1:
+            ahal = i + 4 + 1 + 2 * ns + 2
+            data[ahal] = 0x10  # Ah=1, Al=0
+            break
+    with pytest.raises(ValueError, match="refinement"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_progressive_truncated_contract():
+    """Progressive files cut at any byte: ValueError or a dims-correct
+    partial decode (a cut between scans legally yields fewer-band
+    pixels) — never another exception type."""
+    from openmrs_module_mamba_etl_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rgb = bytes((x * 11 + y * 3 + c * 7) % 256
+                for y in range(10) for x in range(9) for c in range(3))
+    data = encode_jpeg_progressive(9, 10, rgb, quality=90)
+    for cut in range(1, len(data)):
+        try:
+            w, h, raw = decode_jpeg(data[:cut])
+        except ValueError:
+            continue
+        assert (w, h) == (9, 10) and len(raw) == 9 * 10 * 3
+
+
+def test_jpeg_progressive_pillow_interop():
+    """With real Pillow: our progressive files decode in PIL, and PIL's
+    progressive output (which uses AC successive approximation) hits our
+    documented refinement seam. Skips cleanly without PIL."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rgb = np.full((16, 24, 3), (90, 160, 220), dtype=np.uint8)
+    ours = encode_jpeg_progressive(24, 16, rgb.tobytes(), quality=92)
+    with PIL_Image.open(io.BytesIO(ours)) as im:
+        assert im.size == (24, 16)
+        theirs = np.asarray(im.convert("RGB")).astype(np.int16)
+    assert np.abs(theirs - rgb.astype(np.int16)).max() <= 4
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(rgb).save(buf, format="JPEG", progressive=True)
+    try:
+        w, h, raw = decode_jpeg(buf.getvalue())
+        assert (w, h) == (24, 16)  # scan script without AC refinement
+    except ValueError as e:
+        assert "refinement" in str(e)  # libjpeg default uses SA
