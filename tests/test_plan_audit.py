@@ -43,6 +43,10 @@ BNLJ_ALLOWED = {
     # Q11's HAVING threshold is one global SUM — a 1-row broadcast against
     # the |part|-sized group aggregate; the canonical scalar-subquery plan.
     "tpch_q11",
+    # bigram-LM smoothing denominator: the 1-row vocabulary-size aggregate
+    # broadcasts against the scored bigram stream — the scalar-subquery
+    # shape again (pinned as such in tests/test_plan_shapes.py).
+    "text_lm_score",
 }
 
 #: executing the callable runs a streaming drain / writes — not a pure plan
