@@ -339,3 +339,60 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@query(
+    "pack_firstfit",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+               AS shard,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), r AS (
+      SELECT doc_id, shard, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tok DESC, doc_id ASC) AS rn
+      FROM d
+    ), steps AS (
+      SELECT shard, rn, doc_id, n_tok, 1 AS bin_id,
+             [256 - n_tok] AS caps
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+             CASE WHEN fit = 0 THEN len(s.caps) + 1 ELSE fit END AS bin_id,
+             CASE WHEN fit = 0 THEN list_append(s.caps, 256 - n.n_tok)
+                  ELSE list_transform(s.caps,
+                         (c, i) -> CASE WHEN i = fit THEN c - n.n_tok
+                                        ELSE c END)
+             END AS caps
+      FROM steps s
+      JOIN r n ON n.shard = s.shard AND n.rn = s.rn + 1
+      , LATERAL (SELECT list_position(
+                   list_transform(s.caps, c -> c >= n.n_tok), true) AS fit) f
+    )
+    SELECT doc_id, shard, bin_id, n_tok AS size FROM steps
+    """,
+)
+def pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-Fit-Decreasing packing of documents into 256-token bins,
+    md5-sharded 16 ways (llm/sampling.py:firstfit_pack). The oracle
+    replays the SEQUENTIAL heuristic exactly as a per-shard lockstep
+    recursion: each recursive step advances every shard by one item,
+    carrying the bin-capacity list and choosing the first fitting bin —
+    so the whole greedy trajectory, not just the final histogram, is
+    hash-verified. (DuckDB note: list_position returns 0, not NULL, on
+    no-match.)"""
+    from openmrs_module_mamba_etl_spark.llm.sampling import firstfit_pack
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+        )
+    )
+    return firstfit_pack(docs, "doc_id", "n_tok", capacity=256, n_shards=16)

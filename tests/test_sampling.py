@@ -143,3 +143,26 @@ def test_mixture_rates_survive_large_quotas(spark):
         ).collect()
     }
     assert rates == {"a": 1000, "b": 1000}
+
+
+def test_firstfit_pack_invariants(spark):
+    """FFD packing: capacity never exceeded (except single oversized
+    items alone in their bin), every item assigned exactly once, and bin
+    count beats naive one-item-per-chunk."""
+    from collections import defaultdict
+
+    from openmrs_module_mamba_etl_spark.llm.sampling import firstfit_pack
+
+    rows = [(i, 10 + (i * 37) % 200) for i in range(300)] + [(999, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = firstfit_pack(df, "doc_id", "n", capacity=256, n_shards=8).collect()
+    assert len(out) == len(rows)  # every item exactly once
+    fill = defaultdict(list)
+    for r in out:
+        fill[(r["shard"], r["bin_id"])].append(r["size"])
+    for sizes in fill.values():
+        assert sum(sizes) <= 256 or len(sizes) == 1  # oversized sits alone
+    assert len(fill) < len(rows)  # actually packs
+    # determinism across runs
+    again = firstfit_pack(df, "doc_id", "n", capacity=256, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
