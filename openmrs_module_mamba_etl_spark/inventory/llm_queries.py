@@ -2520,3 +2520,120 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 2).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "etl_corpus_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN {_STOP_SQL['en']})) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM t WHERE source <> 'src9'
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(
+               (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
+               2) AS quality
+      FROM m
+    ), survivors AS (
+      SELECT md5(array_to_string({_TOKS}, ' ')) AS h, MIN(doc_id) AS kept_id
+      FROM documents WHERE source <> 'src9' GROUP BY 1
+    ), s5 AS (
+      SELECT doc_id, source, {_SH5} AS sh
+      FROM (SELECT doc_id, source, toks FROM t)
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM s5 WHERE source = 'src9'
+    ), tainted AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle
+            FROM s5 WHERE source <> 'src9') c
+      JOIN bench USING (shingle)
+    ), staged AS (
+      SELECT s.doc_id,
+             s.quality >= 0.7 AS q_ok,
+             k.kept_id IS NOT NULL AS d_ok,
+             tt.doc_id IS NULL AS c_ok
+      FROM scored s
+      LEFT JOIN survivors k ON s.doc_id = k.kept_id
+      LEFT JOIN tainted tt ON s.doc_id = tt.doc_id
+    )
+    SELECT 'ingested' AS stage, COUNT(*) AS n_docs FROM staged
+    UNION ALL
+    SELECT 'after_quality', COUNT(*) FROM staged WHERE q_ok
+    UNION ALL
+    SELECT 'after_dedup', COUNT(*) FROM staged WHERE q_ok AND d_ok
+    UNION ALL
+    SELECT 'after_decontam', COUNT(*) FROM staged
+    WHERE q_ok AND d_ok AND c_ok
+    """,
+)
+def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline OBSERVABILITY: the per-stage retention funnel
+    (ingested → quality → dedup → decontamination) every production data
+    pipeline reports next to its output. Stage flags are computed in one
+    pass over the scored corpus with the same broadcast survivor/tainted
+    sets ``etl_llm_corpus`` uses, then four conditional counts — one
+    corpus scan, not one scan per stage."""
+    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
+    from openmrs_module_mamba_etl_spark.llm.dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src9")
+    bench = docs.where(F.col("source") == "src9")
+
+    survivors = exact_dedup(corpus, "doc_id", "text").select(
+        F.col("kept_id").alias("doc_id"), F.lit(True).alias("d_ok")
+    )
+    tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
+        "doc_id", F.lit(True).alias("t_hit")
+    )
+    staged = (
+        corpus.select(
+            "doc_id", T.quality_score(F.col("text")).alias("quality")
+        )
+        .join(F.broadcast(survivors), "doc_id", "left")
+        .join(F.broadcast(tainted), "doc_id", "left")
+        .select(
+            (F.col("quality") >= 0.7).alias("q_ok"),
+            F.coalesce("d_ok", F.lit(False)).alias("d_ok"),
+            F.col("t_hit").isNull().alias("c_ok"),
+        )
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("ingested"),
+        F.count(F.when(F.col("q_ok"), 1)).alias("after_quality"),
+        F.count(F.when(F.col("q_ok") & F.col("d_ok"), 1)).alias(
+            "after_dedup"
+        ),
+        F.count(
+            F.when(F.col("q_ok") & F.col("d_ok") & F.col("c_ok"), 1)
+        ).alias("after_decontam"),
+    )
+    stages = ["ingested", "after_quality", "after_dedup", "after_decontam"]
+    # union of literal-labeled rows, not a pivot/cross join — join-free
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("stage"),
+                        F.col(s).alias("n_docs"),
+                    )
+                    for s in stages
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.stage", "kv.n_docs")
