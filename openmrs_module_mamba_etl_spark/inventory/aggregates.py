@@ -657,3 +657,120 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_kmv_jaccard",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM du
+    ), kmv AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY hv ASC, user_id ASC) AS rn
+        FROM h
+      ) WHERE rn <= 64
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM kmv) a
+      JOIN (SELECT DISTINCT event_type FROM kmv) b
+        ON a.event_type < b.event_type
+    ), u AS (
+      SELECT p.ta, p.tb, k.hv,
+             MAX(CASE WHEN k.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN k.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN kmv k ON k.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, k.hv
+    ), top AS (
+      SELECT ta, tb, in_a, in_b FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+                                     ORDER BY hv ASC) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    )
+    SELECT ta, tb, SUM(in_a * in_b) AS n_common,
+           ROUND(SUM(in_a * in_b) * 1.0 / COUNT(*), 6) AS jaccard_est
+    FROM top GROUP BY ta, tb
+    """,
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch Jaccard between per-event-type user sets —
+    the set-INTERSECTION estimator HLL cannot give (Beyer et al. 2007):
+    keep each set's 64 smallest md5 hashes; for a pair, the fraction of
+    the union-sketch (64 smallest of both) present in BOTH sketches
+    estimates J(A,B) with RSE ≈ 1/√k. Engine shape: one distinct
+    contraction, one bounded per-type window (64 rows survive per type),
+    then all pair arithmetic runs on #types×64 rows — a 100 TB fact
+    table contributes only its distinct contraction. Hash ties cannot
+    occur within a sketch (hashes of distinct users; ordering carries a
+    user_id tiebreak anyway), so the sketch is deterministic and the
+    oracle replays it exactly — integers end to end. Accuracy vs the
+    exact Jaccard is pinned in tests/test_properties.py."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash60,
+    )
+
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "hv", portable_hash60(F.col("user_id").cast("string"))
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hv").asc(), F.col("user_id").asc()
+    )
+    kmv = (
+        du.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+        .select("event_type", "hv")
+    )
+    types = kmv.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    u = (
+        pairs.join(
+            F.broadcast(kmv),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w2 = Window.partitionBy("ta", "tb").orderBy(F.col("hv").asc())
+    top = u.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 64)
+    # denominator = |union sketch| (≤ k): with fewer than k distinct
+    # members the union sketch IS the full union and the estimate is
+    # exact; dividing by a fixed k would understate J on small domains
+    return top.groupBy("ta", "tb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
+        ).alias("jaccard_est"),
+    )

@@ -47,6 +47,11 @@ BNLJ_ALLOWED = {
     # broadcasts against the scored bigram stream — the scalar-subquery
     # shape again (pinned as such in tests/test_plan_shapes.py).
     "text_lm_score",
+    # KMV pair enumeration: a theta self-join of the DISTINCT event-type
+    # list (#types rows, contracted before the join) and the broadcast of
+    # the #types×64-row sketch table — both sides bounded by the sketch
+    # domain, never by fact volume.
+    "agg_kmv_jaccard",
 }
 
 #: executing the callable runs a streaming drain / writes — not a pure plan

@@ -373,3 +373,43 @@ def test_portable_hash_matches_hashlib(spark, strings):
     for s in strings:
         d = hashlib.md5(s.encode("utf-8")).hexdigest()
         assert got[s] == (int(d[:8], 16), int(d[:15], 16)), s
+
+
+def test_kmv_jaccard_tracks_exact(spark, sf_dir):
+    """The KMV sketch estimate must sit within the k=64 error envelope of
+    the exact per-pair Jaccard (RSE ~ 1/sqrt(64) = 0.125; allow 3 RSE)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.inventory.aggregates import (
+        agg_kmv_jaccard,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    ev = table(spark, sf_dir, "events")
+    sets = {
+        r["event_type"]: None
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for t in sets:
+        sets[t] = {
+            r["user_id"]
+            for r in ev.where(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+    exact = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        for a, b in combinations(sorted(sets), 2)
+    }
+    est = {
+        (r["ta"], r["tb"]): r["jaccard_est"]
+        for r in agg_kmv_jaccard(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for pair in exact:
+        assert abs(est[pair] - exact[pair]) <= 3 * 0.125, (
+            pair, est[pair], exact[pair],
+        )
