@@ -5,12 +5,17 @@ Media are opaque ``binary`` columns with typed metadata; heavy per-item work
 ``mapInPandas`` so bytes move executor-side in columnar batches — never
 through the driver, never row-at-a-time.
 
-The container has no codec libraries (PIL/cv2/ffmpeg), so the *decode
-kernels* are stubs: ``fake=True`` (default) produces deterministic
-byte-derived outputs with the real schema/batching/partitioning, and
-``fake=False`` raises ``NotImplementedError`` at the exact seam where a real
-decoder plugs in. Everything Spark-side — schemas, UDF signatures, batch
-iteration, partition sizing — is real and tested.
+Decode kernels run REAL codecs in this container despite the absence of
+PIL/cv2/ffmpeg: pure-python PNG + GIF + JPEG (baseline AND progressive
+spectral-selection — llm/png.py, llm/gif.py, llm/jpeg.py) for images, WAV
+PCM + IMA-ADPCM + mu-law (llm/wav.py) for audio, Y4M / animated GIF
+(llm/y4m.py) for video frames; PIL is preferred when importable.
+``fake=True`` keeps a deterministic byte-derived stub for formats with no
+codec, and ``fake=False`` raises ``NotImplementedError`` only at the
+remaining honest seams (WebP, MP3/OGG, H.264, JPEG AC-refinement scans)
+where the heavyweight libraries would plug in. Everything Spark-side —
+schemas, UDF signatures, batch iteration, partition sizing — is real and
+tested either way.
 """
 
 from __future__ import annotations
