@@ -2637,3 +2637,137 @@ def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.stage", "kv.n_docs")
+
+
+@query(
+    "ann_recall_eval_ivf",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+               vec_id ASC) - 1 AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT cell, cv FROM ranked WHERE cell < 16
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < 5
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, s.cell
+      FROM embeddings e CROSS JOIN seeds s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC,
+                         s.cell ASC) = 1
+    ), probe AS (
+      SELECT q.qid, s.cell
+      FROM q CROSS JOIN seeds s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid
+                ORDER BY {_cos_sql('s.cv', 'q.qv')} DESC,
+                         s.cell ASC) <= 4
+    ), scored AS (
+      SELECT q.qid, a.vec_id, a.cell,
+             ROUND({_cos_sql('a.embedding', 'q.qv')}, 6) AS cosine
+      FROM assign a CROSS JOIN q
+    ), brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ), ivf AS (
+      SELECT s.qid, s.vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                                  ORDER BY s.cosine DESC, s.vec_id ASC)
+                 AS rn
+        FROM scored s JOIN probe p
+          ON s.qid = p.qid AND s.cell = p.cell
+      ) s WHERE rn <= 10
+    )
+    SELECT brute.qid,
+           ROUND(COUNT(ivf.vec_id) / 10.0, 6) AS recall_at_10
+    FROM brute LEFT JOIN ivf
+      ON brute.qid = ivf.qid AND brute.vec_id = ivf.vec_id
+    GROUP BY brute.qid ORDER BY brute.qid
+    """,
+)
+def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF sibling of ``ann_recall_eval``: recall@10 of the
+    md5-seeded portable IVF (16 cells, nprobe=4) against exact brute
+    force, per eval query — the production quality gate for the
+    partition-pruned index, with EVERY stage (seed selection, cell
+    assignment, probe ranking, candidate top-k, recall division)
+    replayed by the oracle. Probe ranking runs driver-side with the
+    left-to-right-fold cosine so it can never diverge from the SQL
+    fold on near-ties."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import cosine
+    from openmrs_module_mamba_etl_spark.llm.ann import (
+        _cosine_lr,
+        ivf_seed_centroids,
+        nearest_cell,
+    )
+
+    _assert_emb_dim(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_seed_centroids(emb, "vec_id", "embedding", 16)
+
+    qrows = sorted(
+        (
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < 5).collect()
+        )
+    )
+    probes = [
+        (qid, int(cell))
+        for qid, qv in qrows
+        for cell in sorted(
+            range(len(centroids)),
+            key=lambda i: (-_cosine_lr(centroids[i], qv), i),
+        )[:4]
+    ]
+    probe_df = spark.createDataFrame(probes, "qid long, cell int")
+
+    assigned = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn("cell", nearest_cell(F.col("embedding"), centroids))
+
+    brute = knn_join(
+        emb.where(F.col("vec_id") < 5), emb, "vec_id", "vec_id",
+        "embedding", k=10,
+    )
+
+    cand = assigned.join(F.broadcast(probe_df), "cell").select(
+        "qid", "vec_id", "embedding"
+    )
+    qv_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv_df), "qid").select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ivf_top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = brute.select(
+        F.col("lid").alias("qid"), F.col("rid").alias("vec_id")
+    ).join(ivf_top.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+    return (
+        hits.groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 6
+            ).alias("recall_at_10")
+        )
+        .orderBy("qid")
+    )

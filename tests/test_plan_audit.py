@@ -24,9 +24,10 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "join_theta",
     # recall evaluation NEEDS exact brute-force ground truth over the
-    # handful of eval queries — the deliberate baseline the LSH side is
-    # being measured against, bounded by the eval-query count.
+    # handful of eval queries — the deliberate baseline the LSH/IVF side
+    # is being measured against, bounded by the eval-query count.
     "ann_recall_eval",
+    "ann_recall_eval_ivf",
     # Scalar-subquery shape: the broadcast side is a single aggregate row
     # (histogram bounds / corpus token total / q22 avg balance), so the
     # "nested loop" degenerates to one comparison per probe row — O(N),
