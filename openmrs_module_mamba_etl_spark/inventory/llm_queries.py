@@ -2323,78 +2323,19 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _scratch_dir,
     )
-    from openmrs_module_mamba_etl_spark.llm.dedup import minhash_bucket_table
+    from openmrs_module_mamba_etl_spark.inventory.window_queries import _drain
+    from openmrs_module_mamba_etl_spark.llm.dedup import FuzzyDedupIndex
 
     scratch = _scratch_dir("stream_dedup_minhash")
     src = os.path.join(scratch, "in")
-    idx_dir = os.path.join(scratch, "index")
-    seen_dir = os.path.join(scratch, "seen")
-    drop_dir = os.path.join(scratch, "dropped")
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
 
-    state = {"has_index": False, "has_dropped": False}
+    index = FuzzyDedupIndex(scratch)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        ss = batch.sparkSession
-        bk = minhash_bucket_table(
-            batch, "doc_id", "text", num_hashes=16, bands=4, shingle_len=3,
-            portable=True,
-        ).persist()
-        batch.select("doc_id").write.mode("append").parquet(seen_dir)
-        combined = (
-            bk.unionByName(ss.read.parquet(idx_dir))
-            if state["has_index"]
-            else bk
-        )
-        cand = (
-            bk.alias("a")
-            .select("doc_id", "band", "bucket")
-            .join(
-                combined.alias("b").select(
-                    F.col("doc_id").alias("other_id"), "band", "bucket"
-                ),
-                ["band", "bucket"],
-            )
-            .where(F.col("doc_id") != F.col("other_id"))
-            .select(
-                F.least("doc_id", "other_id").alias("id_a"),
-                F.greatest("doc_id", "other_id").alias("id_b"),
-            )
-            .distinct()
-        )
-        sh = combined.select("doc_id", "shingles").dropDuplicates(["doc_id"])
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        dropped = (
-            cand.join(
-                sh.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("shingles").alias("sh_a"),
-                ),
-                "id_a",
-            )
-            .join(
-                sh.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("shingles").alias("sh_b"),
-                ),
-                "id_b",
-            )
-            .where(
-                inter / (F.size("sh_a") + F.size("sh_b") - inter) >= 0.5
-            )
-            .select("id_b")
-            .distinct()
-        )
-        if dropped.limit(1).count():
-            dropped.write.mode("append").parquet(drop_dir)
-            state["has_dropped"] = True
-        bk.write.mode("append").parquet(idx_dir)
-        state["has_index"] = True
-        bk.unpersist()
-
-    from openmrs_module_mamba_etl_spark.inventory.window_queries import _drain
+        index.ingest(batch, "doc_id", "text")
 
     q = (
         spark.readStream.schema("doc_id long, text string")
@@ -2406,14 +2347,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    kept = spark.read.parquet(seen_dir).distinct()
-    if state["has_dropped"]:
-        kept = kept.join(
-            spark.read.parquet(drop_dir).withColumnRenamed("id_b", "doc_id"),
-            "doc_id",
-            "left_anti",
-        )
-    return kept
+    return index.kept(spark, "doc_id")
 
 
 @query(

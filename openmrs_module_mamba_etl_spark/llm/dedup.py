@@ -13,7 +13,7 @@ except inside LSH buckets / shared-token groups):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from openmrs_module_mamba_etl_spark.functions.similarity import (
     band_hashes,
@@ -768,3 +768,114 @@ def minhash_bucket_table(
             F.col("bb.bucket").alias("bucket"),
         )
     )
+
+
+class FuzzyDedupIndex:
+    """Standing MinHash-LSH index for STREAMING near-dup detection
+    (backs the ``stream_dedup_minhash`` query; parquet-dir state so any
+    foreachBatch / scheduler loop can drive it).
+
+    Per batch: probe the index AND the batch itself with one
+    (band, bucket) equi-join, verify candidates with exact Jaccard, and
+    record the LARGER id of every verified pair as dropped — drops are
+    RETROACTIVE (a later batch can drop an earlier doc), which is what
+    makes ``kept()`` invariant to batch arrival order (pinned by
+    tests/test_llm.py). Incremental cost ∝ batch × collision rate.
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_len: int = 3,
+        verify_threshold: float = 0.5,
+        portable: bool = True,
+    ):
+        import os
+
+        self.idx_dir = os.path.join(base_dir, "index")
+        self.seen_dir = os.path.join(base_dir, "seen")
+        self.drop_dir = os.path.join(base_dir, "dropped")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_len = shingle_len
+        self.verify_threshold = verify_threshold
+        self.portable = portable
+        self.has_index = False
+        self.has_dropped = False
+
+    def ingest(self, batch: DataFrame, id_col: str, text_col: str) -> None:
+        ss = batch.sparkSession
+        bk = minhash_bucket_table(
+            batch,
+            id_col,
+            text_col,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            shingle_len=self.shingle_len,
+            portable=self.portable,
+        ).persist()
+        batch.select(id_col).write.mode("append").parquet(self.seen_dir)
+        combined = (
+            bk.unionByName(ss.read.parquet(self.idx_dir))
+            if self.has_index
+            else bk
+        )
+        cand = (
+            bk.select(id_col, "band", "bucket")
+            .join(
+                combined.select(
+                    F.col(id_col).alias("other_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .where(F.col(id_col) != F.col("other_id"))
+            .select(
+                F.least(id_col, "other_id").alias("id_a"),
+                F.greatest(id_col, "other_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        sh = combined.select(id_col, "shingles").dropDuplicates([id_col])
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        dropped = (
+            cand.join(
+                sh.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "id_b",
+            )
+            .where(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter)
+                >= self.verify_threshold
+            )
+            .select("id_b")
+            .distinct()
+        )
+        if dropped.limit(1).count():
+            dropped.write.mode("append").parquet(self.drop_dir)
+            self.has_dropped = True
+        bk.write.mode("append").parquet(self.idx_dir)
+        self.has_index = True
+        bk.unpersist()
+
+    def kept(self, spark: SparkSession, id_col: str) -> DataFrame:
+        out = spark.read.parquet(self.seen_dir).distinct()
+        if self.has_dropped:
+            out = out.join(
+                spark.read.parquet(self.drop_dir).withColumnRenamed(
+                    "id_b", id_col
+                ),
+                id_col,
+                "left_anti",
+            )
+        return out

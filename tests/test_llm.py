@@ -382,3 +382,38 @@ def test_pca_matches_numpy_reference(spark):
     assert np.abs(P.var(axis=0, ddof=0) - ev).max() < 1e-3
     P_ref = (X - X.mean(axis=0)) @ comps.T
     assert np.abs(P - P_ref).max() < 1e-4
+
+
+def test_fuzzy_dedup_index_batch_order_invariant(spark, tmp_path):
+    """The streaming near-dup index must converge to the same kept set
+    for ANY batch arrival order — including the retroactive case where
+    the LARGER id of a dup pair arrives first (kept provisionally) and a
+    later batch delivers the smaller partner (which must demote it)."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import FuzzyDedupIndex
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (50, base + " tail"),          # near-dup of 1 and 90
+        (90, base),                    # exact dup of 1 (larger id)
+        (7, "completely different words about sparkling analytics engines"),
+        (60, "completely different words about sparkling analytics engine"),
+    ]
+
+    def run(order, workdir):
+        idx = FuzzyDedupIndex(str(workdir))
+        for ids in order:
+            batch = spark.createDataFrame(
+                [d for d in docs if d[0] in ids], "doc_id long, text string"
+            )
+            idx.ingest(batch, "doc_id", "text")
+        return {r["doc_id"] for r in idx.kept(spark, "doc_id").collect()}
+
+    # larger ids first: 90 and 60 are provisionally kept, then batches
+    # with 1/50/7 arrive and must retroactively demote them
+    kept_desc = run([{90, 60}, {50}, {1, 7}], tmp_path / "a")
+    kept_asc = run([{1, 7}, {50}, {90, 60}], tmp_path / "b")
+    kept_oneshot = run([{1, 7, 50, 60, 90}], tmp_path / "c")
+    assert kept_desc == kept_asc == kept_oneshot
+    assert 1 in kept_oneshot and 7 in kept_oneshot
+    assert 90 not in kept_oneshot  # retroactively dropped dup
