@@ -60,6 +60,9 @@ HEAVY = [
     "dedup_clusters",
     "stream_sessionize",
     "rollup_hypertable",
+    # round-4: the end-to-end curation composite (quality ∘ dedup ∘
+    # decontaminate ∘ split in one plan)
+    "etl_llm_corpus",
 ]
 
 

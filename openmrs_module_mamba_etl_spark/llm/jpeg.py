@@ -1,4 +1,5 @@
-"""Pure-python baseline JPEG codec — closing the compressed-image seam.
+"""Pure-python JPEG codec (baseline + progressive) — closing the
+compressed-image seam.
 
 The container has no PIL/cv2; PNG/GIF already decode via the pure-python
 codecs, but JPEG corpora previously raised at the seam. The format is
@@ -122,10 +123,6 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 def _dct2(block: np.ndarray) -> np.ndarray:
     return _DCT_T @ block @ _DCT_T.T
-
-
-def _idct2(coef: np.ndarray) -> np.ndarray:
-    return _DCT_T.T @ coef @ _DCT_T
 
 
 # --- bit I/O -------------------------------------------------------------
