@@ -277,3 +277,44 @@ def etl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int"
     )
+
+
+@query(
+    "obs_pipeline_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's Observation API: named metrics
+    ride along the SAME job that materializes the data (here a noop-sink
+    drain of the filtered scan) — zero extra passes, which is how a
+    100 TB ETL reports row counts / quality tallies without re-scanning.
+    The observed values re-enter as a literal row; the oracle recomputes
+    them directly, proving the observed metrics equal the ground truth."""
+    from pyspark.sql import Observation, functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    obs = Observation("etl_metrics")
+    df = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias(
+                "n_large"
+            ),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], float(m["total_price"]))],
+        "n_rows long, n_large long, total_price double",
+    )
