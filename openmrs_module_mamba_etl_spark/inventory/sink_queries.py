@@ -571,3 +571,20 @@ def sink_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query("source_orc", oracle=_CUST_SQL)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion round-trip: export → read → aggregate — the second
+    columnar interchange format (Hive-ecosystem handoff) beside parquet.
+    Binary columnar round-trips are type-exact by construction; stats
+    and predicate pushdown work the same as the parquet scans (vectorized
+    reader, min/max stripe pruning)."""
+    cust = table(spark, sf_dir, "customer")
+    target = _scratch_dir("source_orc")
+    cust.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
