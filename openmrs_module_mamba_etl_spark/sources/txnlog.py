@@ -305,6 +305,8 @@ class VersionedParquetTable:
                 raise FileNotFoundError(
                     f"no committed version under {self.path}"
                 )
+            if not keys:  # nothing to erase — and isin() rejects 0 args
+                return head, 0, len(self._manifest(head)["dirs"])
             m = self._manifest(head)
             stats = m.get("stats", {})
             touched, untouched = [], []

@@ -223,3 +223,11 @@ def test_forget_without_stats_is_conservative(spark, tmp_path):
     version, rewritten, total = t.forget(spark, "id", [5])
     assert (rewritten, total) == (1, 1)
     assert {r["id"] for r in t.read(spark).collect()} == set(range(10)) - {5}
+
+
+def test_forget_empty_keys_is_noop(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(0, 5).toDF("id"))  # no stats: would be "touched"
+    head, rewritten, total = t.forget(spark, "id", [])
+    assert (head, rewritten, total) == (0, 0, 1)
+    assert t.latest_version() == 0
