@@ -138,6 +138,34 @@ def main() -> None:
     )
     print(f"incremental ingest admits {fresh.count()} genuinely-new docs")
 
+    # 9. round-4 curation additions: corpus-trained bigram-LM quality
+    #    scores, PII audit counts, and First-Fit-Decreasing packing
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        ngram_lm_score,
+        pii_redact,
+    )
+    from openmrs_module_mamba_etl_spark.llm.sampling import firstfit_pack
+
+    lm = ngram_lm_score(docs, "doc_id", "text")
+    print("-- lowest-perplexity docs (bigram LM) --")
+    lm.orderBy(F.col("avg_logp").desc()).limit(3).show()
+    audit = pii_redact(docs, "doc_id", "text")
+    n_flagged = audit.where(
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    ).count()
+    print(f"PII audit flags {n_flagged} docs (synthetic corpus: expect 0)")
+    bins = firstfit_pack(
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+        ),
+        "doc_id",
+        "n_tok",
+        capacity=256,
+        n_shards=8,
+    )
+    n_bins = bins.select("shard", "bin_id").distinct().count()
+    print(f"FFD packs {bins.count()} docs into {n_bins} 256-token bins")
+
 
 if __name__ == "__main__":
     main()
