@@ -2705,3 +2705,136 @@ def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "train_logreg",
+    # oracle generated by an iteration-unroll loop (see llm/logreg.py);
+    # the CTE chain replays all 3 gradient steps exactly — weights round
+    # to 10 decimals each step, which resets cross-engine float drift
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS tk FROM documents
+      WHERE text IS NOT NULL
+    ), toks AS (
+      SELECT doc_id, text, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+    ), m AS (
+      SELECT doc_id, text, tk, n,
+             CASE WHEN n > 0
+                  THEN len(list_filter(tk, x -> x IN {_STOP_SQL['en']})) * 1.0 / n
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n > 0
+                  THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / n
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM toks
+    ), ylab AS (
+      SELECT doc_id,
+             CASE WHEN
+               (CASE WHEN n >= 10 AND n <= 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END)
+               >= 0.7 THEN 1.0 ELSE 0.0 END AS y
+      FROM m
+    ), xb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS INT)
+               AS bucket,
+             COUNT(*) * 1.0 / ANY_VALUE(n) AS val
+      FROM (SELECT doc_id, n, unnest(tk) AS tok FROM toks)
+      GROUP BY doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16
+    ), ndocs AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), w0 AS (
+      SELECT unnest(range(0, 17)) AS bucket, 0.0 AS w
+    ), dot1 AS (
+      SELECT x.doc_id,
+             SUM(x.val * w.w)
+             + (SELECT w FROM w0 WHERE bucket = 16) AS logit
+      FROM xb x JOIN w0 w ON x.bucket = w.bucket
+      GROUP BY x.doc_id
+    ), err1 AS (
+      SELECT d.doc_id, 1.0 / (1.0 + exp(-d.logit)) - y.y AS err
+      FROM dot1 d JOIN ylab y USING (doc_id)
+    ), grad1 AS (
+      SELECT x.bucket, SUM(e.err * x.val) / (SELECT n FROM ndocs) AS g
+      FROM xb x JOIN err1 e USING (doc_id)
+      GROUP BY x.bucket
+    ), w1 AS (
+      SELECT w.bucket,
+             CASE WHEN w.bucket = 16
+                  THEN ROUND(w.w - (SELECT AVG(err) FROM err1), 10)
+                  ELSE ROUND(w.w - COALESCE(g.g, 0), 10) END AS w
+      FROM w0 w LEFT JOIN grad1 g ON w.bucket = g.bucket
+    ), dot2 AS (
+      SELECT x.doc_id,
+             SUM(x.val * w.w)
+             + (SELECT w FROM w1 WHERE bucket = 16) AS logit
+      FROM xb x JOIN w1 w ON x.bucket = w.bucket
+      GROUP BY x.doc_id
+    ), err2 AS (
+      SELECT d.doc_id, 1.0 / (1.0 + exp(-d.logit)) - y.y AS err
+      FROM dot2 d JOIN ylab y USING (doc_id)
+    ), grad2 AS (
+      SELECT x.bucket, SUM(e.err * x.val) / (SELECT n FROM ndocs) AS g
+      FROM xb x JOIN err2 e USING (doc_id)
+      GROUP BY x.bucket
+    ), w2 AS (
+      SELECT w.bucket,
+             CASE WHEN w.bucket = 16
+                  THEN ROUND(w.w - (SELECT AVG(err) FROM err2), 10)
+                  ELSE ROUND(w.w - COALESCE(g.g, 0), 10) END AS w
+      FROM w1 w LEFT JOIN grad2 g ON w.bucket = g.bucket
+    ), dot3 AS (
+      SELECT x.doc_id,
+             SUM(x.val * w.w)
+             + (SELECT w FROM w2 WHERE bucket = 16) AS logit
+      FROM xb x JOIN w2 w ON x.bucket = w.bucket
+      GROUP BY x.doc_id
+    ), err3 AS (
+      SELECT d.doc_id, 1.0 / (1.0 + exp(-d.logit)) - y.y AS err
+      FROM dot3 d JOIN ylab y USING (doc_id)
+    ), grad3 AS (
+      SELECT x.bucket, SUM(e.err * x.val) / (SELECT n FROM ndocs) AS g
+      FROM xb x JOIN err3 e USING (doc_id)
+      GROUP BY x.bucket
+    ), w3 AS (
+      SELECT w.bucket,
+             CASE WHEN w.bucket = 16
+                  THEN ROUND(w.w - (SELECT AVG(err) FROM err3), 10)
+                  ELSE ROUND(w.w - COALESCE(g.g, 0), 10) END AS w
+      FROM w2 w LEFT JOIN grad3 g ON w.bucket = g.bucket
+    )
+    SELECT bucket, ROUND(w, 6) AS weight FROM w3
+    """,
+)
+def train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MODEL TRAINING as DataFrame aggregates: 3 full-batch
+    gradient-descent steps of a hashed-bag logistic regression that
+    learns the Gopher-style quality label (llm/logreg.py). Each step is
+    one corpus pass — logits as a codegen fold over weight literals,
+    gradients as a map-side-combinable (bucket, err·x) hash aggregate —
+    and only #buckets gradient cells reach the driver, the shape that
+    holds on 100 TB. The oracle unrolls the ENTIRE training trajectory
+    into chained CTEs (the text_bpe_merges replay pattern): all 3
+    iterations of logits, sigmoids, gradients, and weight updates are
+    hash-verified, not just the final model. The trained model serves
+    through ``text_classifier_score``'s inference path (same hashed-bag
+    features, same md5 bucket contract)."""
+    from openmrs_module_mamba_etl_spark.llm.logreg import train_logreg_hashed
+
+    docs = table(spark, sf_dir, "documents")
+    w = train_logreg_hashed(
+        docs,
+        "doc_id",
+        "text",
+        (T.quality_score(F.col("text")) >= 0.7),
+        n_buckets=16,
+        iters=3,
+    )
+    return spark.createDataFrame(
+        [(i, round(float(x), 6)) for i, x in enumerate(w)],
+        "bucket long, weight double",
+    )

@@ -417,3 +417,41 @@ def test_fuzzy_dedup_index_batch_order_invariant(spark, tmp_path):
     assert kept_desc == kept_asc == kept_oneshot
     assert 1 in kept_oneshot and 7 in kept_oneshot
     assert 90 not in kept_oneshot  # retroactively dropped dup
+
+
+def test_logreg_training_actually_learns(spark):
+    """Gradient descent on a linearly separable hashed-bag problem must
+    move the decision function toward the labels: post-training
+    accuracy beats the majority baseline, and more iterations do not
+    hurt the training loss direction."""
+    import math
+
+    from openmrs_module_mamba_etl_spark.llm.logreg import (
+        _bucket_expr,
+        train_logreg_hashed,
+    )
+
+    # two separable vocabularies: "good"-ish docs vs "junk"-ish docs
+    rows = [(i, "alpha beta gamma delta " * 3, 1) for i in range(30)] + [
+        (100 + i, "zz yy xx ww vv " * 3, 0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = train_logreg_hashed(
+        df, "doc_id", "text", F.col("y") == 1, n_buckets=16, iters=8, lr=4.0
+    )
+    weights, bias = w[:16], w[16]
+
+    def predict(text):
+        import hashlib
+
+        toks = text.lower().split()
+        s = sum(
+            weights[
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+            ]
+            for t in toks
+        ) / len(toks)
+        return 1 if 1 / (1 + math.exp(-(s + bias))) >= 0.5 else 0
+
+    acc = sum(predict(t) == y for _, t, y in rows) / len(rows)
+    assert acc == 1.0  # separable vocabularies → perfect fit
