@@ -381,3 +381,31 @@ def test_lm_score_no_cartesian_vocab_broadcasts(spark, sf_dir):
     p = plan(spark, sf_dir, "text_lm_score")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab scalar
+
+
+def test_firstfit_pack_single_shard_shuffle(spark, sf_dir):
+    """FFD packing must shuffle exactly once — on the shard key feeding
+    the applyInPandas kernel; no joins, no extra exchanges."""
+    p = plan(spark, sf_dir, "pack_firstfit")
+    assert p.count("Exchange") <= 2  # shard hash (+ AQE read)
+    assert "Join" not in p
+    assert "FlatMapGroupsInPandas" in p  # the per-shard packing kernel
+
+
+def test_covariance_broadcasts_means(spark, sf_dir):
+    """emb_covariance: the dim-row mean tables must broadcast into the
+    final select (hash joins on i/j), and the moment aggregate must be
+    partial+final (map-side combine) so only accumulator cells shuffle."""
+    p = plan(spark, sf_dir, "emb_covariance")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_kmv_sketch_contracts_before_pairing(spark, sf_dir):
+    """agg_kmv_jaccard: the fact table contracts (distinct + bounded
+    window) BEFORE any pair work — no sort-merge join of fact-sized
+    inputs anywhere."""
+    p = plan(spark, sf_dir, "agg_kmv_jaccard")
+    assert "SortMergeJoin" not in p
+    assert "WindowExec" in p or "Window" in p  # the per-type top-64
