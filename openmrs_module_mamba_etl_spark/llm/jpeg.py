@@ -13,11 +13,13 @@ subset a training-data pipeline's decode kernels need:
   full-coverage AC table (see the spec note below), restart markers
   optional;
 - decode: a coefficient-accumulation scan machine covering baseline
-  sequential (SOF0/SOF1) AND progressive (SOF2) with spectral selection,
-  EOBRUN band-skip codes, and DC successive approximation; any sampling
-  factors (1-2 per axis), grayscale, multiple DQT/DHT per segment,
-  restart markers (DRI/RSTn), 0xFF00 byte unstuffing. Progressive AC
-  refinement scans (Ah≠0, Ss≥1) and lossless/arithmetic processes raise
+  sequential (SOF0/SOF1) AND full progressive (SOF2): spectral
+  selection, EOBRUN band-skip codes, and COMPLETE successive
+  approximation — DC first/refinement and AC first/refinement scans
+  (T.81 G.1.2.3 correction-bit protocol), i.e. the scan scripts real
+  encoders (libjpeg/mozjpeg) emit; any sampling factors (1-2 per axis),
+  grayscale, multiple DQT/DHT per segment, restart markers (DRI/RSTn),
+  0xFF00 byte unstuffing. Lossless/arithmetic/12-bit processes raise
   ``ValueError`` — an honest seam, not a silent fake.
 
 Quality note: JPEG is lossy — round-trip tests assert bounded per-pixel
@@ -73,10 +75,14 @@ _DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_LUMA_VALS = list(range(12))
 _DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 _DC_CHROMA_VALS = list(range(12))
-_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
-_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    # EOBn run-length symbols (r<<4, s=0 for r=1..14): unused by baseline,
+    # required by progressive scans to code end-of-band runs > 1 block
+    + [r << 4 for r in range(1, 15)]
+)
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -221,6 +227,18 @@ def _magnitude(v: int) -> tuple[int, int]:
     ssss = int(abs(v)).bit_length()
     bits = v if v >= 0 else v + (1 << ssss) - 1
     return ssss, bits
+
+
+def _pt_dc(v: int, al: int) -> int:
+    """DC point transform: arithmetic shift right (T.81 G.1.2.1)."""
+    return int(v) >> al
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: division by 2^Al truncating toward zero
+    (T.81 G.1.2.2) — NOT an arithmetic shift for negatives."""
+    v = int(v)
+    return -((-v) >> al) if v < 0 else v >> al
 
 
 def _encode_block(
@@ -428,15 +446,18 @@ def _emit_dc(bw: _BitWriter, dc: int, pred: int, dc_codes: dict) -> int:
 
 
 def _emit_ac_band(
-    bw: _BitWriter, zz: np.ndarray, ac_codes: dict, ss: int, se: int
+    bw: _BitWriter, zz: np.ndarray, ac_codes: dict, ss: int, se: int,
+    al: int = 0,
 ) -> None:
-    """Run-length + magnitude coding of the band zz[ss..se] with a
-    per-block EOB (an EOBRUN of exactly 1 — always spec-valid)."""
-    nz = np.nonzero(zz[ss : se + 1])[0]
-    last = (int(nz[-1]) + ss) if len(nz) else ss - 1
+    """Run-length + magnitude coding of the band zz[ss..se] (after the
+    Al point transform) with a per-block EOB (an EOBRUN of exactly 1 —
+    always spec-valid)."""
+    band = [_pt_ac(v, al) for v in zz[ss : se + 1]]
+    nz = [i for i, v in enumerate(band) if v]
+    last = (nz[-1] + ss) if nz else ss - 1
     run = 0
     for k in range(ss, se + 1):
-        v = int(zz[k])
+        v = band[k - ss]
         if v == 0:
             if k > last:
                 code, length = ac_codes[0x00]
@@ -458,19 +479,96 @@ def _emit_ac_band(
         bw.write(code, length)
 
 
+
+class _RefineACEncoder:
+    """AC successive-approximation refinement coder (T.81 G.1.2.3 —
+    the encode_mcu_AC_refine algorithm): newly significant coefficients
+    emit run/size-1 symbols; already-significant ones contribute
+    correction bits buffered until the next symbol (or carried across
+    blocks inside an EOB run). State spans the whole scan — call
+    :meth:`finish` to flush the final EOB run."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict, al: int) -> None:
+        self.bw = bw
+        self.codes = ac_codes
+        self.al = al
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits inside the EOB run
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.codes[nbits << 4]
+            self.bw.write(code, length)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.pending = []
+            self.eobrun = 0
+
+    def encode_block(self, zz: np.ndarray, ss: int, se: int) -> None:
+        al = self.al
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self._emit_eobrun()
+                code, length = self.codes[0xF0]
+                self.bw.write(code, length)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:  # already significant: buffer the correction bit
+                br.append(t & 1)
+                continue
+            self._emit_eobrun()
+            code, length = self.codes[(r << 4) | 1]
+            self.bw.write(code, length)
+            self.bw.write(0 if int(zz[k]) < 0 else 1, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+
+    def finish(self) -> None:
+        self._emit_eobrun()
+
+
 def encode_jpeg_progressive(
     width: int,
     height: int,
     rgb: bytes,
     quality: int = 90,
     subsample: bool = False,
+    successive: bool = False,
 ) -> bytes:
-    """Progressive (SOF2, spectral selection) JFIF JPEG: one interleaved
-    DC scan, then one full-band AC scan per component — the simplest
-    legal progressive scan script (no successive approximation, so every
-    scan is final for its band). Decodes to the IDENTICAL pixels as the
-    sequential encoding at the same quality: only the entropy-coded
-    ordering differs."""
+    """Progressive (SOF2) JFIF JPEG.
+
+    ``successive=False``: spectral selection only — one interleaved DC
+    scan, then one full-band AC scan per component (every scan final for
+    its band). ``successive=True``: the REAL-WORLD scan script shape —
+    successive approximation with Al=1 first passes (DC and per-component
+    AC, coarse coefficients) followed by Ah=1/Al=0 refinement scans (DC
+    correction bits; AC newly-significant symbols + buffered correction
+    bits per T.81 G.1.2.3). Both decode to the IDENTICAL pixels as the
+    sequential encoding at the same quality: point transforms refine
+    losslessly, only the entropy-coded ordering differs."""
     if len(rgb) != width * height * 3:
         raise ValueError(
             f"need {width * height * 3} bytes for {width}x{height} RGB, "
@@ -534,42 +632,89 @@ def encode_jpeg_progressive(
         )
         out += bytes(bits) + bytes(vals)
 
-    # scan 1: interleaved DC (Ss=Se=0)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    out += bytes([1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])
-    bw = _BitWriter()
+    al1 = 1 if successive else 0
     mcus_x = y_plane.shape[1] // mcu
     mcus_y = y_plane.shape[0] // mcu
-    preds = [0, 0, 0]
     dc_tabs = [dc_l, dc_c, dc_c]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(3):
-                hc, vc = samp[ci]
-                for v in range(vc):
-                    for h in range(hc):
-                        zz = blocks[ci][my * vc + v, mx * hc + h]
-                        preds[ci] = _emit_dc(
-                            bw, int(zz[0]), preds[ci], dc_tabs[ci]
-                        )
-    bw.flush()
-    out += bw.out
 
-    # scans 2-4: one full-band AC scan per component over its SPEC block
-    # grid (ceil(comp_dim/8)), which may be smaller than the padded grid
-    for ci, cid in enumerate((1, 2, 3)):
+    def dc_scan(al: int) -> bytes:
+        """Interleaved DC first scan at point transform ``al``."""
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    hc, vc = samp[ci]
+                    for v in range(vc):
+                        for h in range(hc):
+                            zz = blocks[ci][my * vc + v, mx * hc + h]
+                            preds[ci] = _emit_dc(
+                                bw, _pt_dc(int(zz[0]), al),
+                                preds[ci], dc_tabs[ci],
+                            )
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        """Interleaved DC refinement: one bit per block."""
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    hc, vc = samp[ci]
+                    for v in range(vc):
+                        for h in range(hc):
+                            zz = blocks[ci][my * vc + v, mx * hc + h]
+                            bw.write((int(zz[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def comp_grid(ci: int) -> tuple[int, int]:
         hc, vc = samp[ci]
         cw = -(-width * hc // hmax)
         ch = -(-height * vc // vmax)
-        bx, by = -(-cw // 8), -(-ch // 8)
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-        out += bytes([cid, 0x00, 1, 63, 0])
+        return -(-cw // 8), -(-ch // 8)
+
+    def ac_first_scan(ci: int, al: int) -> bytes:
         bw = _BitWriter()
+        bx, by = comp_grid(ci)
         for r in range(by):
             for c in range(bx):
-                _emit_ac_band(bw, blocks[ci][r, c], ac, 1, 63)
+                _emit_ac_band(bw, blocks[ci][r, c], ac, 1, 63, al=al)
         bw.flush()
-        out += bw.out
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, al: int) -> bytes:
+        bw = _BitWriter()
+        enc = _RefineACEncoder(bw, ac, al)
+        bx, by = comp_grid(ci)
+        for r in range(by):
+            for c in range(bx):
+                enc.encode_block(blocks[ci][r, c], 1, 63)
+        enc.finish()
+        bw.flush()
+        return bytes(bw.out)
+
+    def sos(comps: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        body = b"".join(bytes([cid, tdta]) for cid, tdta in comps)
+        return b"\xff\xda" + hdr + body + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: interleaved DC first pass (Al = al1)
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, al1)
+    out += dc_scan(al1)
+    # scans 2-4: one full-band AC first pass per component (Al = al1)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([(cid, 0x00)], 1, 63, 0, al1)
+        out += ac_first_scan(ci, al1)
+    if successive:
+        # refinement passes: DC correction bits, then per-component AC
+        out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
+        out += dc_refine_scan(0)
+        for ci, cid in enumerate((1, 2, 3)):
+            out += sos([(cid, 0x00)], 1, 63, 1, 0)
+            out += ac_refine_scan(ci, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -741,11 +886,6 @@ def _decode_scan(
 ) -> int:
     """Decode one entropy-coded scan into the coefficient store; returns
     the byte position just after the scan's data."""
-    if ah != 0 and ss != 0:
-        raise ValueError(
-            "progressive AC successive-approximation refinement scans "
-            "not supported (spectral selection + DC refinement only)"
-        )
     comps = {c["id"]: c for c in frame["comps"]}
     br = _BitReader(data, pos)
     preds = {cid: 0 for cid, _, _ in scomps}
@@ -795,6 +935,56 @@ def _decode_scan(
                 raise ValueError("AC coefficient index out of range")
             zz[k] = _extend(br.read_bits(s), s) << al
             k += 1
+
+    def decode_ac_refine(zz, ta):
+        """T.81 G.1.2.3 (the decode_mcu_AC_refine algorithm): correction
+        bits for already-nonzero coefficients, run/size-1 symbols for
+        newly significant ones; EOB runs still consume correction bits
+        for every nonzero coefficient in the covered blocks."""
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        tab = ac_tab(ta)
+
+        def correct(k):
+            if br.read_bit() and (int(zz[k]) & p1) == 0:
+                zz[k] += p1 if int(zz[k]) >= 0 else m1
+
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _read_symbol(br, tab)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement scan symbol with size > 1"
+                        )
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        correct(k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
 
     def decode_seq_block(zz, cid, td, ta):
         decode_dc_first(zz, cid, td)
@@ -869,8 +1059,10 @@ def _decode_scan(
                             decode_dc_first(zz, cid, td)
                         else:
                             decode_dc_refine(zz)
-                    else:
+                    elif ah == 0:
                         decode_ac_first(zz, ta)
+                    else:
+                        decode_ac_refine(zz, ta)
                     n_blk += 1
     except _MarkerReached as exc:
         raise ValueError("truncated JPEG scan (marker inside MCU)") from exc

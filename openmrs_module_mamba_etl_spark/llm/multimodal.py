@@ -6,13 +6,13 @@ Media are opaque ``binary`` columns with typed metadata; heavy per-item work
 through the driver, never row-at-a-time.
 
 Decode kernels run REAL codecs in this container despite the absence of
-PIL/cv2/ffmpeg: pure-python PNG + GIF + JPEG (baseline AND progressive
-spectral-selection — llm/png.py, llm/gif.py, llm/jpeg.py) for images, WAV
+PIL/cv2/ffmpeg: pure-python PNG + GIF + JPEG (baseline AND full progressive
+incl. successive approximation — llm/png.py, llm/gif.py, llm/jpeg.py) for images, WAV
 PCM + IMA-ADPCM + mu-law (llm/wav.py) for audio, Y4M / animated GIF
 (llm/y4m.py) for video frames; PIL is preferred when importable.
 ``fake=True`` keeps a deterministic byte-derived stub for formats with no
 codec, and ``fake=False`` raises ``NotImplementedError`` only at the
-remaining honest seams (WebP, MP3/OGG, H.264, JPEG AC-refinement scans)
+remaining honest seams (WebP, MP3/OGG, H.264, lossless/arithmetic JPEG)
 where the heavyweight libraries would plug in. Everything Spark-side —
 schemas, UDF signatures, batch iteration, partition sizing — is real and
 tested either way.
@@ -128,7 +128,8 @@ def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
             return jpegc.decode_jpeg(content)
         raise NotImplementedError(
             "real decoding of non-PNG/GIF/JPEG media requires PIL/cv2, not "
-            "available in this environment (PNG, GIF and baseline JPEG "
+            "available in this environment (PNG, GIF and baseline/progressive "
+            "JPEG "
             "decode via the pure-python codecs; use fake=True for other "
             "formats)"
         ) from None

@@ -555,7 +555,7 @@ def test_jpeg_grayscale_single_component():
     out += bytes([1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00)
     out += bytes(J._DC_LUMA_BITS) + bytes(J._DC_LUMA_VALS)
-    out += b"\xff\xc4" + struct.pack(">HB", 19 + 162, 0x10)
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(J._AC_SYMBOLS), 0x10)
     out += bytes(J._AC_BITS) + bytes(J._AC_SYMBOLS)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     bw = J._BitWriter()
@@ -617,32 +617,42 @@ def test_jpeg_progressive_roundtrip_identical_to_sequential():
         assert seq == prog
 
 
-def test_jpeg_progressive_ac_refinement_rejected():
-    """A progressive AC scan with Ah != 0 (successive-approximation
-    refinement) must raise the documented seam error."""
-    import struct
+def test_jpeg_successive_approximation_roundtrip():
+    """The Ah/Al successive-approximation scan script (the shape real
+    progressive encoders emit) must decode bit-identical to the
+    sequential encoding — point transforms refine losslessly. Sparse and
+    smooth content exercises the long-EOBRUN + buffered-correction-bit
+    paths of both coder and decoder."""
+    import numpy as np
 
     from openmrs_module_mamba_etl_spark.llm.jpeg import (
         decode_jpeg,
+        encode_jpeg,
         encode_jpeg_progressive,
     )
 
-    data = bytearray(
-        encode_jpeg_progressive(8, 8, bytes([64] * 192), quality=90)
-    )
-    # find the first single-component AC SOS (len=8, ns=1) and set Ah=1
-    i = 0
-    while True:
-        i = data.find(b"\xff\xda", i + 1)
-        assert i > 0
-        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
-        ns = data[i + 4]
-        if ns == 1:
-            ahal = i + 4 + 1 + 2 * ns + 2
-            data[ahal] = 0x10  # Ah=1, Al=0
-            break
-    with pytest.raises(ValueError, match="refinement"):
-        decode_jpeg(bytes(data))
+    rng = np.random.default_rng(41)
+    flat = np.full((24, 40, 3), (120, 60, 200), dtype=np.uint8)
+    spot = flat.copy()
+    spot[11, 21] = (255, 255, 255)
+    noise = rng.integers(0, 256, size=(13, 19, 3), dtype=np.uint8)
+    for img, q, sub in [
+        (flat, 85, True),
+        (spot, 85, False),
+        (noise, 90, True),
+        (noise, 30, False),
+    ]:
+        h, w = img.shape[:2]
+        seq = decode_jpeg(
+            encode_jpeg(w, h, img.tobytes(), quality=q, subsample=sub)
+        )
+        sa = decode_jpeg(
+            encode_jpeg_progressive(
+                w, h, img.tobytes(), quality=q, subsample=sub,
+                successive=True,
+            )
+        )
+        assert sa == seq
 
 
 def test_jpeg_progressive_truncated_contract():
@@ -688,8 +698,7 @@ def test_jpeg_progressive_pillow_interop():
 
     buf = io.BytesIO()
     PIL_Image.fromarray(rgb).save(buf, format="JPEG", progressive=True)
-    try:
-        w, h, raw = decode_jpeg(buf.getvalue())
-        assert (w, h) == (24, 16)  # scan script without AC refinement
-    except ValueError as e:
-        assert "refinement" in str(e)  # libjpeg default uses SA
+    # libjpeg's default progressive scan script uses successive
+    # approximation — now fully supported
+    w, h, raw = decode_jpeg(buf.getvalue())
+    assert (w, h) == (24, 16) and len(raw) == 24 * 16 * 3
