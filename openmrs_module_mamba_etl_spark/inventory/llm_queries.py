@@ -2166,7 +2166,10 @@ def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     is test-scale, not the 100 TB hot path (that seam is PIL/libjpeg)."""
     import pandas as pd
 
-    from openmrs_module_mamba_etl_spark.llm.jpeg import encode_jpeg
+    from openmrs_module_mamba_etl_spark.llm.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     docs = (
         table(spark, sf_dir, "documents")
@@ -2183,8 +2186,17 @@ def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = (text.encode() or b"\x00") * (need // max(1, len(text)) + 2)
                 out_ids.append(did)
                 out_jpg.append(
+                    # rotate through baseline, spectral progressive, and
+                    # successive-approximation progressive encodings so
+                    # the decode seam exercises all three scan scripts
                     encode_jpeg(w, h, payload[:need], quality=90,
                                 subsample=did % 2 == 0)
+                    if did % 3 == 0
+                    else encode_jpeg_progressive(
+                        w, h, payload[:need], quality=90,
+                        subsample=did % 2 == 0,
+                        successive=did % 3 == 2,
+                    )
                 )
             yield pd.DataFrame(
                 {
