@@ -695,7 +695,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u
       ) WHERE rn <= 64
     )
-    SELECT ta, tb, SUM(in_a * in_b) AS n_common,
+    SELECT ta, tb, CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
            ROUND(SUM(in_a * in_b) * 1.0 / COUNT(*), 6) AS jaccard_est
     FROM top GROUP BY ta, tb
     """,

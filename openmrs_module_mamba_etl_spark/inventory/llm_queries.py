@@ -1014,7 +1014,8 @@ def _bpe_oracle(n_merges: int = 3) -> str:
         )"""
         )
     sel = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, pair, freq FROM m{i}"
+        f"SELECT {i} AS merge_rank, pair, CAST(freq AS BIGINT) AS freq"
+        f" FROM m{i}"
         for i in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n" + sel
@@ -1235,12 +1236,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           ROUND(
+           CAST(ROUND(
              (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
              + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
-             2) AS quality
+             2) AS DOUBLE) AS quality
     FROM m
     """,
 )
@@ -1671,12 +1672,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ), scored AS (
       SELECT doc_id, toks,
-             ROUND(
+             CAST(ROUND(
                (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
                + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
                + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
                + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
-               2) AS quality
+               2) AS DOUBLE) AS quality
       FROM m
     ), survivors AS (
       SELECT md5(array_to_string({_TOKS}, ' ')) AS h, MIN(doc_id) AS kept_id
@@ -2412,7 +2413,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.quality >= 0.7 AND tt.doc_id IS NULL
     )
     SELECT split, lang, COUNT(*) AS n_docs,
-           SUM(len(toks)) AS n_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
            ROUND(AVG(quality), 2) AS avg_quality
     FROM kept GROUP BY split, lang
     """,

@@ -32,7 +32,7 @@ from openmrs_module_mamba_etl_spark.sources.parquet import table
                                   ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(tus) AS session_start_us,
            MAX(tus) AS session_end_us,
            COUNT(*) AS n_events,

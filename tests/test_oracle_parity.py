@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 import __spark_entry__ as entrymod
+from tools import oracle_preflight as preflight
 
 QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
@@ -87,9 +88,16 @@ def test_oracle_parity(spark, sf_dir, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
-    res = con.execute(ORACLE[name])
-    ocols = [d[0].lower() for d in res.description]
-    orows = res.fetchall()
+    rel = con.sql(ORACLE[name])
+    ocols = [c.lower() for c in rel.columns]
+    # The driver hashes dtype-sensitively: identical values hash apart when
+    # the column classes differ (round-3: nested arrays; round-4: DuckDB
+    # HUGEINT from SUM(int) vs Spark int64). The shared preflight classifier
+    # lints every oracle's class vector against the Spark schema here, so
+    # the whole dtype class of driver-red can never recur.
+    skew = preflight.diff_key(sdf.schema, rel.columns, rel.types)
+    assert not skew, f"{name}: oracle/Spark dtype skew {skew}"
+    orows = rel.fetchall()
 
     assert sorted(scols) == sorted(ocols), (
         f"{name}: column mismatch spark={scols} oracle={ocols}"
