@@ -49,9 +49,25 @@ _MYSQL_TOKENS = [
     ("%%", "%"),
 ]
 
-#: MySQL tokens with no faithful DateTimeFormatter equivalent — loud
-#: failure beats a silently-literal "%D" in every report row.
-_UNSUPPORTED_TOKENS = {"%D", "%U", "%u", "%V", "%v", "%X", "%x", "%w"}
+#: Week-number tokens have NO DateTimeFormatter mapping (Spark bans the
+#: week-based pattern letters w/W/Y), but three of them have exact
+#: expression rewrites, so DATE_FORMAT calls containing them compile to a
+#: concat() of date_format runs and weekofyear-family arithmetic instead:
+#:   %v  ISO-8601 week (Monday, 01-53)            = weekofyear()
+#:   %u  MySQL WEEK(d,1) (Monday, 00-53, week 1 = first week with >3
+#:       days this year; year-end partial weeks keep counting 53)
+#:   %U  MySQL WEEK(d,0) (Sunday, 00-53, days before the first Sunday
+#:       are week 00) — identical to C/Python strftime %U
+_WEEK_TOKENS = {"%U", "%u", "%v"}
+
+#: MySQL tokens with no faithful Spark equivalent — loud failure beats a
+#: silently-literal "%D" in every report row. %V stays here deliberately:
+#: its pairing with the %X week-year gives year-boundary days a
+#: MySQL-source-defined week/year split (e.g. a Dec 31 that MySQL may
+#: assign to next year's week 1) that we cannot reproduce provably;
+#: a near-miss rewrite would silently corrupt exactly the year-boundary
+#: rows week-of-year reports care about.
+_UNSUPPORTED_TOKENS = {"%D", "%V", "%X", "%x", "%w"}
 
 _FN_REWRITES = [
     (re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE), "current_date()"),
@@ -61,6 +77,80 @@ _FN_REWRITES = [
     (re.compile(r"\bLENGTH\s*\(", re.IGNORECASE), "octet_length("),
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
 ]
+
+def _week_number_expr(d: str, tok: str) -> str:
+    """Spark SQL expression for one week token over date expression ``d``.
+
+    ``%v`` is weekofyear() verbatim. ``%U``/``%u`` count whole weeks from
+    the year's first Sunday/Monday: days before it are week 0, and for
+    ``%u`` the partial week before the first Monday promotes to week 1
+    (shifting everything by one) when it holds more than 3 days of this
+    year — MySQL WEEK mode 1's rule, which also makes late-December days
+    that ISO hands to next year's week 1 keep counting 53 here. Verified
+    against Python's strftime('%U') / an ISO-derived mode-1 oracle across
+    year boundaries in tests/test_dialect.py.
+    """
+    if tok == "%v":
+        n = f"weekofyear({d})"
+    elif tok == "%U":
+        s = f"((8 - dayofweek(trunc({d}, 'YEAR'))) % 7)"
+        n = (
+            f"(CASE WHEN dayofyear({d}) <= {s} THEN 0 "
+            f"ELSE (dayofyear({d}) - {s} - 1) div 7 + 1 END)"
+        )
+    else:  # %u
+        m = f"((9 - dayofweek(trunc({d}, 'YEAR'))) % 7)"
+        n = (
+            f"(CASE WHEN dayofyear({d}) <= {m} THEN 0 "
+            f"ELSE (dayofyear({d}) - {m} - 1) div 7 + 1 END "
+            f"+ CASE WHEN {m} >= 4 THEN 1 ELSE 0 END)"
+        )
+    return f"lpad(cast({n} as string), 2, '0')"
+
+
+def _has_week_tokens(fmt: str) -> bool:
+    i = 0
+    while i < len(fmt) - 1:
+        if fmt[i] == "%":
+            if fmt[i : i + 2] in _WEEK_TOKENS:
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+def _format_to_expr(first_arg: str, fmt: str) -> str:
+    """Compile DATE_FORMAT(first_arg, fmt) containing week tokens into a
+    concat() of plain date_format() runs and week-number expressions."""
+    d = f"({first_arg.strip()})"
+    parts: list[str] = []
+    run: list[str] = []
+
+    def flush_run() -> None:
+        if run:
+            pat = _translate_format("".join(run)).replace("'", "''")
+            parts.append(f"date_format({d}, '{pat}')")
+            run.clear()
+
+    i = 0
+    while i < len(fmt):
+        tok = fmt[i : i + 2]
+        if fmt[i] == "%" and tok in _WEEK_TOKENS:
+            flush_run()
+            parts.append(_week_number_expr(d, tok))
+            i += 2
+        elif fmt[i] == "%" and i + 1 < len(fmt):
+            run.append(tok)
+            i += 2
+        else:
+            run.append(fmt[i])
+            i += 1
+    flush_run()
+    if len(parts) == 1:
+        return parts[0]
+    return "concat(" + ", ".join(parts) + ")"
+
 
 def _translate_format(fmt: str) -> str:
     out: list[str] = []
@@ -165,12 +255,20 @@ def _rewrite_date_format_calls(sql: str) -> str:
         second = sql[top_commas[0] + 1 : close].strip()
         if len(second) >= 2 and second[0] == "'" and second[-1] == "'":
             fmt = second[1:-1].replace("''", "'")
-            translated = _translate_format(fmt).replace("'", "''")
             # recurse into the first argument (nested DATE_FORMAT keeps its
-            # own MySQL literal otherwise), swap the format literal
-            out.append(sql[i : k + 1])
-            out.append(_rewrite_date_format_calls(sql[k + 1 : top_commas[0]]))
-            out.append(f", '{translated}')")
+            # own MySQL literal otherwise)
+            first = _rewrite_date_format_calls(sql[k + 1 : top_commas[0]])
+            if _has_week_tokens(fmt):
+                # week tokens cannot live in a DateTimeFormatter pattern
+                # (Spark bans w/W/Y): the whole call compiles to a concat
+                # of date_format runs + weekofyear-family arithmetic
+                out.append(sql[i:j])
+                out.append(_format_to_expr(first, fmt))
+            else:
+                translated = _translate_format(fmt).replace("'", "''")
+                out.append(sql[i : k + 1])
+                out.append(first)
+                out.append(f", '{translated}')")
             i = pos
         else:
             # second arg not a plain literal: leave this call's name in

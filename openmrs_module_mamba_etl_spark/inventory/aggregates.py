@@ -362,7 +362,9 @@ def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT),
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) /
+                   (CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1 END))
+                   AS BIGINT),
                  19) AS bin,
            COUNT(*) AS n,
            ROUND(MIN(o_totalprice), 2) AS bin_min,
@@ -385,7 +387,13 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    # Degenerate-bounds guard (same as profile_drift's): a constant column
+    # makes hi == lo and an unguarded width turns the bin expression into
+    # x/0 → NULL bins; width 1 short-circuits every row to bin 0 instead
+    # (mirrored in the oracle's CASE).
+    width = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / F.lit(20)
+    ).otherwise(F.lit(1.0))
     binned = orders.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(

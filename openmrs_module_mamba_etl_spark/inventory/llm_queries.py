@@ -20,6 +20,7 @@ from openmrs_module_mamba_etl_spark.llm.ann import (
     lsh_topk,
 )
 from openmrs_module_mamba_etl_spark.llm.dedup import (
+    containment_pairs,
     embedding_cosine_pairs,
     exact_dedup,
     incremental_exact_dedup,
@@ -128,6 +129,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled near-copies stop matching (inverted index on the shingle)."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 5
+                    THEN list_transform(range(1, len(toks) - 3),
+                                        i -> array_to_string(toks[i:i+4], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS n FROM sh
+    ), posting AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM posting a JOIN posting b
+        ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c * 1.0 / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE c * 1.0 / sa.n >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 5-gram containment pairs (|A∩B|/|A| ≥ 0.8) — finds
+    excerpts/boilerplate living INSIDE larger documents, the direction
+    symmetric Jaccard dilutes away. One-sided prefix filter (the
+    contained side probes with rare shingles only), exact verification;
+    oracle is the unfiltered all-pairs replay."""
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=5,
+        threshold=0.8,
     )
 
 
@@ -977,11 +1019,13 @@ _BM25_TERMS = ("spark", "shuffle", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
-    """Unrolled DuckDB replay of the BPE merge loop: vocab → per-round
-    (pair counts → argmax → greedy merge via the same double-space
-    replace trick). ``replace`` is left-to-right non-overlapping in both
-    engines, so representations — and every round's argmax — agree."""
+def _bpe_cte_parts(n_merges: int) -> list[str]:
+    """The shared CTE chain replaying the BPE merge loop in DuckDB: vocab
+    → per-round (pair counts → argmax m{i} → greedy merge r{i} via the
+    same double-space replace trick). ``replace`` is left-to-right
+    non-overlapping in both engines, so representations — and every
+    round's argmax — agree. Used by both the merge-table oracle
+    (text_bpe_merges) and the application oracle (text_apply_bpe)."""
     parts = [
         f"""WITH v AS (
           SELECT w, COUNT(*) AS freq
@@ -1013,12 +1057,45 @@ def _bpe_oracle(n_merges: int = 3) -> str:
           FROM r{i - 1}
         )"""
         )
+    return parts
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Merge-table oracle: the learned (rank, pair, freq) rows."""
     sel = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, pair, CAST(freq AS BIGINT) AS freq"
         f" FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return "".join(_bpe_cte_parts(n_merges)) + "\n" + sel
+
+
+def _apply_bpe_oracle(n_merges: int = 3) -> str:
+    """Application oracle: every document re-tokenized with the learned
+    merge table. Each word starts at its char-split representation and
+    replays the merge chain (scalar-subquery pairs from m1..m{n}, same
+    double-space replace), then per-doc word/symbol counts roll up."""
+    rep = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for i in range(1, n_merges + 1):
+        rep = (
+            f"trim(replace(replace("
+            f" ' ' || replace({rep}, ' ', '  ') || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' '),"
+            f" '  ', ' '))"
+        )
+    return (
+        "".join(_bpe_cte_parts(n_merges))
+        + f""", dtoks AS (
+          SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+          WHERE text IS NOT NULL
+        ), applied AS (
+          SELECT doc_id, {rep} AS rep FROM dtoks
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(rep, ' '))) AS BIGINT) AS n_syms
+        FROM applied GROUP BY doc_id"""
+    )
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle(3))
@@ -1034,6 +1111,42 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(table(spark, sf_dir, "documents"), "text", n_merges=3)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
+    )
+
+
+@query("text_apply_bpe", oracle=_apply_bpe_oracle(3))
+def text_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the other half of BPE:
+    learn the merge table once (driver-bounded argmax loop over the
+    contracted vocab, same as text_bpe_merges), then re-tokenize every
+    document with it. The learned pairs embed as literals in a codegen
+    string-rewrite chain (``apply_merges_col``) evaluated per word inside
+    higher-order functions — applying a trained tokenizer to 100 TB is a
+    map-only pass with zero shuffles and zero Python. Output: per-doc
+    word and post-merge symbol counts (what a token-budgeted packing
+    stage consumes). The oracle replays the full chain: merge selection
+    CTEs, then the identical double-space replaces per word."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.llm.bpe import apply_merges_col, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = [p for _, p, _ in bpe_train(docs, "text", n_merges=3)]
+    toks = tokens(F.col("text"))
+    n_syms = F.aggregate(
+        F.transform(
+            toks, lambda w: F.size(F.split(apply_merges_col(w, pairs), " "))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_words"),
+            n_syms.alias("n_syms"),
+        )
+        .where(F.col("n_words") > 0)
     )
 
 
@@ -1692,17 +1805,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation composite: keep exact-dedup survivors whose quality
     score clears 0.7 — the canonical filter chain (dedup ∘ quality) a
-    training pipeline runs before tokenization. One broadcast semi-join of
-    the survivor set against the scored corpus; every stage is the same
-    codegen-side expression the standalone queries register."""
+    training pipeline runs before tokenization. ZERO joins: content hash
+    and quality are computed map-side, then one window min over the
+    content-hash partitioning decides kept-ness per row in the same pass.
+    The shuffle carries (doc_id, hash, quality) tuples only — no document
+    bytes, no survivor-set broadcast (the round-4 scale-killer: the
+    survivor set is ~corpus-sized and must never be a broadcast build
+    side)."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.llm.dedup import content_hash
+
     docs = table(spark, sf_dir, "documents")
-    survivors = exact_dedup(docs, "doc_id", "text").select(
-        F.col("kept_id").alias("doc_id")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(
+            "doc_id",
+            content_hash(F.col("text")).alias("content_hash"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .withColumn("kept_id", F.min("doc_id").over(w))
+        .where(
+            (F.col("doc_id") == F.col("kept_id"))
+            & (F.col("quality") >= 0.7)
+        )
+        .select("doc_id", "quality")
     )
-    scored = docs.select(
-        "doc_id", T.quality_score(F.col("text")).alias("quality")
-    ).where(F.col("quality") >= 0.7)
-    return scored.join(F.broadcast(survivors), "doc_id", "left_semi")
 
 
 @query(
@@ -2426,22 +2554,22 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     src9 slice) ∘ deterministic 90/5/5 hash split, reported as per
     (split, lang) doc/token counts. Every stage is the exact operator its
     standalone query registers, so this is the integration proof that
-    the pieces compose in one plan: two broadcast semi/anti joins against
-    the (small by construction) survivor-complement and tainted sets, no
+    the pieces compose in one plan: anti-joins against the duplicate-LOSER
+    set (churn-sized — never the ~corpus-sized survivor set, the round-4
+    broadcast scale-killer) and the tainted set. The loser join is
+    unhinted so AQE broadcasts it exactly when it is in fact small; no
     extra corpus shuffles beyond the dedup hash-agg. The oracle replays
     the full chain."""
     from openmrs_module_mamba_etl_spark.functions.similarity import tokens
     from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
-    from openmrs_module_mamba_etl_spark.llm.dedup import exact_dedup
+    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
     from openmrs_module_mamba_etl_spark.llm.sampling import hash_split
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("source") != "src9")
     bench = docs.where(F.col("source") == "src9")
 
-    survivors = exact_dedup(corpus, "doc_id", "text").select(
-        F.col("kept_id").alias("doc_id")
-    )
+    losers = dedup_losers(corpus, "doc_id", "text")
     tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
         "doc_id"
     )
@@ -2453,7 +2581,7 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.quality_score(F.col("text")).alias("quality"),
         )
         .where(F.col("quality") >= 0.7)
-        .join(F.broadcast(survivors), "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
         .join(F.broadcast(tainted), "doc_id", "left_anti")
     )
     split = hash_split(
@@ -2531,18 +2659,20 @@ def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-pipeline OBSERVABILITY: the per-stage retention funnel
     (ingested → quality → dedup → decontamination) every production data
     pipeline reports next to its output. Stage flags are computed in one
-    pass over the scored corpus with the same broadcast survivor/tainted
-    sets ``etl_llm_corpus`` uses, then four conditional counts — one
-    corpus scan, not one scan per stage."""
+    pass over the scored corpus: the dedup flag joins the duplicate-LOSER
+    set (churn-sized; never the ~corpus-sized survivor set, the round-4
+    broadcast scale-killer — unhinted so AQE broadcasts it only when
+    actually small), the decontamination flag the tainted set, then four
+    conditional counts — one corpus scan, not one scan per stage."""
     from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
-    from openmrs_module_mamba_etl_spark.llm.dedup import exact_dedup
+    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("source") != "src9")
     bench = docs.where(F.col("source") == "src9")
 
-    survivors = exact_dedup(corpus, "doc_id", "text").select(
-        F.col("kept_id").alias("doc_id"), F.lit(True).alias("d_ok")
+    losers = dedup_losers(corpus, "doc_id", "text").select(
+        "doc_id", F.lit(True).alias("l_hit")
     )
     tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
         "doc_id", F.lit(True).alias("t_hit")
@@ -2551,11 +2681,11 @@ def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(
             "doc_id", T.quality_score(F.col("text")).alias("quality")
         )
-        .join(F.broadcast(survivors), "doc_id", "left")
+        .join(losers, "doc_id", "left")
         .join(F.broadcast(tainted), "doc_id", "left")
         .select(
             (F.col("quality") >= 0.7).alias("q_ok"),
-            F.coalesce("d_ok", F.lit(False)).alias("d_ok"),
+            F.col("l_hit").isNull().alias("d_ok"),
             F.col("t_hit").isNull().alias("c_ok"),
         )
     )

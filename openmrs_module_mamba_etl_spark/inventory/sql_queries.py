@@ -536,3 +536,41 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tier
         """
     )
+
+
+@query(
+    "report_week_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%U') AS wk_sun,
+           strftime(o_orderdate, '%V') AS wk_iso,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY wk_sun, wk_iso
+    """,
+)
+def report_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-of-year indicator rollup THROUGH THE DIALECT SHIM — the
+    weekly-report shape EMR surveillance reports use (reference report
+    surface: README.md:296 free-form MySQL). The MySQL source uses %U
+    (Sunday week) and %v (ISO week) DATE_FORMAT tokens; Spark bans
+    week-based pattern letters, so functions/dialect.py compiles the
+    calls to concat(date_format(...), lpad(weekofyear-family arithmetic))
+    expressions. The oracle pins the cross-engine week semantics: DuckDB
+    strftime's C-standard %U == MySQL %U, %V (ISO) == MySQL %v."""
+    from openmrs_module_mamba_etl_spark.functions.dialect import (
+        translate_mysql,
+    )
+
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        translate_mysql(
+            """
+            SELECT DATE_FORMAT(o_orderdate, '%Y-%U') AS wk_sun,
+                   DATE_FORMAT(o_orderdate, '%v') AS wk_iso,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY wk_sun, wk_iso
+            """
+        )
+    )

@@ -82,6 +82,36 @@ def _apply_merge(rep_df: DataFrame, pair: str) -> DataFrame:
     )
 
 
+def apply_merges_col(word, pairs: list[str]):
+    """Column expression re-tokenizing one word with a learned merge list.
+
+    Starts at the char-split representation and replays each merge with
+    the identical double-space rewrite ``_apply_merge`` uses during
+    training — all literal (non-regex) replaces, so merge pairs may
+    contain any non-whitespace characters (tokens are whitespace-split,
+    so the space separators the trick relies on can never occur inside a
+    symbol). Pure codegen: applying a trained tokenizer to a 100 TB
+    corpus is a map-only pass, no shuffle, no Python.
+    """
+    rep = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    for pair in pairs:
+        doubled = F.concat(
+            F.lit(" "), F.replace(rep, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        rep = F.trim(
+            F.replace(
+                F.replace(
+                    doubled,
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(" " + pair.replace(" ", "") + " "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    return rep
+
+
 def bpe_train(
     docs: DataFrame, text_col: str, n_merges: int = 3
 ) -> list[tuple[int, str, int]]:

@@ -61,6 +61,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_losers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Ids of the non-kept duplicate rows — the complement of
+    ``exact_dedup``'s survivor set.
+
+    The survivor set has one row per DISTINCT document (~corpus
+    cardinality at 100 TB) and must never be a broadcast build side; the
+    loser set is sized by duplicate churn (n_rows − n_distinct_contents),
+    the typically-tiny duplicated tail. Composites that need "kept docs
+    only" should anti-join against this, unhinted, so AQE broadcasts it
+    exactly when it is in fact small. Shuffle cost matches exact_dedup:
+    (hash, id) pairs only, never document bytes; collect_list buffers one
+    content-duplicate group at a time (bounded by the corpus's max dup
+    multiplicity, not by corpus size).
+    """
+    groups = (
+        df.select(
+            F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.collect_list(id_col).alias("ids"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    return (
+        groups.select(F.explode("ids").alias(id_col), "kept_id")
+        .where(F.col(id_col) != F.col("kept_id"))
+        .select(id_col)
+    )
+
+
 def _pair_join(left_keyed: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
     """Self-join a keyed exploded table into candidate id pairs (a < b)."""
     a = left_keyed.alias("a")
@@ -103,6 +135,92 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("toks")
     )
     return _set_jaccard_pairs(keyed, id_col, threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ t.
+
+    Catches what symmetric Jaccard structurally misses: a short document
+    (boilerplate block, quotation, excerpt) living inside a much larger
+    one — J is diluted by the big doc's size, C is not. The prefix filter
+    is one-sided: C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's earliest common
+    shingle (global-df-ascending canonical order) sits in A's first
+    |A|−⌈t·|A|⌉+1 shingles; B admits no such bound (nothing relates |B|
+    to the overlap), so the contained side probes with only its rare
+    prefix shingles while the container side posts everything — candidate
+    volume is bounded by A-prefix rarity, and ubiquitous shingles never
+    drive the join from the probe side. Verification is exact
+    ``array_intersect`` on full shingle sets: output identical to
+    all-pairs, one (shingle)-keyed shuffle + one (pair)-keyed contraction.
+    """
+    keyed = _spread(df, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("toks")
+    )
+    sizes = keyed.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.size("toks").alias("n_toks"),
+        (F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + 1)
+        .cast("int")
+        .alias("prefix_len"),
+    ).persist()
+    posting = sizes.select(id_col, "prefix_len", F.explode("toks").alias("token"))
+    tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    a_prefix = (
+        posting.join(tok_df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("tok_df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= F.col("prefix_len"))
+        .select(F.col(id_col).alias("id_a"), "token")
+    )
+    b_full = posting.select(F.col(id_col).alias("id_b"), "token")
+    candidates = (
+        a_prefix.join(
+            b_full,
+            [
+                a_prefix["token"] == b_full["token"],
+                a_prefix["id_a"] != b_full["id_b"],
+            ],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sizes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+    )
+    b = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.col("n_a")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("containment", 6).alias("containment")
+        )
+    )
 
 
 def _set_jaccard_pairs(
@@ -802,8 +920,21 @@ class FuzzyDedupIndex:
         self.shingle_len = shingle_len
         self.verify_threshold = verify_threshold
         self.portable = portable
-        self.has_index = False
-        self.has_dropped = False
+        # State lives in the parquet dirs, not the object: a new instance
+        # over an existing base_dir (restart, new foreachBatch worker)
+        # must resume from the persisted index and drop log, or it would
+        # silently miss cross-restart duplicates and kept() would forget
+        # recorded drops.
+        self.has_index = self._dir_has_data(self.idx_dir)
+        self.has_dropped = self._dir_has_data(self.drop_dir)
+
+    @staticmethod
+    def _dir_has_data(path: str) -> bool:
+        import os
+
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
 
     def ingest(self, batch: DataFrame, id_col: str, text_col: str) -> None:
         ss = batch.sparkSession

@@ -762,12 +762,14 @@ def _extend(v: int, ssss: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """→ (width, height, raw RGB bytes).
 
-    Baseline sequential (SOF0/SOF1) and progressive (SOF2) with spectral
-    selection and DC successive approximation; progressive AC
-    refinement scans (Ah≠0, Ss≥1) raise ``ValueError`` — the documented
-    edge of this decoder. Coefficients accumulate across scans and the
-    image reconstructs once at EOI, so any legal scan script in the
-    supported subset decodes."""
+    Baseline sequential (SOF0/SOF1) and progressive (SOF2) with full
+    successive approximation — spectral selection plus DC *and* AC
+    refinement scans (Ah≠0, any Ss; see ``decode_ac_refine``).
+    Coefficients accumulate across scans and the image reconstructs once
+    at EOI, so any legal sequential/progressive scan script decodes. The
+    unsupported edges are the other T.81 modes: lossless (SOF3),
+    arithmetic coding (SOF9+), and 12-bit precision — each raises
+    ``ValueError`` at its marker."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad magic)")
     pos = 2

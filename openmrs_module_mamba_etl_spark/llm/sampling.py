@@ -330,8 +330,11 @@ def firstfit_pack(
         pdf["bin_id"] = bins
         return pdf[[id_col, "shard", "bin_id", "_size"]]
 
+    # The id column passes through untouched, so its field type must come
+    # from the input schema — hardcoding long broke string/int doc ids.
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, shard long, bin_id long, _size long"
+        f"{id_col} {id_type}, shard long, bin_id long, _size long"
     )
     return (
         sharded.groupBy("shard")

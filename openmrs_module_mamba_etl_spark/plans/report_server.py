@@ -60,7 +60,12 @@ def _make_handler(spark: SparkSession, registry: ReportRegistry):
                 self._send(400, {"error": "report_id query param is required"})
                 return
             try:
-                rows_json = registry.run_json(spark, report_id, **params)
+                # max_rows is a transport control, not a report param: it
+                # caps driver-side materialization (overflow → 400 below).
+                max_rows = int(params.pop("max_rows", 10_000))
+                rows_json = registry.run_json(
+                    spark, report_id, max_rows=max_rows, **params
+                )
             except KeyError as e:
                 self._send(404, {"error": str(e)})
                 return

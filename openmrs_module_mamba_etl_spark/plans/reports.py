@@ -82,8 +82,28 @@ class ReportRegistry:
         sql = translate_mysql(d.sql_query)
         return spark.sql(sql, args=bound) if bound else spark.sql(sql)
 
-    def run_json(self, spark: SparkSession, report_id: str, **params: Any) -> str:
-        """REST-response analog: the report result as a JSON array string."""
+    def run_json(
+        self,
+        spark: SparkSession,
+        report_id: str,
+        max_rows: int = 10_000,
+        **params: Any,
+    ) -> str:
+        """REST-response analog: the report result as a JSON array string.
+
+        Reference reports are bounded lists (indicator tables, line lists);
+        a runaway report SQL must not materialize an unbounded result on
+        the driver. Rows stream through ``toLocalIterator`` (one partition
+        resident at a time) and the response is capped at ``max_rows`` —
+        overflow raises, which the HTTP layer maps to a 400.
+        """
         df = self.run(spark, report_id, **params)
-        rows = df.toJSON().collect()
-        return "[" + ",".join(rows) + "]"
+        out: list[str] = []
+        for row in df.toJSON().toLocalIterator():
+            if len(out) >= max_rows:
+                raise ValueError(
+                    f"report {report_id!r} exceeds max_rows={max_rows}; "
+                    "narrow the report query or raise the cap"
+                )
+            out.append(row)
+        return "[" + ",".join(out) + "]"

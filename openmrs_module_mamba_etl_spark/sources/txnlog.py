@@ -322,9 +322,15 @@ class VersionedParquetTable:
             if not touched:
                 return head, 0, len(m["dirs"])
 
+            # NULL-key rows must survive the rewrite: ~isin() evaluates to
+            # NULL (not true) for NULL keys, silently erasing rows the
+            # caller never asked to forget — and NULL-only dirs are always
+            # "touched" (stats bounds are None), guaranteeing the loss.
             kept = spark.read.parquet(
                 *[str(self._files / d) for d in touched]
-            ).where(~F.col(key_col).isin(*keys))
+            ).where(
+                F.col(key_col).isNull() | ~F.col(key_col).isin(*keys)
+            )
             data_dir = f"v{version:05d}-{uuid.uuid4().hex[:8]}"
             kept.write.mode("overwrite").parquet(
                 str(self._files / data_dir)

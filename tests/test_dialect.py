@@ -90,3 +90,58 @@ def test_case_insensitive():
 def test_char_length_vs_length():
     out = translate_mysql("SELECT LENGTH(x), CHAR_LENGTH(x) FROM t")
     assert out == "SELECT octet_length(x), length(x) FROM t"
+
+
+def _mode1_week(d):
+    """Independent MySQL WEEK(d, 1) oracle via the ISO calendar: mode 1
+    shares ISO's Monday/>3-days rule but stays year-local — early-January
+    days of the previous ISO year are week 0, and late-December days of
+    next year's ISO week 1 keep counting (prior Monday's week + 1)."""
+    import datetime
+
+    iso = d.isocalendar()
+    if iso[0] == d.year:
+        return iso[1]
+    if iso[0] < d.year:
+        return 0
+    return (d - datetime.timedelta(days=7)).isocalendar()[1] + 1
+
+
+def test_week_tokens_match_mysql_semantics(spark):
+    """%U == strftime('%U') (MySQL mode 0), %u == WEEK(d,1) via the
+    ISO-derived oracle, %v == ISO week — swept across year boundaries,
+    leap years, and every weekday a Jan 1 can fall on (2014-2025 covers
+    all seven)."""
+    import datetime
+
+    dates = []
+    for y in range(2014, 2026):
+        for md in [(1, 1), (1, 2), (1, 5), (1, 8), (2, 29), (6, 15),
+                   (12, 28), (12, 29), (12, 30), (12, 31)]:
+            try:
+                dates.append(datetime.date(y, *md))
+            except ValueError:
+                pass  # non-leap Feb 29
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    df.createOrReplaceTempView("week_golden")
+    sql = translate_mysql(
+        "SELECT d, DATE_FORMAT(d, '%U') AS u0, DATE_FORMAT(d, '%u') AS u1, "
+        "DATE_FORMAT(d, '%v') AS v3, DATE_FORMAT(d, '%Y-w%u') AS mixed "
+        "FROM week_golden"
+    )
+    for r in spark.sql(sql).collect():
+        d = r["d"]
+        assert r["u0"] == d.strftime("%U"), (d, r["u0"])
+        assert r["u1"] == f"{_mode1_week(d):02d}", (d, r["u1"])
+        assert r["v3"] == f"{d.isocalendar()[1]:02d}", (d, r["v3"])
+        assert r["mixed"] == f"{d.year}-w{_mode1_week(d):02d}", (d, r["mixed"])
+
+
+def test_week_year_pairing_still_raises():
+    """%V/%X/%x stay loud: their week-year pairing gives year-boundary
+    days a MySQL-source-defined split we cannot reproduce provably."""
+    import pytest
+
+    for tok in ("%V", "%X", "%x", "%D", "%w"):
+        with pytest.raises(ValueError):
+            translate_mysql(f"SELECT DATE_FORMAT(d, '{tok}') FROM t")

@@ -419,6 +419,35 @@ def test_fuzzy_dedup_index_batch_order_invariant(spark, tmp_path):
     assert 90 not in kept_oneshot  # retroactively dropped dup
 
 
+def test_fuzzy_dedup_index_survives_restart(spark, tmp_path):
+    """State lives in the parquet dirs: a NEW instance over an existing
+    base_dir must resume from the persisted index and drop log — a
+    restarted foreachBatch loop has to catch duplicates of docs ingested
+    before the restart, and kept() must remember pre-restart drops."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import FuzzyDedupIndex
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    idx1 = FuzzyDedupIndex(str(tmp_path / "s"))
+    idx1.ingest(
+        spark.createDataFrame(
+            [(90, base), (7, "entirely unrelated text about engines")],
+            "doc_id long, text string",
+        ),
+        "doc_id",
+        "text",
+    )
+    # second process: duplicate of doc 90 arrives (smaller id → demotes it)
+    idx2 = FuzzyDedupIndex(str(tmp_path / "s"))
+    assert idx2.has_index  # resumed, not blank
+    idx2.ingest(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    kept = {r["doc_id"] for r in idx2.kept(spark, "doc_id").collect()}
+    assert kept == {1, 7}
+
+
 def test_logreg_training_actually_learns(spark):
     """Gradient descent on a linearly separable hashed-bag problem must
     move the decision function toward the labels: post-training

@@ -409,3 +409,45 @@ def test_kmv_sketch_contracts_before_pairing(spark, sf_dir):
     p = plan(spark, sf_dir, "agg_kmv_jaccard")
     assert "SortMergeJoin" not in p
     assert "WindowExec" in p or "Window" in p  # the per-type top-64
+
+
+def test_text_curate_zero_joins_single_shuffle(spark, sf_dir):
+    """text_curate must be the one-pass window form: content hash +
+    quality computed map-side, kept-ness decided by a window min over the
+    content-hash partitioning — NO join anywhere (the round-4 version
+    broadcast the ~corpus-sized survivor set, an OOM at 100 TB)."""
+    p = plan(spark, sf_dir, "text_curate")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_etl_composites_join_loser_complement(spark, sf_dir):
+    """etl_llm_corpus / etl_corpus_funnel dedup joins must build on the
+    duplicate-LOSER complement (the `size(ids) > 1` churn set from
+    dedup_losers), never the ~corpus-sized survivor set, and the join must
+    stay unhinted so the broadcast decision is statistics/AQE-driven.
+    `size(ids` in the plan is the loser-derivation fingerprint: it only
+    appears when the build side filters duplicate groups before explode."""
+    for name in ("etl_llm_corpus", "etl_corpus_funnel"):
+        p = plan(spark, sf_dir, name)
+        assert "size(ids" in p, f"{name}: dedup join no longer builds on the loser complement"
+        assert "CartesianProduct" not in p
+
+
+def test_apply_bpe_is_map_only(spark, sf_dir):
+    """Tokenizer application must be a pure map pass: the learned merges
+    embed as literals, so the returned plan has no joins and no exchanges
+    — re-tokenizing 100 TB costs one corpus scan."""
+    p = plan(spark, sf_dir, "text_apply_bpe")
+    assert "Join" not in p
+    assert "Exchange" not in p
+
+
+def test_containment_prefix_filter_on_probe_side(spark, sf_dir):
+    """The containment join must be driven by the contained side's rare
+    PREFIX shingles (row_number window capped at prefix_len), never an
+    unfiltered posting×posting self-join, and no cartesian anywhere."""
+    p = plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "row_number" in p
+    assert "prefix_len" in p

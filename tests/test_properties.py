@@ -413,3 +413,21 @@ def test_kmv_jaccard_tracks_exact(spark, sf_dir):
         assert abs(est[pair] - exact[pair]) <= 3 * 0.125, (
             pair, est[pair], exact[pair],
         )
+
+
+def test_histogram_degenerate_bounds_single_bin(spark, tmp_path):
+    """A constant-valued column makes hi == lo; the guarded width must put
+    every row in bin 0 (never NULL/NaN bins from x/0) — same contract as
+    profile_drift's guard."""
+    from openmrs_module_mamba_etl_spark.inventory.aggregates import (
+        agg_histogram,
+    )
+
+    spark.createDataFrame(
+        [(i, 42.0) for i in range(50)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = agg_histogram(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] == 0 and r["n"] == 50
+    assert r["bin_min"] == 42.0 and r["bin_max"] == 42.0

@@ -98,3 +98,32 @@ def test_get_missing_report_id_is_400(server):
 def test_get_wrong_path_is_404(server):
     status, _ = _get(server.url.replace("/mamba/report", "/other"))
     assert status == 404
+
+
+def test_row_cap_overflow_is_400_and_bounded(server):
+    """A runaway report must not materialize unboundedly driver-side:
+    run_json streams via toLocalIterator and raises past max_rows, which
+    the HTTP layer maps to 400."""
+    q = urllib.parse.urlencode(
+        {
+            "report_id": "latest_purchase_by_user",
+            "segment": "BUILDING",
+            "max_user_id": "50",
+            "max_rows": "1",
+        }
+    )
+    status, body = _get(f"{server.url}?{q}")
+    assert status == 400
+    assert "max_rows" in body["error"]
+
+
+def test_row_cap_under_limit_passes(server):
+    q = urllib.parse.urlencode(
+        {
+            "report_id": "total_orders_1997",
+            "max_rows": "5",
+        }
+    )
+    status, body = _get(f"{server.url}?{q}")
+    assert status == 200
+    assert body["results"][0]["total_orders_1997"] > 0

@@ -166,3 +166,25 @@ def test_firstfit_pack_invariants(spark):
     # determinism across runs
     again = firstfit_pack(df, "doc_id", "n", capacity=256, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_firstfit_pack_string_ids(spark):
+    """The applyInPandas output schema must inherit the id column's type
+    from the input — string doc ids packed fine in pandas but died on the
+    hardcoded `long` schema."""
+    from openmrs_module_mamba_etl_spark.llm.sampling import firstfit_pack
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", (i * 37) % 100 + 1) for i in range(40)],
+        "doc_id string, n int",
+    )
+    out = firstfit_pack(df, "doc_id", "n", capacity=128, n_shards=4).collect()
+    assert len(out) == 40
+    assert {type(r["doc_id"]) for r in out} == {str}
+    # per-(shard, bin) capacity respected
+    used = {}
+    for r in out:
+        used[(r["shard"], r["bin_id"])] = used.get(
+            (r["shard"], r["bin_id"]), 0
+        ) + r["size"]
+    assert all(v <= 128 for v in used.values())

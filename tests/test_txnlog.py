@@ -231,3 +231,24 @@ def test_forget_empty_keys_is_noop(spark, tmp_path):
     head, rewritten, total = t.forget(spark, "id", [])
     assert (head, rewritten, total) == (0, 0, 1)
     assert t.latest_version() == 0
+
+
+def test_forget_retains_null_key_rows(spark, tmp_path):
+    """NULL-key rows must survive forget: ~isin() is NULL (filtered out)
+    for NULL keys, and a NULL-only dir's stats bounds are None so it is
+    always rewritten — the unguarded predicate silently destroyed rows the
+    erasure was never asked to touch."""
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "n1"), (None, "n2")],
+        "id bigint, payload string",
+    )
+    t.write(df, stats_cols=["id"])
+    version, rewritten, total = t.forget(spark, "id", [1])
+    assert rewritten == 1
+    got = {
+        (r["id"], r["payload"]) for r in t.read(spark).collect()
+    }
+    assert got == {(2, "b"), (None, "n1"), (None, "n2")}
