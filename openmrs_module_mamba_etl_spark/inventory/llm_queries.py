@@ -761,6 +761,80 @@ def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_slice(col: str) -> str:
+    """Subvector m of a 64-wide list column (16 elements, 1-based)."""
+    return f"list_slice({col}, sub.m * 16 + 1, sub.m * 16 + 16)"
+
+
+@query(
+    "ann_topk_pq_portable",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+               vec_id ASC) - 1 AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT cell, cv FROM ranked WHERE cell < 16
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), subs AS (
+      SELECT unnest(range(0, 4)) AS m
+    ), enc AS (
+      SELECT e.vec_id, sub.m, s.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.m ORDER BY
+               list_sum(list_transform(
+                 list_zip({_pq_slice('e.embedding')}, {_pq_slice('s.cv')}),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) ASC,
+               s.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN seeds s CROSS JOIN subs sub
+    ), lut AS (
+      SELECT sub.m, s.cell,
+             list_sum(list_transform(
+               list_zip({_pq_slice('q.qv')}, {_pq_slice('s.cv')}),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS ip
+      FROM seeds s CROSS JOIN subs sub, q
+    )
+    SELECT e.vec_id,
+           ROUND(MAX(CASE WHEN e.m = 0 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 1 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 2 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 3 THEN l.ip END), 6) AS adc_ip
+    FROM enc e JOIN lut l ON e.m = l.m AND e.cell = l.cell
+    WHERE e.rn = 1
+    GROUP BY e.vec_id
+    ORDER BY adc_ip DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011) — the
+    MEMORY-bound ANN scale path: 4 subspaces × 16 md5-seeded codewords
+    encode each vector to 4 small ints (64× storage compression at this
+    width), and the query scores candidates via its precomputed
+    lookup table — 4 array lookups + 3 adds per row, no per-element
+    arithmetic in the scan. The oracle replays every stage: seed
+    codebooks (same md5 contract as ann_topk_ivf_portable), argmin-L2
+    subspace encoding (ties to lowest code), LUT construction, and the
+    fixed-order ADC sum. At 100 TB: encode once, store codes, write the
+    table partitionBy(ivf_cell) and this becomes IVF-PQ."""
+    from openmrs_module_mamba_etl_spark.llm.ann import pq_topk_portable
+
+    qv = _query_vec(spark, sf_dir, 0)
+    _assert_emb_dim(width=len(qv))
+    return pq_topk_portable(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_sub=4,
+        n_codes=16,
+    )
+
+
 @query(
     "ann_knn_join",
     oracle="""
@@ -2542,7 +2616,8 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, lang, COUNT(*) AS n_docs,
            CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
-           ROUND(AVG(quality), 2) AS avg_quality
+           ROUND(CAST(SUM(CAST(ROUND(quality * 10) AS BIGINT)) AS BIGINT)
+                 / (COUNT(*) * 10.0), 2) AS avg_quality
     FROM kept GROUP BY split, lang
     """,
 )
@@ -2592,8 +2667,144 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
-            F.round(F.avg("quality"), 2).alias("avg_quality"),
+            # order-independent mean (see etl_pretok_shards)
+            F.round(
+                F.sum(F.round(F.col("quality") * 10).cast("long"))
+                / (F.count(F.lit(1)) * 10.0),
+                2,
+            ).alias("avg_quality"),
         )
+    )
+
+
+def _pretok_shards_oracle(n_merges: int = 3) -> str:
+    """Full-chain replay: BPE merge selection (shared CTE chain) + quality
+    scoring + min-id dedup survivors + per-word merge application + chunk
+    math + the portable md5 shard bucket."""
+    rep = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for i in range(1, n_merges + 1):
+        rep = (
+            f"trim(replace(replace("
+            f" ' ' || replace({rep}, ' ', '  ') || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' '),"
+            f" '  ', ' '))"
+        )
+    return (
+        "".join(_bpe_cte_parts(n_merges))
+        + f""", t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), mq AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN {_STOP_SQL['en']})) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))
+               AS n_punct
+      FROM t
+    ), scored AS (
+      SELECT doc_id, toks,
+             CAST(ROUND(
+               (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN n_punct <= length(text) * 0.1 THEN 0.1 ELSE 0.0 END),
+               2) AS DOUBLE) AS quality
+      FROM mq
+    ), survivors AS (
+      SELECT md5(array_to_string({_TOKS}, ' ')) AS h, MIN(doc_id) AS kept_id
+      FROM documents GROUP BY 1
+    ), kept AS (
+      SELECT s.doc_id, s.quality, s.toks
+      FROM scored s JOIN survivors k ON s.doc_id = k.kept_id
+      WHERE s.quality >= 0.7
+    ), ktoks AS (
+      SELECT doc_id, unnest(toks) AS w FROM kept
+    ), syms AS (
+      SELECT doc_id,
+             CAST(SUM(len(string_split({rep}, ' '))) AS BIGINT) AS n_syms
+      FROM ktoks GROUP BY doc_id
+    ), docstats AS (
+      SELECT k.doc_id, k.quality,
+             COALESCE(s.n_syms, 0) AS n_syms,
+             ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard
+      FROM kept k LEFT JOIN syms s ON k.doc_id = s.doc_id
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(CEIL(n_syms / 512.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(quality * 10) AS BIGINT)) AS BIGINT)
+                 / (COUNT(*) * 10.0), 2) AS avg_quality
+    FROM docstats GROUP BY shard"""
+    )
+
+
+@query("etl_pretok_shards", oracle=_pretok_shards_oracle(3))
+def etl_pretok_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE-TRAINING-SHARDS composite — the last mile before the
+    trainer: curate (quality >= 0.7, exact-dedup keepers) -> re-tokenize
+    with the corpus-learned BPE merge table -> 512-token chunk math ->
+    deterministic md5 shard assignment -> per-shard doc/chunk/token
+    totals. Scale shape: the dedup decision joins the churn-sized
+    duplicate-loser complement (dedup_losers, unhinted -> AQE broadcast
+    when small, so the corpus never shuffles for it); BPE application and
+    shard assignment are map-only literal expressions computed AFTER the
+    keep decision (never on dropped docs); the only other exchange is the
+    8-group rollup. The oracle replays the entire chain."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.llm.bpe import (
+        apply_merges_col,
+        bpe_train,
+    )
+    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
+    from openmrs_module_mamba_etl_spark.llm.sampling import hash_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = [p for _, p, _ in bpe_train(docs, "text", n_merges=3)]
+    toks = tokens(F.col("text"))
+    n_syms = F.aggregate(
+        F.transform(
+            toks, lambda w: F.size(F.split(apply_merges_col(w, pairs), " "))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    losers = dedup_losers(docs, "doc_id", "text")
+    kept = (
+        docs.select(
+            "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
+        )
+        .where(F.col("quality") >= 0.7)
+        .join(losers, "doc_id", "left_anti")
+    )
+    stats = kept.select(
+        hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        "quality",
+        n_syms.alias("n_syms"),
+    )
+    return stats.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.ceil(F.col("n_syms") / F.lit(512.0)).cast("long")).alias(
+            "n_chunks"
+        ),
+        F.sum("n_syms").alias("n_tokens"),
+        # Order-independent mean: quality is a multiple of 0.1 by
+        # construction, so sum integer deci-points and divide once —
+        # ROUND(AVG(double)) flips at rounding boundaries under partial-agg
+        # reordering (seen at sf0.01, shard 7: 0.985-edge -> 0.98 vs 0.99).
+        F.round(
+            F.sum(F.round(F.col("quality") * 10).cast("long"))
+            / (F.count(F.lit(1)) * 10.0),
+            2,
+        ).alias("avg_quality"),
     )
 
 

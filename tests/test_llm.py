@@ -484,3 +484,42 @@ def test_logreg_training_actually_learns(spark):
 
     acc = sum(predict(t) == y for _, t, y in rows) / len(rows)
     assert acc == 1.0  # separable vocabularies → perfect fit
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
+    """PQ sharp invariant: a codeword-donor (seed) vector is at squared-L2
+    zero from its own subvectors, so it must encode to its own code in
+    every subspace and its ADC score must equal the subspace-partitioned
+    exact inner product bit-for-bit."""
+    from openmrs_module_mamba_etl_spark.llm.ann import (
+        _dot_lr,
+        pq_codebooks,
+        pq_encode,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", n_sub=4, n_codes=16)
+    codes = pq_encode(F.col("embedding"), books)
+    coded = emb.select(
+        "vec_id", *[c.alias(f"c{m}") for m, c in enumerate(codes)]
+    ).collect()
+    by_id = {r["vec_id"]: [r[f"c{m}"] for m in range(4)] for r in coded}
+    # codes always in range
+    for cs in by_id.values():
+        assert all(0 <= c < 16 for c in cs)
+    # reconstruct each seed's id by matching the full vector
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    seeds_full = [
+        [x for m in range(4) for x in books[m][j]] for j in range(16)
+    ]
+    matched = 0
+    for j, sv in enumerate(seeds_full):
+        sid = next(i for i, v in raw.items() if v == sv)
+        assert by_id[sid] == [j, j, j, j], (sid, j, by_id[sid])
+        matched += 1
+    assert matched == 16

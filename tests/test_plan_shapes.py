@@ -451,3 +451,21 @@ def test_containment_prefix_filter_on_probe_side(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "row_number" in p
     assert "prefix_len" in p
+
+
+def test_pq_topk_no_joins_takeordered(spark, sf_dir):
+    """PQ ADC scoring embeds codebooks and the LUT as literals: the plan
+    must contain no join anywhere and finish in a TakeOrdered, never a
+    global sort — the scan reads vectors once, scores via lookups."""
+    p = plan(spark, sf_dir, "ann_topk_pq_portable")
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pretok_shards_loser_complement_no_cartesian(spark, sf_dir):
+    """The shard-prep composite's dedup decision must build on the
+    churn-sized loser complement (size(ids) fingerprint), with BPE
+    application map-only after the keep decision."""
+    p = plan(spark, sf_dir, "etl_pretok_shards")
+    assert "size(ids" in p
+    assert "CartesianProduct" not in p
