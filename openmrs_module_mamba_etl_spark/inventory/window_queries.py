@@ -1169,3 +1169,67 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.last("o_totalprice").over(w), 2).alias("latest_price"),
     )
+
+
+@query(
+    "stream_topk_trending",
+    oracle="""
+    WITH t AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type FROM events
+    ), mx AS (SELECT MAX(ts) AS m FROM events), counts AS (
+      SELECT ws, event_type, COUNT(*) AS n_events
+      FROM t, mx
+      WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+      GROUP BY ws, event_type
+    )
+    SELECT ws AS window_start, event_type, n_events, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                   ORDER BY n_events DESC,
+                                            event_type ASC) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-topics: watermarked daily (window, event_type)
+    counts emit append-mode into a parquet landing table; top-3 ranking
+    per window runs batch on the landing table. Ranking needs ALL of a
+    window's keys, and append mode finalizes a (window, key) row exactly
+    when the watermark passes the window end — so every emitted window is
+    complete and the post-drain rank equals the batch rank over the
+    emitted set (what the oracle replays: windows whose end ≤ final
+    watermark, then ROW_NUMBER). State: one partial count per
+    (window, type) — bounded by window count × type cardinality, not
+    event volume; the rank stage reads the contracted landing table."""
+    import os
+
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+    )
+    from openmrs_module_mamba_etl_spark.streaming.windows import (
+        windowed_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_topk_trending")
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        windowed_counts(stream, key_col="event_type")
+        .select("window_start", "event_type", "n_events")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    counts = spark.read.parquet(os.path.join(scratch, "out"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
