@@ -1233,3 +1233,98 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= 3
     )
+
+
+def _lttb_oracle(n_out: int = 12) -> str:
+    """Unrolled DuckDB replay of the LTTB selection loop: fixed bucket
+    assignment, per-step (prev-selected, candidate, next-bucket-average)
+    triangle argmax as chained CTEs — the same unroll technique as the
+    BPE and logreg oracles. Integer-days x, integer-cents y, one fixed
+    operand order and single-division means keep every float op
+    bit-identical to the pandas kernel."""
+    n_b = n_out - 2
+    steps = []
+    for i in range(n_b):
+        anchor = (
+            f"(SELECT event_type, cx, cy FROM avgs WHERE b = {i + 1})"
+            if i < n_b - 1
+            else "(SELECT event_type, CAST(day AS DOUBLE) AS cx,"
+            " cents / 100.0 AS cy FROM lastp)"
+        )
+        prev = "sel0" if i == 0 else f"s{i}"
+        steps.append(
+            f""", s{i + 1} AS (
+      SELECT event_type, day, cents FROM (
+        SELECT c.event_type, c.day, c.cents,
+               ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY
+                 ABS((s.day - na.cx) * (c.cents / 100.0 - s.cents / 100.0)
+                     - (s.day - c.day) * (na.cy - s.cents / 100.0)) DESC,
+                 c.day ASC) AS rn
+        FROM bkt c
+        JOIN {prev} s USING (event_type)
+        JOIN {anchor} na USING (event_type)
+        WHERE c.b = {i}
+      ) WHERE rn = 1
+    )"""
+        )
+    sel = "\nUNION ALL\n".join(
+        ["SELECT event_type, day, cents / 100.0 AS total, 0 AS sel_idx"
+         " FROM sel0"]
+        + [
+            f"SELECT event_type, day, cents / 100.0, {i} FROM s{i}"
+            for i in range(1, n_b + 1)
+        ]
+        + [
+            f"SELECT event_type, day, cents / 100.0, {n_out - 1} FROM lastp"
+        ]
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day ASC) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM daily
+    ), bkt AS (
+      SELECT *, CAST(((idx - 1) * {n_b}) // (m - 2) AS INT) AS b
+      FROM seq WHERE idx >= 1 AND idx <= m - 2
+    ), avgs AS (
+      SELECT event_type, b,
+             SUM(day) / (1.0 * COUNT(*)) AS cx,
+             CAST(SUM(cents) AS BIGINT) / (100.0 * COUNT(*)) AS cy
+      FROM bkt GROUP BY 1, 2
+    ), sel0 AS (
+      SELECT event_type, day, cents FROM seq WHERE idx = 0
+    ), lastp AS (
+      SELECT event_type, day, cents FROM seq WHERE idx = m - 1
+    ){"".join(steps)}
+    {sel}
+    """
+
+
+@query("rollup_downsample_lttb", oracle=_lttb_oracle(12))
+def rollup_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving timeseries downsampling: each event type's daily
+    total series reduced to 12 LTTB points (Steinarsson 2013) — what a
+    dashboard fetches instead of the raw series. The daily hash aggregate
+    contracts the event stream FIRST (#types×#days rows, map-side
+    combined); the sequential selection loop then runs per contracted
+    series in an applyInPandas kernel — the grouped-pandas seam, used
+    exactly where recursion defeats window expressions. Integer-day /
+    integer-cent arithmetic makes the kernel bit-replayable by the
+    unrolled CTE oracle."""
+    from openmrs_module_mamba_etl_spark.operators.downsample import (
+        lttb_downsample,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").alias("day"),
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    return lttb_downsample(daily, "event_type", "day", "cents", n_out=12)

@@ -86,3 +86,41 @@ def test_refresh_of_brand_new_chunk_appends(spark, tmp_path):
         )
     )
     assert got == _rows(rollup_aggregate(raw2, "tus", ["k"], "value", HOUR_US))
+
+
+def test_lttb_invariants_and_known_series():
+    """LTTB pure-kernel invariants: endpoints always kept, exactly n_out
+    points, strictly increasing selection; plus a hand-checked spike
+    series — the bucket's largest-triangle point is the spike, not its
+    neighbors."""
+    from openmrs_module_mamba_etl_spark.operators.downsample import (
+        lttb_indices,
+    )
+
+    xs = list(range(20))
+    cents = [100] * 20
+    cents[7] = 5000  # spike
+    sel = lttb_indices(xs, cents, 6)
+    assert sel[0] == 0 and sel[-1] == 19
+    assert len(sel) == 6
+    assert sel == sorted(set(sel))
+    assert 7 in sel  # the spike survives downsampling
+    # series shorter than n_out passes through whole
+    assert lttb_indices(xs[:4], cents[:4], 6) == [0, 1, 2, 3]
+
+
+def test_lttb_query_shape(spark, sf_dir):
+    from openmrs_module_mamba_etl_spark.inventory.window_queries import (
+        rollup_downsample_lttb,
+    )
+
+    rows = rollup_downsample_lttb(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, pts in by_type.items():
+        assert len(pts) == 12, t
+        idxs = sorted(p["sel_idx"] for p in pts)
+        assert idxs == list(range(12))
+        days = [p["day"] for p in sorted(pts, key=lambda p: p["sel_idx"])]
+        assert days == sorted(days)
