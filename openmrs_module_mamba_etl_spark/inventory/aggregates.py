@@ -782,3 +782,129 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 6
         ).alias("jaccard_est"),
     )
+
+
+@query(
+    "agg_kmv_union",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM du
+    ), kmv AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY hv ASC, user_id ASC) AS rn
+        FROM h
+      ) WHERE rn <= 64
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM kmv) a
+      JOIN (SELECT DISTINCT event_type FROM kmv) b
+        ON a.event_type < b.event_type
+    ), u AS (
+      SELECT p.ta, p.tb, k.hv,
+             MAX(CASE WHEN k.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN k.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN kmv k ON k.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, k.hv
+    ), top AS (
+      SELECT ta, tb, hv, in_a, in_b FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+                                     ORDER BY hv ASC) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    )
+    SELECT ta, tb,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*) * 1.0
+                 ELSE 63.0 * 1152921504606846976 / MAX(hv) END, 2)
+             AS est_union,
+           ROUND((CASE WHEN COUNT(*) < 64 THEN COUNT(*) * 1.0
+                  ELSE 63.0 * 1152921504606846976 / MAX(hv) END)
+                 * (SUM(in_a * in_b) * 1.0 / COUNT(*)), 2)
+             AS est_intersect
+    FROM top GROUP BY ta, tb
+    """,
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-ALGEBRA estimates (Beyer et al. 2007): |A∪B| from the
+    union sketch's k-th minimum — est = (k−1)·M/h_k over the 60-bit md5
+    hash space M = 2^60 — and |A∩B| = Ĵ·|A∪B|̂, the cardinalities HLL
+    union alone cannot give. When the union sketch holds fewer than k
+    hashes it IS the whole union and the estimate switches to the exact
+    count. Same contraction shape as agg_kmv_jaccard: one distinct pass,
+    bounded per-type windows, pair arithmetic on #types×64 rows; all
+    inputs integers, estimator arithmetic one fixed operand order — the
+    oracle replays it exactly. Accuracy vs exact set ops is pinned in
+    tests/test_properties.py."""
+    from pyspark.sql import Window
+
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash60,
+    )
+
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("hv", portable_hash60(F.col("user_id").cast("string")))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hv").asc(), F.col("user_id").asc()
+    )
+    kmv = (
+        du.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+        .select("event_type", "hv")
+    )
+    types = kmv.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    u = (
+        pairs.join(
+            F.broadcast(kmv),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w2 = Window.partitionBy("ta", "tb").orderBy(F.col("hv").asc())
+    top = u.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 64)
+    agged = top.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("hv").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("common"),
+    )
+    est_union = F.when(
+        F.col("n") < 64, F.col("n") * 1.0
+    ).otherwise(F.lit(63.0 * 1152921504606846976) / F.col("hk"))
+    return agged.select(
+        "ta",
+        "tb",
+        F.round(est_union, 2).alias("est_union"),
+        F.round(
+            est_union * (F.col("common") * 1.0 / F.col("n")), 2
+        ).alias("est_intersect"),
+    )

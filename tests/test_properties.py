@@ -431,3 +431,43 @@ def test_histogram_degenerate_bounds_single_bin(spark, tmp_path):
     r = rows[0]
     assert r["bin"] == 0 and r["n"] == 50
     assert r["bin_min"] == 42.0 and r["bin_max"] == 42.0
+
+
+def test_kmv_union_tracks_exact(spark, sf_dir):
+    """The KMV union/intersection cardinality estimates must track the
+    exact set sizes within the sketch's error envelope (RSE ≈ 1/√(k−2),
+    k = 64 → 3σ ≈ 0.38; exact when the union fits the sketch)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.inventory.aggregates import (
+        agg_kmv_union,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    ev = table(spark, sf_dir, "events")
+    sets = {}
+    for t in [r["event_type"] for r in ev.select("event_type").distinct().collect()]:
+        sets[t] = {
+            r["user_id"]
+            for r in ev.where(F.col("event_type") == t)
+            .select("user_id").distinct().collect()
+        }
+    est = {
+        (r["ta"], r["tb"]): (r["est_union"], r["est_intersect"])
+        for r in agg_kmv_union(spark, sf_dir).collect()
+    }
+    exact = {
+        (a, b): (len(sets[a] | sets[b]), len(sets[a] & sets[b]))
+        for a, b in combinations(sorted(sets), 2)
+    }
+    assert set(est) == set(exact)
+    for pair, (xu, xi) in exact.items():
+        eu, ei = est[pair]
+        if xu <= 64:
+            assert eu == xu, (pair, eu, xu)
+        else:
+            assert abs(eu / xu - 1) <= 0.38, (pair, eu, xu)
+            # intersection estimate inherits union + jaccard error
+            assert abs(ei - xi) <= max(8.0, 0.6 * xi), (pair, ei, xi)
