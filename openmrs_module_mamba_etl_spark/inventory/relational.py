@@ -718,6 +718,73 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ), rd AS (
+      SELECT user_id, make_timestamp(tus) AS rts, value FROM r WHERE rn = 1
+    ), raw AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS lts,
+             b.value AS vb, epoch_us(b.rts) AS tb,
+             f.value AS vf, epoch_us(f.rts) AS tf
+      FROM orders o
+      ASOF LEFT JOIN rd b
+        ON o.o_custkey = b.user_id AND b.rts <= CAST(o.o_orderdate AS TIMESTAMP)
+      ASOF LEFT JOIN rd f
+        ON o.o_custkey = f.user_id AND f.rts >= CAST(o.o_orderdate AS TIMESTAMP)
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CASE WHEN tb IS NOT NULL AND (tf IS NULL OR lts - tb <= tf - lts)
+                THEN vb ELSE vf END AS asof_value,
+           CASE WHEN tb IS NOT NULL AND (tf IS NULL OR lts - tb <= tf - lts)
+                THEN tb ELSE tf END AS asof_tus
+    FROM raw
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction="nearest")``):
+    each order enriched with the customer event value CLOSEST in absolute
+    time, earlier or later, ties to the earlier row. One ascending sort
+    serves both sides — backward via the prefix carry, forward via the
+    suffix first — so the plan still pays a single exchange; the oracle
+    is two native DuckDB ASOF joins + the same nearest CASE."""
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+        "value",
+    )
+    out = asof_join(
+        orders,
+        events,
+        key_col="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ets",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+        right_key_col="user_id",
+        direction="nearest",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_value"),
+        F.unix_micros("asof_ts").alias("asof_tus"),
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT i.event_id AS purchase_id, p.event_id AS event_id

@@ -588,3 +588,27 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+@query("source_xml", oracle=_CUST_SQL)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion round-trip (Spark 4 native XML datasource) with an
+    explicit schema — the format EMR integration payloads (HL7/CDA-style
+    exports) actually arrive in. rowTag splits records, so files
+    partition like any text source; no inference pass. Same aggregate
+    contract as source_csv, so the oracle is layout-invariant."""
+    cust = table(spark, sf_dir, "customer")
+    target = _scratch_dir("source_xml")
+    cust.write.mode("overwrite").format("xml").option(
+        "rootTag", "customers"
+    ).option("rowTag", "customer").save(target)
+    back = (
+        spark.read.schema(cust.schema)
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(target)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )

@@ -43,7 +43,10 @@ def asof_join(
     ``right.ts >= left.ts`` (the scheduling/next-reading variant). Both
     are the same union + single window sort plan — forward just scans the
     merged stream in descending time order, so the prefix carry picks the
-    nearest later row.
+    nearest later row. ``"nearest"`` attaches whichever side is closer in
+    absolute distance (ties → backward), still over ONE ascending sort:
+    backward is the prefix carry, forward the suffix first — two window
+    passes, one exchange.
 
     ``right`` is first deduplicated to one row per (key, ts) —
     latest-``tiebreak_col`` wins — so the carried payload is deterministic
@@ -59,8 +62,10 @@ def asof_join(
     filters, so the plan shape is identical. Microseconds for timestamp
     columns; the raw column unit for numeric timestamps.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     rk = right_key_col or key_col
     # Payload columns ride under reserved "_p_" names so a left column that
     # happens to share a payload name is never merged by unionByName (that
@@ -93,16 +98,6 @@ def asof_join(
     tagged_l = l.withColumn("_side", F.lit(1))
     merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    # right (_side 0) sorts before left (_side 1) at equal ts → ties count
-    # ("at or before" / "at or after" both include the equal timestamp)
-    ts_order = (
-        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
-    )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(ts_order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # Carry the latest right row as ONE struct — all attached payload
     # values (NULLs included) come from the SAME row as the reported
     # asof_ts; per-column last(ignorenulls) could mix rows and resurrect
@@ -114,9 +109,52 @@ def asof_join(
             *[F.col(f"_p_{c}").alias(f"_p_{c}") for c in payload_cols],
         ),
     )
-    carried = merged.withColumn(
-        "_asof", F.last(asof_row, ignorenulls=True).over(w)
-    )
+    is_ts = str(r.schema["_ts"].dataType).startswith("Timestamp")
+
+    def _us(col):
+        return F.unix_micros(col) if is_ts else col
+
+    if direction == "nearest":
+        # One ascending sort serves BOTH sides: backward = prefix carry,
+        # forward = suffix first — same partitioning and ordering, so the
+        # plan pays one exchange+sort and two window passes (no second
+        # shuffle). Equal-ts right rows sort before the left row and land
+        # in the backward carry with distance 0, which the tie rule
+        # (<= → backward wins) then always selects — pandas merge_asof
+        # "nearest" semantics with a deterministic tiebreak.
+        w_asc = Window.partitionBy("_k").orderBy(
+            F.col("_ts").asc(), F.col("_side").asc()
+        )
+        back = F.last(asof_row, ignorenulls=True).over(
+            w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = F.first(asof_row, ignorenulls=True).over(
+            w_asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        lt_us = _us(F.col("_ts"))
+        bt, ft = _us(back.getField("__t")), _us(fwd.getField("__t"))
+        choose_b = bt.isNotNull() & (
+            ft.isNull() | ((lt_us - bt) <= (ft - lt_us))
+        )
+        carried = merged.withColumn(
+            "_asof", F.when(choose_b, back).otherwise(fwd)
+        )
+    else:
+        # right (_side 0) sorts before left (_side 1) at equal ts → ties
+        # count ("at or before" / "at or after" include the equal stamp)
+        ts_order = (
+            F.col("_ts").asc()
+            if direction == "backward"
+            else F.col("_ts").desc()
+        )
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(ts_order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = merged.withColumn(
+            "_asof", F.last(asof_row, ignorenulls=True).over(w)
+        )
 
     asof_ts = F.col("_asof").getField("__t")
 
@@ -124,11 +162,13 @@ def asof_join(
         return F.col("_asof").getField(f"_p_{c}")
 
     if tolerance_us is not None:
-        is_ts = str(r.schema["_ts"].dataType).startswith("Timestamp")
-        lt, at = F.col("_ts"), asof_ts
-        if is_ts:
-            lt, at = F.unix_micros(lt), F.unix_micros(at)
-        delta = (lt - at) if direction == "backward" else (at - lt)
+        lt, at = _us(F.col("_ts")), _us(asof_ts)
+        if direction == "backward":
+            delta = lt - at
+        elif direction == "forward":
+            delta = at - lt
+        else:  # nearest: bound the absolute match distance
+            delta = F.abs(lt - at)
         valid = asof_ts.isNotNull() & (delta <= F.lit(tolerance_us))
         orig_payload = payload
 

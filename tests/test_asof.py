@@ -109,3 +109,56 @@ def test_asof_forward_direction(spark):
         (1, 25, "at40", 40),   # earliest right >= 25
         (1, 50, None, None),   # nothing after → outer nulls
     ]
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    """nearest: closer side wins in absolute distance; equal distance →
+    the earlier (backward) row; one-sided rows still match."""
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 400), (2, 50)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 210, "b"), (1, 300, "c"), (2, 500, "z")],
+        "k long, rts long, tag string",
+    )
+    out = {
+        (r["k"], r["lts"]): (r["asof_tag"], r["asof_ts"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["tag"], direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 100)] == ("a", 90)    # 10 back vs 110 fwd
+    assert out[(1, 205)] == ("b", 210)   # 5 fwd beats 115 back
+    assert out[(1, 400)] == ("c", 300)   # only backward side exists
+    assert out[(2, 50)] == ("z", 500)    # only forward side exists
+    # equal distance: backward wins
+    left2 = spark.createDataFrame([(1, 200)], "k long, lts long")
+    right2 = spark.createDataFrame(
+        [(1, 150, "early"), (1, 250, "late")], "k long, rts long, tag string"
+    )
+    r2 = asof_join(
+        left2, right2, "k", "lts", "rts", ["tag"], direction="nearest"
+    ).collect()[0]
+    assert (r2["asof_tag"], r2["asof_ts"]) == ("early", 150)
+
+
+def test_asof_nearest_single_exchange(spark):
+    """nearest must stay one exchange: backward prefix-carry and forward
+    suffix-first share the same (key, ts) sort."""
+    import contextlib, io
+
+    from openmrs_module_mamba_etl_spark.operators.asof import asof_join
+
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS lts")
+    right = spark.range(50).selectExpr("id % 5 AS k", "id * 2 AS rts", "id AS v")
+    df = asof_join(left, right, "k", "lts", "rts", ["v"], direction="nearest")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # one hash exchange on the key (plus possibly AQE reads); no join
+    assert "Join" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
