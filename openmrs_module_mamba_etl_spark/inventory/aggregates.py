@@ -908,3 +908,53 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_union * (F.col("common") * 1.0 / F.col("n")), 2
         ).alias("est_intersect"),
     )
+
+
+@query(
+    "agg_quantile_sample",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice FROM (
+        SELECT o_totalprice, o_orderkey,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+        FROM orders
+      ) ORDER BY hv ASC, o_orderkey ASC LIMIT 4096
+    )
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_est,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_est,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99_est,
+           CAST(COUNT(*) AS BIGINT) AS n_sample
+    FROM s
+    """,
+)
+def agg_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SAMPLED quantiles: the bottom-4096 rows by md5
+    hash of the key are a uniform fixed-size sample whose membership is a
+    pure function of the data — no RNG, identical on any engine at any
+    parallelism (the KMV bottom-k idea applied to sampling; contrast
+    percentile_approx, whose GK merge is partition-order-dependent and
+    can only be rows-only checked). The bottom-k plans as TakeOrdered
+    (per-partition top-k then merge, no global sort); exact interpolated
+    percentiles then run on the 4096-row sample. Rank error ~ O(1/√n) is
+    pinned against the exact distribution in tests/test_properties.py."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        portable_hash60,
+    )
+
+    sample = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            portable_hash60(F.col("o_orderkey").cast("string")).alias("hv"),
+        )
+        .orderBy(F.col("hv").asc(), F.col("o_orderkey").asc())
+        .limit(4096)
+    )
+    return sample.agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50_est"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_est"),
+        F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99_est"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )

@@ -836,6 +836,87 @@ def ann_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivfpq_portable",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+               vec_id ASC) - 1 AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT cell, cv FROM ranked WHERE cell < 16
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT s.cell FROM seeds s, q
+      ORDER BY {_cos_sql('s.cv', 'q.qv')} DESC, s.cell ASC
+      LIMIT 4
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, s.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC,
+                        s.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ), cand AS (
+      SELECT vec_id, embedding FROM assign
+      WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+    ), subs AS (
+      SELECT unnest(range(0, 4)) AS m
+    ), enc AS (
+      SELECT e.vec_id, sub.m, s.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.m ORDER BY
+               list_sum(list_transform(
+                 list_zip({_pq_slice('e.embedding')}, {_pq_slice('s.cv')}),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) ASC,
+               s.cell ASC) AS rn
+      FROM cand e CROSS JOIN seeds s CROSS JOIN subs sub
+    ), lut AS (
+      SELECT sub.m, s.cell,
+             list_sum(list_transform(
+               list_zip({_pq_slice('q.qv')}, {_pq_slice('s.cv')}),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS ip
+      FROM seeds s CROSS JOIN subs sub, q
+    )
+    SELECT e.vec_id,
+           ROUND(MAX(CASE WHEN e.m = 0 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 1 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 2 THEN l.ip END)
+               + MAX(CASE WHEN e.m = 3 THEN l.ip END), 6) AS adc_ip
+    FROM enc e JOIN lut l ON e.m = l.m AND e.cell = l.cell
+    WHERE e.rn = 1
+    GROUP BY e.vec_id
+    ORDER BY adc_ip DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the composition FAISS actually ships, assembled
+    from this engine's two oracle-checked quantizers: the md5-seeded IVF
+    coarse quantizer prunes the scan to 4 of 16 cells (partition pruning
+    under a cell-partitioned layout), then PQ asymmetric-distance scoring
+    ranks only the surviving candidates through the query's lookup table.
+    Cell assignment, probe ranking, PQ encoding, LUT scoring and the
+    top-k all replay in the oracle."""
+    from openmrs_module_mamba_etl_spark.llm.ann import ivfpq_topk_portable
+
+    qv = _query_vec(spark, sf_dir, 0)
+    _assert_emb_dim(width=len(qv))
+    return ivfpq_topk_portable(
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_cells=16,
+        nprobe=4,
+        n_sub=4,
+        n_codes=16,
+    )
+
+
+@query(
     "ann_knn_join",
     oracle="""
     WITH scored AS (

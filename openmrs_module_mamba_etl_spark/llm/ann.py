@@ -554,3 +554,51 @@ def pq_topk_portable(
         .orderBy(F.col("adc_ip").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the composition FAISS actually ships: the IVF
+    coarse quantizer prunes the scan to ``nprobe`` cells (partition
+    pruning when the table is laid out by cell), then PQ asymmetric-
+    distance scoring ranks ONLY the surviving candidates via the query's
+    lookup table. At 100 TB this is the full architecture: codes+cell
+    replace the float vectors in storage, a probe reads nprobe/n_cells of
+    the code table, and scoring is n_sub lookups per candidate.
+
+    Both quantizers derive from the same md5-seed contract
+    (``ivf_seed_centroids``), so cell assignment, probe ranking, PQ
+    encoding, LUT scoring and the final top-k all replay in SQL.
+    """
+    centroids = ivf_seed_centroids(df, id_col, vec_col, n_cells)
+    sims = [_cosine_lr(c, query_vec) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
+
+    codebooks = pq_codebooks(df, id_col, vec_col, n_sub, n_codes)
+    d = len(codebooks[0][0])
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    codes = pq_encode(F.col(vec_col), codebooks)
+    score = None
+    for m in range(n_sub):
+        lut = [
+            _dot_lr(query_vec[m * d : (m + 1) * d], cw)
+            for cw in codebooks[m]
+        ]
+        term = F.element_at(F.array(*[F.lit(v) for v in lut]), codes[m] + 1)
+        score = term if score is None else score + term
+    return (
+        spread.withColumn("_cell", nearest_cell(F.col(vec_col), centroids))
+        .where(F.col("_cell").isin(probe))
+        .select(F.col(id_col), F.round(score, 6).alias("adc_ip"))
+        .orderBy(F.col("adc_ip").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -471,3 +471,27 @@ def test_kmv_union_tracks_exact(spark, sf_dir):
             assert abs(eu / xu - 1) <= 0.38, (pair, eu, xu)
             # intersection estimate inherits union + jaccard error
             assert abs(ei - xi) <= max(8.0, 0.6 * xi), (pair, ei, xi)
+
+
+def test_sampled_quantiles_rank_accuracy(spark, sf_dir):
+    """The hash-sampled quantile estimates must sit at the right rank of
+    the TRUE distribution: empirical CDF at each estimate within
+    3σ ≈ 3·√(q(1−q)/4096) of the target quantile (sample smaller than
+    4096 → estimates are exact)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.inventory.aggregates import (
+        agg_quantile_sample,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    est = agg_quantile_sample(spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    n = orders.count()
+    for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+        below = orders.where(F.col("o_totalprice") <= est[col]).count()
+        cdf = below / n
+        tol = 3 * math.sqrt(q * (1 - q) / min(est["n_sample"], 4096)) + 0.01
+        assert abs(cdf - q) <= tol, (col, cdf, q, tol)
