@@ -916,6 +916,96 @@ def ann_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 2) -> str:
+    """Unrolled Lloyd replay: md5-ranked seed centroids on the nano grid,
+    per-iteration (argmax-cosine assignment -> exact integer accumulator
+    sums -> single-division centroid update), empty cells carrying the
+    previous centroid. list(val ORDER BY dim) rebuilds each centroid as
+    an ordered list so the cosine is the same left-to-right fold the
+    engine uses."""
+    parts = [
+        f"""WITH ranked AS (
+      SELECT vec_id, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+               vec_id ASC) - 1 AS cell
+      FROM embeddings
+    ), seeds AS (
+      SELECT cell, cv FROM ranked WHERE cell < {k}
+    ), dims AS (
+      SELECT unnest(range(0, {dim})) AS dim
+    ), c0 AS (
+      SELECT s.cell, d.dim,
+             CAST(ROUND(CAST(s.cv[d.dim + 1] AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) / 1000000000.0 AS val
+      FROM seeds s CROSS JOIN dims d
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i - 1}l AS (
+      SELECT cell, list(val ORDER BY dim) AS cv FROM c{i - 1} GROUP BY cell
+    ), a{i} AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC,
+                        c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN c{i - 1}l c
+    ), m{i} AS (
+      SELECT vec_id, embedding, cell FROM a{i} WHERE rn = 1
+    ), u{i} AS (
+      SELECT m.cell, d.dim,
+             CAST(SUM(CAST(ROUND(CAST(m.embedding[d.dim + 1] AS DOUBLE)
+                                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m{i} m CROSS JOIN dims d GROUP BY 1, 2
+    ), c{i} AS (
+      SELECT p.cell, p.dim,
+             COALESCE(u.s / (1000000000.0 * u.n), p.val) AS val
+      FROM c{i - 1} p
+      LEFT JOIN u{i} u ON u.cell = p.cell AND u.dim = p.dim
+    )"""
+        )
+    parts.append(
+        f""", nfinal AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m{iters} GROUP BY cell
+    )
+    SELECT c.cell, c.dim, ROUND(c.val, 6) AS c_val,
+           COALESCE(n.n, 0) AS n_members
+    FROM c{iters} c LEFT JOIN nfinal n ON n.cell = c.cell"""
+    )
+    return "".join(parts)
+
+
+@query("train_kmeans", oracle=_kmeans_oracle(8, 64, 2))
+def train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING (2 Lloyd iterations, k=8) over the
+    embedding corpus — the clustering sibling of train_logreg. Assignment
+    is a codegen argmax over centroid literals (one corpus scan per
+    iteration); the update shuffles integer (cell, dim) accumulator cells
+    only (posexplode + map-side-combined hash agg, the emb_centroids
+    contraction). Components quantize to an int64 NANO grid before
+    summing, so accumulators are exact under any aggregation order and
+    each new centroid is one double division — which is what lets the
+    oracle replay the whole trajectory (seeds, both assignments, counts,
+    centroids) bit-for-bit."""
+    from openmrs_module_mamba_etl_spark.llm.kmeans import kmeans_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, counts = kmeans_train(emb, "vec_id", "embedding", k=8, iters=2)
+    rows = [
+        (c, d, cents[c][d], counts[c])
+        for c in range(8)
+        for d in range(len(cents[c]))
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, dim int, c_val double, n_members bigint"
+    ).select(
+        "cell", "dim", F.round("c_val", 6).alias("c_val"), "n_members"
+    )
+
+
 @query(
     "ann_knn_join",
     oracle="""

