@@ -755,12 +755,14 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("tb"),
         )
     )
+    # Equi-join, not IN(ta, tb): exploding each pair into its two member
+    # types gives the sketch join a hash key, so the only nested-loop left
+    # is the #types×#types pair triangle above (sketch-domain bounded).
     u = (
-        pairs.join(
-            F.broadcast(kmv),
-            (F.col("event_type") == F.col("ta"))
-            | (F.col("event_type") == F.col("tb")),
+        pairs.select(
+            "ta", "tb", F.explode(F.array("ta", "tb")).alias("event_type")
         )
+        .join(F.broadcast(kmv), "event_type")
         .groupBy("ta", "tb", "hv")
         .agg(
             F.max(
@@ -874,12 +876,14 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("tb"),
         )
     )
+    # Equi-join, not IN(ta, tb): exploding each pair into its two member
+    # types gives the sketch join a hash key, so the only nested-loop left
+    # is the #types×#types pair triangle above (sketch-domain bounded).
     u = (
-        pairs.join(
-            F.broadcast(kmv),
-            (F.col("event_type") == F.col("ta"))
-            | (F.col("event_type") == F.col("tb")),
+        pairs.select(
+            "ta", "tb", F.explode(F.array("ta", "tb")).alias("event_type")
         )
+        .join(F.broadcast(kmv), "event_type")
         .groupBy("ta", "tb", "hv")
         .agg(
             F.max(

@@ -106,6 +106,7 @@ def load_all() -> None:
         sampling_queries,
         flatten_queries,
         llm_queries,
+        mining_queries,
         analytics_queries,
         report_queries,
         sink_queries,

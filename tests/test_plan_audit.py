@@ -48,11 +48,20 @@ BNLJ_ALLOWED = {
     # broadcasts against the scored bigram stream — the scalar-subquery
     # shape again (pinned as such in tests/test_plan_shapes.py).
     "text_lm_score",
+    # naive-Bayes smoothing denominator: the 1-row vocabulary-size scalar
+    # broadcasts against the (#langs×#vocab) count table.
+    "train_naive_bayes",
+    # smooth-idf numerator: the 1-row corpus-count scalar broadcasts
+    # against the vocab-sized document-frequency table.
+    "text_tfidf_topk",
     # KMV pair enumeration: a theta self-join of the DISTINCT event-type
-    # list (#types rows, contracted before the join) and the broadcast of
-    # the #types×64-row sketch table — both sides bounded by the sketch
-    # domain, never by fact volume.
+    # list (#types rows, contracted before the join); the sketch join
+    # itself is a broadcast equi-join — only the #types×#types pair
+    # triangle nests, bounded by the sketch domain, never by fact volume.
     "agg_kmv_jaccard",
+    # Same pair-triangle shape as agg_kmv_jaccard (union/intersection
+    # estimates over the identical sketch table).
+    "agg_kmv_union",
 }
 
 #: executing the callable runs a streaming drain / writes — not a pure plan

@@ -95,6 +95,14 @@ AUDITED = [
     # frame is a literal weight row — the per-iteration plan shape is
     # documented in llm/logreg.py and pinned by its parity oracle)
     "agg_kmv_jaccard",
+    # round-5 mining additions: span-level dedup (content-hash winner
+    # election + doc-keyed reassembly), aggregation-as-training (posting
+    # shuffle / one-pass moment collection), and the grouped Gini rank
+    "text_segment_dedup",
+    "train_naive_bayes",
+    "train_ols",
+    "text_tfidf_topk",
+    "agg_gini",
 ]
 
 _JOIN_OPS = (
