@@ -103,6 +103,12 @@ AUDITED = [
     "train_ols",
     "text_tfidf_topk",
     "agg_gini",
+    # round-5 curation/eval additions: the one-scan dataset card, the
+    # budget-frontier window cut, two-arm RRF fusion, and eval-as-agg
+    "etl_dataset_card",
+    "sample_quality_budget",
+    "ann_hybrid_rrf",
+    "eval_auc",
 ]
 
 _JOIN_OPS = (
