@@ -919,3 +919,241 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --- ranking / calibration evaluation -------------------------------------
+
+#: 1/log2(rank+1) DCG discount weights for ranks 1..10, embedded as the
+#: SAME shortest-repr double literals in the Spark plan and the oracle SQL
+#: (the hyperplane-LSH contract) so each term is bit-identical.
+_DCG_W = [
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+    0.3562071871080222,
+    0.3333333333333333,
+    0.31546487678572877,
+    0.3010299956639812,
+    0.2890648263178879,
+]
+_DCG_W_SQL = "[" + ", ".join(repr(w) for w in _DCG_W) + "]"
+
+
+def _ndcg_oracle() -> str:
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _hyperplane_bucket_sql,
+    )
+
+    cos = """
+             ROUND(
+               list_sum(list_transform(list_zip(b.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine"""
+    return f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql(8)} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv, bucket AS qb FROM bkt WHERE vec_id = 0
+    ), ex AS (
+      SELECT b.vec_id, {cos}
+      FROM embeddings b, q
+      ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    ), exr AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS er
+      FROM ex
+    ), ap AS (
+      SELECT b.vec_id, {cos}
+      FROM bkt b, q
+      WHERE bit_count(xor(b.bucket, q.qb)) <= 2
+      ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    ), apr AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS ar
+      FROM ap
+    ), j AS (
+      SELECT e.er, a.ar
+      FROM exr e FULL OUTER JOIN apr a ON e.vec_id = a.vec_id
+    ), terms AS (
+      SELECT
+        CASE WHEN er IS NOT NULL AND ar IS NOT NULL
+             THEN CAST(ROUND((11 - er) * list_extract({_DCG_W_SQL},
+                              CAST(ar AS INT)) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS t_dcg,
+        CASE WHEN er IS NOT NULL
+             THEN CAST(ROUND((11 - er) * list_extract({_DCG_W_SQL},
+                              CAST(er AS INT)) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS t_idcg,
+        CASE WHEN er IS NOT NULL AND ar IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM j
+    )
+    SELECT CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(t_dcg) AS BIGINT) / 1000000.0, 6) AS dcg,
+           ROUND(CAST(SUM(t_idcg) AS BIGINT) / 1000000.0, 6) AS idcg,
+           ROUND(CAST(SUM(t_dcg) AS BIGINT) * 1.0
+                 / CAST(SUM(t_idcg) AS BIGINT), 6) AS ndcg
+    FROM terms
+    """
+
+
+@query("eval_ndcg", oracle=_ndcg_oracle())
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the multiprobe-LSH ANN index against exact brute-force
+    cosine — the graded-relevance quality gate that complements
+    ann_recall_eval's set-overlap recall: exact-rank r earns relevance
+    11−r, the approximate list is scored with 1/log2(rank+1) discounts,
+    and NDCG = DCG/IDCG.
+
+    Exactness: discount weights are shared double literals, every DCG
+    term is quantized to integer micro-units (ROUND(rel·w·1e6)) before
+    summation, so both engines sum identical integers in any order; the
+    two final divisions are the only float ops.
+
+    Scale shape: both arms contract to 10 rows before the fusion join
+    (exact arm scan+TakeOrdered, approx arm bucket-pruned scan), so the
+    evaluation itself is constant-cost — arm cost dominates exactly as at
+    100 TB, and the index-quality report rides an already-needed probe."""
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _query_vec,
+    )
+    from openmrs_module_mamba_etl_spark.llm.ann import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    exact = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("er"),
+    )
+    approx = lsh_topk(
+        emb, "vec_id", "embedding", qv, k=10, planes=8, multiprobe_hamming=2
+    ).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("ar"),
+    )
+    j = exact.join(approx, "vec_id", "full_outer")
+    both = F.col("er").isNotNull() & F.col("ar").isNotNull()
+    t_dcg = F.when(
+        both,
+        F.round(
+            (11 - F.col("er"))
+            * F.element_at(w_arr, F.col("ar").cast("int"))
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    t_idcg = F.when(
+        F.col("er").isNotNull(),
+        F.round(
+            (11 - F.col("er"))
+            * F.element_at(w_arr, F.col("er").cast("int"))
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return j.agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_hits"),
+        F.round(F.sum(t_dcg).cast("long") / 1000000.0, 6).alias("dcg"),
+        F.round(F.sum(t_idcg).cast("long") / 1000000.0, 6).alias("idcg"),
+        F.round(
+            F.sum(t_dcg).cast("long") * 1.0 / F.sum(t_idcg).cast("long"), 6
+        ).alias("ndcg"),
+    )
+
+
+def _calibration_oracle() -> str:
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _CLF_BIAS,
+        _CLF_W,
+    )
+
+    w_sql = "[" + ", ".join(repr(w) for w in _CLF_W) + "]"
+    return f"""
+    WITH {_QUALITY_CTE}, cp AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0
+    ), cs AS (
+      SELECT doc_id,
+             SUM(list_extract({w_sql},
+                   CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+                        AS INT) + 1)) AS wsum,
+             COUNT(*) AS n
+      FROM cp GROUP BY doc_id
+    ), preds AS (
+      SELECT cs.doc_id,
+             ROUND(1.0 / (1.0 + exp(-(wsum / n + {_CLF_BIAS}))), 6) AS p,
+             CASE WHEN s.q10 >= 7 THEN 1 ELSE 0 END AS pos
+      FROM cs JOIN scored s ON cs.doc_id = s.doc_id
+    )
+    SELECT CAST(FLOOR(p * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(p * 1000000) AS BIGINT)) AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_pred,
+           ROUND(SUM(pos) * 1.0 / COUNT(*), 6) AS pos_rate
+    FROM preds GROUP BY bin
+    """
+
+
+@query("eval_calibration", oracle=_calibration_oracle())
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the fasttext-style quality classifier
+    against the heuristic quality gate (q ≥ 0.7): per predicted-probability
+    decile, how many docs, the mean prediction, and the observed positive
+    rate — the calibration report that decides whether a filter threshold
+    is trustworthy.
+
+    Exactness: predictions are rounded to 6 dp BEFORE binning and the
+    per-bin mean aggregates integer micro-units (the deci-point trick),
+    so binning and means are exact under any fold order; positive rate is
+    an integer ratio.
+
+    Scale shape: classifier inference is the registered map-side pass
+    (hashed bag × weight literals, one posting shuffle), the quality gate
+    is codegen-only, the doc_id equi-join co-keys with the inference
+    aggregate, and the decile groupBy contracts to ≤11 rows — evaluation
+    costs one more map pass over work the pipeline already does."""
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _CLF_BIAS,
+        _CLF_W,
+    )
+    from openmrs_module_mamba_etl_spark.llm.curation import classifier_score
+
+    docs = table(spark, sf_dir, "documents")
+    preds = classifier_score(
+        docs, "doc_id", "text", weights=_CLF_W, bias=_CLF_BIAS
+    ).select("doc_id", F.col("quality_score").alias("p"))
+    gate = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(
+            (T.quality_score(F.col("text")) * 10).cast("long") >= 7, 1
+        ).otherwise(0).alias("pos"),
+    )
+    return (
+        preds.join(gate, "doc_id")
+        .groupBy(F.floor(F.col("p") * 10).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("p") * 1000000, 0).cast("long")).cast(
+                    "long"
+                )
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("mean_pred"),
+            F.round(F.sum("pos") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+    )
