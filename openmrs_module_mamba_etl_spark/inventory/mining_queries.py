@@ -1157,3 +1157,250 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pos") / F.count(F.lit(1)), 6).alias("pos_rate"),
         )
     )
+
+
+# --- numeric profiling / sketch point-queries ------------------------------
+
+#: Numeric lineitem columns profiled pairwise (DECIMAL-exact moments).
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sums = ",\n".join(
+        f"CAST(SUM(c{i}) AS DOUBLE) AS s{i}" for i in range(len(_CORR_COLS))
+    )
+    prods = ",\n".join(
+        f"CAST(SUM(c{i} * c{j}) AS DOUBLE) AS s{i}{j}"
+        for i in range(len(_CORR_COLS))
+        for j in range(i, len(_CORR_COLS))
+    )
+    casts = ", ".join(
+        f"CAST({c} AS DECIMAL(14,2)) AS c{i}"
+        for i, c in enumerate(_CORR_COLS)
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b,
+           ROUND((n * s{i}{j} - s{i} * s{j})
+                 / (sqrt(n * s{i}{i} - s{i} * s{i})
+                    * sqrt(n * s{j}{j} - s{j} * s{j})), 6) AS r
+    FROM m"""
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, {sums}, {prods}
+      FROM (SELECT {casts} FROM lineitem)
+    )
+{rows}
+    """
+
+
+@query("profile_correlation", oracle=_corr_oracle())
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    columns (upper triangle) — the column-profiling report a feature
+    pipeline runs before trusting derived signals, computed the same way
+    train_ols fits: ONE aggregation pass collects the k + k(k+1)/2
+    DECIMAL-exact moments, then every coefficient is scalar column math
+    on the single moment row, exploded into labeled pairs (no pivot, no
+    cross join, no second scan).
+
+    Exactness: DECIMAL(14,2) casts make every SUM exact integer
+    arithmetic under any partition fold order; the correlation formula
+    then runs in IEEE doubles with identical expression text on both
+    engines. Scale: one map-side-combined pass; adding columns grows the
+    moment vector O(k²), never the data passes."""
+    k = len(_CORR_COLS)
+    li = table(spark, sf_dir, "lineitem").select(
+        *[
+            F.col(c).cast("decimal(14,2)").alias(f"c{i}")
+            for i, c in enumerate(_CORR_COLS)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [
+        F.sum(f"c{i}").cast("double").alias(f"s{i}") for i in range(k)
+    ]
+    aggs += [
+        F.sum(F.col(f"c{i}") * F.col(f"c{j}")).cast("double").alias(f"s{i}{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    m = table(spark, sf_dir, "lineitem").select(
+        *[
+            F.col(c).cast("decimal(14,2)").alias(f"c{i}")
+            for i, c in enumerate(_CORR_COLS)
+        ]
+    ).agg(*aggs)
+    n = F.col("n")
+
+    def corr(i: int, j: int):
+        return F.round(
+            (n * F.col(f"s{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+            / (
+                F.sqrt(n * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+                * F.sqrt(
+                    n * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+                )
+            ),
+            6,
+        )
+
+    pairs = [
+        F.struct(
+            F.lit(_CORR_COLS[i]).alias("col_a"),
+            F.lit(_CORR_COLS[j]).alias("col_b"),
+            corr(i, j).alias("r"),
+        )
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    return m.select(F.explode(F.array(*pairs)).alias("kv")).select(
+        "kv.col_a", "kv.col_b", "kv.r"
+    )
+
+
+#: Count-min sketch geometry: d hash rows × w buckets. Width 256 on a
+#: 15-user test corpus makes collisions rare but nonzero at sf0.1 volumes;
+#: the estimate ≥ truth invariant is what the query publishes.
+_CMS_D, _CMS_W = 4, 256
+
+#: Probe keys whose counts the sketch answers (point queries).
+_CMS_PROBES = list(range(10))
+
+
+def _cms_bucket_sql(row: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{row}|' || CAST({key} AS VARCHAR)), "
+        f"1, 8))::BIGINT % {_CMS_W} AS BIGINT)"
+    )
+
+
+def _cms_oracle() -> str:
+    grid_rows = "\n      UNION ALL\n".join(
+        f"""      SELECT {i} AS hrow, {_cms_bucket_sql(i, "user_id")} AS bucket
+      FROM events"""
+        for i in range(_CMS_D)
+    )
+    probe_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {p} AS probe_id, {i} AS hrow, "
+        f"{_cms_bucket_sql(i, str(p))} AS bucket"
+        for p in _CMS_PROBES
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH cells AS (
+{grid_rows}
+    ), grid AS (
+      SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY hrow, bucket
+    ), probes AS (
+{probe_rows}
+    ), est AS (
+      SELECT probe_id, MIN(cnt) AS est
+      FROM probes JOIN grid USING (hrow, bucket)
+      GROUP BY probe_id
+    ), truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT e.probe_id AS user_id, CAST(e.est AS BIGINT) AS est,
+           t.true_cnt, CAST(e.est - t.true_cnt AS BIGINT) AS overcount
+    FROM est e JOIN truth t ON e.probe_id = t.user_id
+    """
+
+
+@query("agg_countmin_portable", oracle=_cms_oracle())
+def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (Cormode/Muthukrishnan): the event
+    stream contracts to a d×w integer counter grid (md5-derived buckets,
+    the engine-portable hash contract), and per-key count estimates are
+    the MIN over the d addressed cells — published next to the exact
+    count so the ``est ≥ truth`` one-sided-error invariant is visible in
+    the output.
+
+    Scale shape: the grid build is ONE map-side-combined aggregation of
+    d·w = 1024 cells regardless of stream volume — the sketch is what
+    ships, not the stream; probe lookups equi-join the probe set's d
+    addressed cells against the tiny grid (broadcast by AQE). The exact
+    `truth` branch exists only to exhibit the error bound at test scale —
+    a production deployment reads the grid alone.
+
+    Cite: reference-side analytics would run this as a MySQL SP over the
+    full table (openmrs-module-mamba-etl `README.md:243-328` pattern);
+    the sketch is the 100 TB answer to the same point query."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(row: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}|"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hrow"),
+                        bucket(i, F.col("user_id")).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rc")
+    )
+    grid = cells.groupBy("rc.hrow", "rc.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # The probe set is a literal: address each probe's d cells the same
+    # way the grid hashed them (row index baked into the hashed string).
+    probes = spark.createDataFrame(
+        [(p, i) for p in _CMS_PROBES for i in range(_CMS_D)],
+        "probe_id long, hrow int",
+    ).select(
+        "probe_id",
+        "hrow",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("hrow").cast("string"),
+                            F.lit("|"),
+                            F.col("probe_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(grid, ["hrow", "bucket"])
+        .groupBy("probe_id")
+        .agg(F.min("cnt").alias("est"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(truth, est.probe_id == truth.user_id)
+        .select(
+            F.col("probe_id").alias("user_id"),
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )

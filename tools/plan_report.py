@@ -109,6 +109,8 @@ AUDITED = [
     "sample_quality_budget",
     "ann_hybrid_rrf",
     "eval_auc",
+    "profile_correlation",
+    "agg_countmin_portable",
 ]
 
 _JOIN_OPS = (
