@@ -1404,3 +1404,100 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.col("true_cnt")).alias("overcount"),
         )
     )
+
+
+# --- embedding truncation (Matryoshka) evaluation --------------------------
+
+#: Truncation widths evaluated against the full 64-dim ranking.
+_TRUNC_DIMS = [8, 16, 32]
+
+
+def _trunc_oracle() -> str:
+    def cos(vec: str, q: str) -> str:
+        return f"""ROUND(
+               list_sum(list_transform(list_zip({vec}, {q}),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform({vec},
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform({q},
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6)"""
+
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT {w} AS dim_trunc,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT b.vec_id, {cos("b.embedding[1:{w}]".format(w=w),
+                                    "q.qv[1:{w}]".format(w=w))} AS cosine
+              FROM embeddings b, q
+              ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+            ) tr JOIN ex ON tr.vec_id = ex.vec_id) AS BIGINT) AS n_overlap
+    FROM (SELECT 1)"""
+        for w in _TRUNC_DIMS
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT b.vec_id, {cos("b.embedding", "q.qv")} AS cosine
+      FROM embeddings b, q
+      ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    )
+    SELECT dim_trunc, n_overlap,
+           ROUND(n_overlap / 10.0, 6) AS recall
+    FROM (
+{arms}
+    )
+    """
+
+
+@query("emb_truncation_eval", oracle=_trunc_oracle())
+def emb_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation sweep: top-10 recall of prefix-d
+    cosine rankings (d = 8/16/32) against the full 64-dim exact top-10 —
+    the report that decides how far an embedding column can be truncated
+    (4–8× storage and bandwidth at 100 TB) before retrieval quality
+    degrades.
+
+    Determinism: every arm ranks by its ROUNDED cosine with id tie-break
+    (the brute_force_topk contract), so each top-10 SET is a pure
+    function of published values; recall is an integer/10 ratio.
+
+    Scale shape: each truncated arm is the same scan + TakeOrdered shape
+    as the full ranking but reads only the prefix slice (with a columnar
+    layout that is proportionally less I/O); overlap counting semi-joins
+    two 10-row sets. Arms share one corpus scan per width — the sweep is
+    k cheap passes, not k² work."""
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _query_vec,
+    )
+    from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    exact = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
+        "vec_id"
+    )
+    arms = []
+    for w in _TRUNC_DIMS:
+        trunc = brute_force_topk(
+            emb.select(
+                "vec_id", F.slice("embedding", 1, w).alias("embedding")
+            ),
+            "vec_id",
+            "embedding",
+            qv[:w],
+            k=10,
+        ).select("vec_id")
+        arms.append(
+            trunc.join(exact, "vec_id", "semi").agg(
+                F.lit(w).alias("dim_trunc"),
+                F.count(F.lit(1)).alias("n_overlap"),
+            )
+        )
+    swept = arms[0]
+    for a in arms[1:]:
+        swept = swept.unionByName(a)
+    return swept.select(
+        "dim_trunc",
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 6).alias("recall"),
+    )

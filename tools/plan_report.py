@@ -111,6 +111,7 @@ AUDITED = [
     "eval_auc",
     "profile_correlation",
     "agg_countmin_portable",
+    "emb_truncation_eval",
 ]
 
 _JOIN_OPS = (
