@@ -1501,3 +1501,77 @@ def emb_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 10.0, 6).alias("recall"),
     )
+
+
+# --- perceptual image dedup ------------------------------------------------
+
+
+@query("multimodal_phash_dedup")  # pixel-domain hash: not SQL-replayable
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image dedup: dHash (8×8 difference hash over a
+    luminance thumbnail) groups images by PIXELS, not bytes — catching
+    re-encoded duplicates that sha256 dedup provably misses.
+
+    The query constructs its own adversarial corpus: one real PNG per
+    sampled document (1-in-17, pixels from the text bytes — the
+    multimodal_decode_real recipe) encoded TWICE with different PNG
+    scanline filters (None vs Up). The encodings are byte-distinct
+    (different sha256) but pixel-identical, so every perceptual group
+    must contain ≥2 members with ≥2 distinct byte digests — the output
+    publishes both counts, making the "content dedup beats byte dedup"
+    invariant visible per group (pinned in tests/test_phash.py, which
+    also pins the bit-level dHash contract).
+
+    Rows-only by design: PNG decode + thumbnail luminance is not
+    SQL-expressible; the grouping invariants and the kernel bits are
+    pinned by unit tests instead (house rule for quantizer/codec-seeded
+    ops).
+
+    Scale shape: encode+hash run in one Arrow mapInPandas pass; grouping
+    shuffles (phash, id, sha) triples only — media bytes never shuffle,
+    the media_dedup contract with a re-encoding-invariant key."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        phash_images,
+    )
+    from openmrs_module_mamba_etl_spark.llm.png import encode_png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        for pdf in it:
+            out_ids, out_png = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 4 + did % 13, 3 + did % 7
+                need = w * h * 3
+                payload = (text.encode() or b"\x00") * (
+                    need // max(1, len(text)) + 2
+                )
+                for variant, ftype in ((0, 0), (1, 2)):
+                    out_ids.append(did * 2 + variant)
+                    out_png.append(encode_png(w, h, payload[:need], ftype))
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "content": out_png,
+                    "mime": "image/png",
+                    "source_uri": [f"synthetic://{i}" for i in out_ids],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return (
+        phash_images(media)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("sha256").alias("n_distinct_bytes"),
+        )
+    )

@@ -399,3 +399,70 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("sha256"),
         "mime",
     )
+
+
+#: Output schema of phash_images: the 64-bit dHash as a signed long plus
+#: the exact byte digest, so callers can see when perceptual grouping
+#: collapses byte-distinct encodings.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+
+def _dhash64(content: bytes) -> int:
+    """Difference hash (dHash, 8×8 = 64 bits) of an encoded image.
+
+    Decode → 9×8 nearest-neighbor luminance thumbnail → each bit compares
+    horizontally adjacent cells (left < right). Integer arithmetic
+    throughout ((299R+587G+114B)//1000), so the hash is a deterministic
+    pure function of the PIXELS — two encodings of the same image (PNG
+    filter variants, chunk-layout differences) hash identically even
+    though their bytes (and sha256) differ. Returned as a SIGNED 64-bit
+    value (two's complement) so it fits a Spark LongType column."""
+    from openmrs_module_mamba_etl_spark.llm.png import resize_nearest
+
+    w, h, raw = _decode_rgb(content)
+    thumb = resize_nearest(w, h, raw, 9, 8)
+    lum = [
+        (299 * thumb[i * 3] + 587 * thumb[i * 3 + 1] + 114 * thumb[i * 3 + 2])
+        // 1000
+        for i in range(72)
+    ]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (1 if lum[r * 9 + c] < lum[r * 9 + c + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """Perceptual hash per media item via Arrow-batched mapInPandas:
+    (media_id, phash, sha256). NULL payloads yield NULL hashes.
+
+    Scale shape: the only Python work is the per-payload decode+thumbnail
+    kernel (unavoidable — codecs aren't SQL); output is 3 narrow columns,
+    so downstream near-dup grouping shuffles (hash, id) pairs, never the
+    media bytes — the same contract as media_dedup, with the hash now
+    invariant to re-encoding."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"].map(
+                        lambda b: None if b is None else _dhash64(b)
+                    ),
+                    "sha256": pdf["content"].map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
