@@ -1575,3 +1575,69 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("sha256").alias("n_distinct_bytes"),
         )
     )
+
+
+# --- exact distinct via bitmap aggregation ---------------------------------
+
+#: Bitmap block width. 63 (not 64): DuckDB's BIGINT left-shift raises on
+#: 1 << 63 while Spark wraps — 62 is the highest portable shift, so keys
+#: pack 63 per word on both engines.
+_BMP_W = 63
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, user_id // {_BMP_W} AS blk,
+             bit_or(1::BIGINT << CAST(user_id % {_BMP_W} AS INT)) AS word
+      FROM events GROUP BY event_type, blk
+    ), b AS (
+      SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT)
+               AS n_users_bitmap
+      FROM w GROUP BY event_type
+    ), d AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS n_users_direct
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_users_bitmap, n_users_direct
+    FROM b JOIN d USING (event_type)
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap OR-aggregation (the ClickHouse
+    groupBitmap / roaring-bitmap pattern, word-packed): each user sets one
+    bit in its 63-key block's word, blocks OR-combine map-side, and the
+    distinct count is the popcount sum — exact like COUNT(DISTINCT), but
+    the shuffled state is ONE long per (group, block) no matter how many
+    duplicate events hit the block, and block partials merge with a
+    single OR (associative, re-aggregable across days/partitions — the
+    property COUNT(DISTINCT) lacks and sketches only approximate).
+
+    The direct COUNT(DISTINCT) rides along so the output exhibits
+    bitmap ≡ direct per group.
+
+    Scale shape: one shuffle keyed (group, block) contracting duplicate
+    hits map-side via bit_or; the popcount re-aggregation runs on the
+    contracted word table (|groups|×|blocks| rows). Dense ids pack 63×
+    tighter than (group, user) pairs; sparse ids degrade to pair-shuffle
+    size, never worse."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = ev.groupBy(
+        "event_type",
+        F.expr(f"user_id div {_BMP_W}").alias("blk"),
+    ).agg(
+        # expr: the Python shiftleft() helper takes only a literal bit
+        # count; the SQL function accepts a column.
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(user_id % {_BMP_W} AS INT))")
+        ).alias("word")
+    )
+    bitmap = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users_bitmap")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_direct")
+    )
+    return bitmap.join(direct, "event_type")

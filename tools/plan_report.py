@@ -112,6 +112,7 @@ AUDITED = [
     "profile_correlation",
     "agg_countmin_portable",
     "emb_truncation_eval",
+    "agg_bitmap_distinct",
 ]
 
 _JOIN_OPS = (
