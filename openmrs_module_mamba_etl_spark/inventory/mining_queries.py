@@ -1641,3 +1641,135 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users_direct")
     )
     return bitmap.join(direct, "event_type")
+
+
+# --- partial-aggregate merge (incremental re-aggregation) ------------------
+
+_US_DAY = 86_400_000_000
+
+
+@query(
+    "agg_partial_merge",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(value AS DECIMAL(14,2)) AS v,
+             (epoch_us(ts) // {_US_DAY}) % 2 AS half
+      FROM events
+    ), words AS (
+      SELECT event_type, half, user_id // {_BMP_W} AS blk,
+             bit_or(1::BIGINT << CAST(user_id % {_BMP_W} AS INT)) AS word
+      FROM e GROUP BY event_type, half, blk
+    ), stats AS (
+      SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(v) AS DECIMAL(18,2)) AS s,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM e GROUP BY event_type, half
+    ), m_words AS (
+      SELECT event_type, CAST(SUM(bit_count(word2)) AS BIGINT) AS n_users
+      FROM (
+        SELECT event_type, blk, bit_or(word) AS word2
+        FROM words GROUP BY event_type, blk
+      ) GROUP BY event_type
+    ), m_stats AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             CAST(SUM(s) AS DECIMAL(18,2)) AS s,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM stats GROUP BY event_type
+    ), direct AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_cnt,
+             CAST(SUM(v) AS DECIMAL(18,2)) AS d_s,
+             MIN(v) AS d_mn, MAX(v) AS d_mx,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_users
+      FROM e GROUP BY event_type
+    )
+    SELECT s.event_type,
+           s.cnt,
+           CAST(s.s AS DOUBLE) AS sum_v,
+           CAST(s.mn AS DOUBLE) AS min_v,
+           CAST(s.mx AS DOUBLE) AS max_v,
+           w.n_users,
+           (s.cnt = d.d_cnt AND s.s = d.d_s AND s.mn = d.d_mn
+            AND s.mx = d.d_mx AND w.n_users = d.d_users) AS merged_eq_direct
+    FROM m_stats s
+    JOIN m_words w USING (event_type)
+    JOIN direct d USING (event_type)
+    """,
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-aggregation correctness, demonstrated in one plan:
+    the stream splits into two halves (even/odd days — yesterday's
+    partition vs today's increment), each half reduces to mergeable
+    partial state (count / DECIMAL sum / min / max / bitmap-distinct
+    words), the partials MERGE (sum-of-sums, min-of-mins, OR-of-words),
+    and the output publishes ``merged_eq_direct`` — merged state equals a
+    full recompute, per group. This is the algebra that lets a 100 TB
+    daily pipeline update stats by touching only the increment.
+
+    Exactness: counts/bitmaps are integers, sums are DECIMAL (exact,
+    fold-order-free), min/max idempotent — every merge step is exact, so
+    the equality column is a hard invariant, not a tolerance check.
+
+    Scale shape: partials contract per (group, half) — the merge
+    re-aggregates model-sized tables; the `direct` branch exists to
+    exhibit the invariant and would be absent in production (that's the
+    point: the full scan is only needed once)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+        (F.expr(f"(ts div 1000) div {_US_DAY}") % 2).alias("half"),
+    )
+    words = ev.groupBy(
+        "event_type", "half", F.expr(f"user_id div {_BMP_W}").alias("blk")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(user_id % {_BMP_W} AS INT))")
+        ).alias("word")
+    )
+    m_words = (
+        words.groupBy("event_type", "blk")
+        .agg(F.bit_or("word").alias("word2"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("word2")).cast("long").alias("n_users"))
+    )
+    stats = ev.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("v").cast("decimal(18,2)").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    m_stats = stats.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("s").cast("decimal(18,2)").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_cnt"),
+        F.sum("v").cast("decimal(18,2)").alias("d_s"),
+        F.min("v").alias("d_mn"),
+        F.max("v").alias("d_mx"),
+        F.count_distinct("user_id").alias("d_users"),
+    )
+    return (
+        m_stats.join(m_words, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "cnt",
+            # DECIMAL stays exact through every merge; publish as DOUBLE
+            # (values ≪ 2^53, conversion exact) so pandas dtypes agree.
+            F.col("s").cast("double").alias("sum_v"),
+            F.col("mn").cast("double").alias("min_v"),
+            F.col("mx").cast("double").alias("max_v"),
+            "n_users",
+            (
+                (F.col("cnt") == F.col("d_cnt"))
+                & (F.col("s") == F.col("d_s"))
+                & (F.col("mn") == F.col("d_mn"))
+                & (F.col("mx") == F.col("d_mx"))
+                & (F.col("n_users") == F.col("d_users"))
+            ).alias("merged_eq_direct"),
+        )
+    )

@@ -113,6 +113,7 @@ AUDITED = [
     "agg_countmin_portable",
     "emb_truncation_eval",
     "agg_bitmap_distinct",
+    "agg_partial_merge",
 ]
 
 _JOIN_OPS = (
