@@ -469,3 +469,66 @@ def test_pretok_shards_loser_complement_no_cartesian(spark, sf_dir):
     p = plan(spark, sf_dir, "etl_pretok_shards")
     assert "size(ids" in p
     assert "CartesianProduct" not in p
+
+
+def test_dataset_card_no_joins_two_exchanges(spark, sf_dir):
+    """etl_dataset_card is one scan → one groupBy(source): quality and
+    the content hash are map-side codegen; nothing joins, nothing
+    broadcasts. The distinct-hash count adds its expand/exchange pass but
+    no join may appear — the round-4 scale-killer class (corpus-sized
+    broadcast) stays dead."""
+    p = plan(spark, sf_dir, "etl_dataset_card")
+    assert "Join" not in p
+    assert "Scan parquet" in p and p.count("Scan parquet ") <= 2
+
+
+def test_quality_budget_single_shuffle_window(spark, sf_dir):
+    """sample_quality_budget: one exchange on the source key feeding a
+    sorted window running sum — no join, no second scan, no global
+    sort."""
+    p = plan(spark, sf_dir, "sample_quality_budget")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_segment_dedup_no_join_two_shuffles(spark, sf_dir):
+    """text_segment_dedup: winner election is a window over the segment
+    content hash, reassembly a groupBy(doc_id) — exactly the two dedup
+    exchanges, never a join of corpus-sized relations."""
+    p = plan(spark, sf_dir, "text_segment_dedup")
+    assert "Join" not in p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2
+
+
+def test_bitmap_distinct_word_contraction(spark, sf_dir):
+    """agg_bitmap_distinct: the bitmap arm aggregates words at
+    (group, block) granularity with a map-side partial — duplicate hits
+    contract BEFORE the shuffle; no sort-merge join (the two tiny
+    per-group result tables meet in a broadcast)."""
+    p = plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final × (words, popcount)
+
+
+def test_ols_single_pass_no_exchange_after_agg(spark, sf_dir):
+    """train_ols: ONE aggregation pass to a single moment row; the Cramer
+    solve is scalar projection — no join, no window, no second scan."""
+    p = plan(spark, sf_dir, "train_ols")
+    assert "Join" not in p
+    assert "Window" not in p
+    # one scan node = tree line + details header
+    assert p.count("Scan parquet ") <= 2
+
+
+def test_hybrid_rrf_arms_contract_before_fusion(spark, sf_dir):
+    """ann_hybrid_rrf: both retrieval arms reduce to top-k
+    (TakeOrdered / Limit) BEFORE the fusion join — the join must never
+    see a corpus-sized input."""
+    p = plan(spark, sf_dir, "ann_hybrid_rrf")
+    assert "TakeOrderedAndProject" in p
+    # fusion of two ≤20-row arms: any join strategy is fine, but no
+    # broadcast of a raw scan (arms contract first)
+    assert "CartesianProduct" not in p
