@@ -1,13 +1,17 @@
 """Corpus-mining inventory: span-level dedup, classical model training as
-aggregation, and concentration diagnostics.
+aggregation, evaluation-as-aggregation, sketches, and release reports.
 
 These extend the training-data-pipeline surface (SURVEY.md §2.I) with the
-ops a curation team reaches for right after document-level dedup: removing
-*repeated spans* inside otherwise-unique documents (the C4 / Falcon
-"duplicated line" filter, here at token-segment granularity since the
-synthetic corpus has no newlines), fitting the tiny models used as quality
-gates (multinomial naive Bayes, closed-form OLS), TF-IDF keyword
-extraction, and a Gini concentration report.
+ops a curation team reaches for right after document-level dedup:
+span-level repeated-segment removal (the C4 / Falcon "duplicated line"
+filter at token-segment granularity), the tiny models used as quality
+gates (naive Bayes, closed-form OLS, TF-IDF), model/index EVALUATION as
+pure aggregation (confusion matrix, exact AUC, NDCG@10, calibration,
+embedding-truncation recall), release observability (per-source dataset
+card, Gini concentration, correlation profile), budgeted quality-first
+sampling, hybrid BM25⊕cosine retrieval, perceptual image dedup, and the
+mergeable-state family (count-min grid, bitmap-exact distinct,
+partial-aggregate merge).
 
 Bit-exactness strategy, same as the rest of the inventory: integer
 counts stay integral until a final double division; money/quantity
