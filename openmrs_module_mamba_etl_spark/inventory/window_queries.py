@@ -1328,3 +1328,94 @@ def rollup_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").alias("day"),
     ).agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
     return lttb_downsample(daily, "event_type", "day", "cents", n_out=12)
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_blocks
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact distinct counting — the op COUNT(DISTINCT) cannot
+    stream — via mergeable bitmap state (the agg_bitmap_distinct words):
+    each micro-batch reduces to (event_type, block, word) partials that
+    OR-merge into the standing state table; the published count is the
+    popcount sum over final state.
+
+    The oracle is the one-shot batch COUNT(DISTINCT) over ALL events, so
+    parity proves batch-boundary invariance: four time-split micro-batches
+    converge to exactly the full-scan answer because OR is associative,
+    commutative, and idempotent — re-delivered events are absorbed free,
+    which also makes the sink at-least-once safe. ``n_blocks`` (state
+    rows per group) is published too: state is O(keyspace/63) words, not
+    O(stream).
+
+    Scale shape: per batch, one map-side-combined word aggregate over the
+    increment + a state merge keyed (group, block); versioned state dirs
+    give atomic publish, same contract as stream_upsert."""
+    import os
+    import shutil
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch = _scratch_dir("stream_bitmap_distinct")
+    src = os.path.join(scratch, "in")
+
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    cur: dict[str, str] = {}
+
+    def words(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.expr("user_id div 63").alias("blk")
+        ).agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")
+            ).alias("word")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        w = words(batch.select("event_type", "user_id"))
+        if "path" in cur:
+            state = ss.read.parquet(cur["path"])
+            w = (
+                state.unionByName(w)
+                .groupBy("event_type", "blk")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        new_path = os.path.join(scratch, f"state_v{batch_id}")
+        w.write.mode("overwrite").parquet(new_path)
+        old = cur.get("path")
+        cur["path"] = new_path
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.read.parquet(cur["path"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("word")).cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
