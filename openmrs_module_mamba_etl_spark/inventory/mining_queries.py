@@ -1777,3 +1777,159 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_eq_direct"),
         )
     )
+
+
+# --- LSH index-quality evaluation ------------------------------------------
+
+
+def _lsh_eval_oracle() -> str:
+    from openmrs_module_mamba_etl_spark.inventory.llm_queries import (
+        _SHINGLE_CTE,
+    )
+
+    return (
+        _SHINGLE_CTE
+        + """
+    , ex AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), mh AS (
+      SELECT doc_id, s.seed,
+             MIN(('0x' || substr(md5(s.seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS v
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(b.band::VARCHAR || '|' ||
+                  array_to_string(sig[b.band*4+1 : b.band*4+4], ',')), 1, 15))::BIGINT
+               AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), shared AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT s.id_a, s.id_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM shared s
+        JOIN shingled sa ON sa.doc_id = s.id_a
+        JOIN shingled sb ON sb.doc_id = s.id_b
+      ) WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ), hits AS (
+      SELECT COUNT(*) AS n_hit
+      FROM cand JOIN truth USING (id_a, id_b)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit * 1.0 / (SELECT COUNT(*) FROM cand), 6) AS precision,
+           ROUND(n_hit * 1.0 / (SELECT COUNT(*) FROM truth), 6) AS recall
+    FROM hits
+    """
+    )
+
+
+@query("dedup_lsh_eval", oracle=_lsh_eval_oracle())
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality gate for the MinHash-LSH dedup index — the dedup
+    sibling of ann_recall_eval: UNVERIFIED band-bucket candidate pairs
+    (16 md5-contract hashes × 4 bands, the dedup_minhash_portable
+    geometry) scored against exact shingle-Jaccard ≥ 0.5 ground truth;
+    publishes candidate/truth/hit counts plus precision and recall — the
+    S-curve's real operating point on this corpus, measured not assumed.
+
+    Recall here is what the production pipeline silently relies on
+    (missed candidates = undetected duplicates, unrecoverable later);
+    precision only prices the verification join.
+
+    Scale shape: the candidate arm is the production LSH shape (doc-row
+    signature aggregate, band-bucket equi-join). The TRUTH arm joins all
+    pairs sharing any shingle — strictly an evaluation harness, run on a
+    sample at 100 TB (same caveat as ann_recall_eval's brute-force arm);
+    counts are integers, ratios exact divisions."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        band_hashes,
+        portable_hash60,
+        word_shingles,
+    )
+    from openmrs_module_mamba_etl_spark.llm.dedup import _pair_join, _spread
+
+    num_hashes, bands, rows_per_band = 16, 4, 4
+    base = (
+        _spread(table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+        )
+        .persist()
+    )
+    ex = base.select("doc_id", F.explode("shingles").alias("sh"))
+    mins = [
+        F.min(
+            portable_hash60(F.concat(F.lit(f"{seed}:"), F.col("sh")))
+        ).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("sig"),
+        )
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            band_hashes(F.col("sig"), bands, rows_per_band, portable=True)
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = _pair_join(buckets, "doc_id", ["band", "bucket"]).distinct()
+
+    shared = _pair_join(ex, "doc_id", ["sh"]).distinct()
+    sh = base.select("doc_id", "shingles")
+    truth = (
+        shared.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .where(
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    # ONE full-outer marker join + ONE aggregate row: three scalar counts
+    # without 1x1 cross joins (which plan as CartesianProduct).
+    marked = cand.withColumn("in_c", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return marked.agg(
+        F.sum("in_c").cast("long").alias("n_cand"),
+        F.sum("in_t").cast("long").alias("n_true"),
+        F.count(
+            F.when(F.col("in_c").isNotNull() & F.col("in_t").isNotNull(), 1)
+        ).alias("n_hit"),
+    ).select(
+        "n_cand",
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+    )
