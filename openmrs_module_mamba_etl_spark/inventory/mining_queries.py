@@ -1933,3 +1933,101 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
         F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
     )
+
+
+# --- running exact distinct (cumulative-unique-users curve) ----------------
+
+
+@query(
+    "window_running_distinct",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_US_DAY} AS day,
+             user_id // {_BMP_W} AS blk,
+             bit_or(1::BIGINT << CAST(user_id % {_BMP_W} AS INT)) AS word
+      FROM events GROUP BY event_type, day, blk
+    ), cum AS (
+      SELECT event_type, day, blk,
+             bit_or(word) OVER (
+               PARTITION BY event_type, blk ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS cword
+      FROM daily
+    ), days AS (
+      SELECT DISTINCT event_type, day FROM daily
+    ), filled AS (
+      SELECT d.event_type, d.day, c.blk, c.cword,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.event_type, d.day, c.blk
+               ORDER BY c.day DESC) AS rn
+      FROM days d JOIN cum c
+        ON c.event_type = d.event_type AND c.day <= d.day
+    )
+    SELECT event_type, day,
+           CAST(SUM(bit_count(cword)) AS BIGINT) AS n_users_cum
+    FROM filled WHERE rn = 1
+    GROUP BY event_type, day
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique-users curve, EXACT: per (group, day), how many
+    distinct users have been seen so far — the growth chart every
+    dashboard wants, which naive SQL recomputes with N² day-prefix scans
+    and sketches only approximate. Bitmap words make it one pass: daily
+    (group, block) words, a running OR per block lane (set-union is
+    associative so the window prefix IS the cumulative set), then a
+    popcount sum per day over each lane's latest word.
+
+    The lane fill joins each day to its most recent ≤-day word per block
+    — at most |blocks|×|days| rows per group, all post-contraction.
+
+    Scale shape: the only data-proportional exchange is the daily word
+    aggregate (map-side combined); the running OR and the fill run on the
+    contracted (group, day, block) table. State per lane is one long —
+    the same mergeable-bitmap algebra as agg_partial_merge, composed with
+    a window."""
+    daily = table(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.expr(f"(ts div 1000) div {_US_DAY}").alias("day"),
+        F.expr(f"user_id div {_BMP_W}").alias("blk"),
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(user_id % {_BMP_W} AS INT))")
+        ).alias("word")
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        "blk",
+        F.bit_or("word")
+        .over(
+            Window.partitionBy("event_type", "blk")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cword"),
+    )
+    days = daily.select("event_type", "day").distinct()
+    filled = (
+        days.join(
+            cum.select(
+                "event_type",
+                F.col("day").alias("cday"),
+                "blk",
+                "cword",
+            ),
+            "event_type",
+        )
+        .where(F.col("cday") <= F.col("day"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "day", "blk").orderBy(
+                    F.col("cday").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return filled.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("cword")).cast("long").alias("n_users_cum")
+    )

@@ -114,6 +114,7 @@ AUDITED = [
     "emb_truncation_eval",
     "agg_bitmap_distinct",
     "agg_partial_merge",
+    "window_running_distinct",
 ]
 
 _JOIN_OPS = (
