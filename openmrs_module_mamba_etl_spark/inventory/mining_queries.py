@@ -2031,3 +2031,133 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("event_type", "day").agg(
         F.sum(F.bit_count("cword")).cast("long").alias("n_users_cum")
     )
+
+
+# --- log-bucketed percentile sketch (HdrHistogram-style) -------------------
+
+_HDR_QS = [0.5, 0.95, 0.99]
+_HDR_QS_SQL = "[" + ", ".join(repr(q) for q in _HDR_QS) + "]"
+
+
+@query(
+    "agg_hdr_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), bucketed AS (
+      SELECT cents,
+             length(bin(cents)) - 1 AS msb,
+             cents >> (length(bin(cents)) - 1 - 3) AS sub
+      FROM c
+    ), grid AS (
+      SELECT msb * 8 + sub - 8 AS bucket,
+             CAST(MIN(sub << (msb - 3)) AS BIGINT) AS lb_cents,
+             COUNT(*) AS n
+      FROM bucketed GROUP BY msb * 8 + sub - 8
+    ), cum AS (
+      SELECT bucket, lb_cents,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(n) OVER () AS total
+      FROM grid
+    ), est AS (
+      SELECT q.q, MIN(lb_cents) AS est_cents
+      FROM cum CROSS JOIN (SELECT CAST(unnest({_HDR_QS_SQL}) AS DOUBLE) AS q) q
+      WHERE cn >= ceil(q.q * total)
+      GROUP BY q.q
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC) AS rn,
+             COUNT(*) OVER () AS total
+      FROM c
+    ), tru AS (
+      SELECT q.q, MIN(cents) AS true_cents
+      FROM ranked CROSS JOIN (SELECT CAST(unnest({_HDR_QS_SQL}) AS DOUBLE) AS q) q
+      WHERE rn >= ceil(q.q * total)
+      GROUP BY q.q
+    )
+    SELECT e.q,
+           ROUND(e.est_cents / 100.0, 2) AS est,
+           ROUND(t.true_cents / 100.0, 2) AS true_val,
+           ROUND((e.est_cents - t.true_cents) * 1.0 / t.true_cents, 6)
+             AS rel_err
+    FROM est e JOIN tru t ON e.q = t.q
+    """,
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucketed percentile sketch (the HdrHistogram layout: 8
+    sub-buckets per power-of-two octave → ≤12.5% relative error by
+    construction): every price collapses to one of ~#octaves×8 integer
+    buckets, percentiles read off the cumulative bucket counts, and the
+    EXACT rank percentile rides along so the published rel_err exhibits
+    the error bound per quantile.
+
+    Exactness: the bucket index is pure integer math — msb via
+    ``length(bin(cents)) - 1`` (no float log2 whose last-ulp could flip a
+    boundary), sub-bucket and lower bound via shifts — so both engines
+    build the identical grid; the quantile pick compares integer
+    cumulative counts against ``ceil(q·n)`` computed with the same IEEE
+    double product on both sides.
+
+    Scale shape: the sketch is ONE map-side-combined aggregate to a
+    ~200-cell grid — mergeable across partitions/days by adding counts
+    (the agg_partial_merge algebra), answering any quantile without
+    touching the stream again; the exact-rank arm is the evaluation
+    harness (global sort), absent in production."""
+    cents = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    bucketed = cents.select(
+        "cents",
+        (F.length(F.bin("cents")) - 1).alias("msb"),
+        F.expr("cents >> (length(bin(cents)) - 1 - 3)").alias("sub"),
+    )
+    grid = bucketed.groupBy(
+        (F.col("msb") * 8 + F.col("sub") - 8).alias("bucket")
+    ).agg(
+        F.min(F.expr("sub << (msb - 3)")).cast("long").alias("lb_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "bucket",
+        "lb_cents",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _HDR_QS])).alias("q")
+    est = (
+        cum.select("lb_cents", "cn", "total", qs)
+        .where(F.col("cn") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("lb_cents").alias("est_cents"))
+    )
+    wr = Window.orderBy(F.col("cents").asc())
+    wrt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cents.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wrt).alias("total"),
+    )
+    tru = (
+        ranked.select("cents", "rn", "total", qs)
+        .where(F.col("rn") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("cents").alias("true_cents"))
+    )
+    return est.join(tru, "q").select(
+        "q",
+        F.round(F.col("est_cents") / 100.0, 2).alias("est"),
+        F.round(F.col("true_cents") / 100.0, 2).alias("true_val"),
+        F.round(
+            (F.col("est_cents") - F.col("true_cents"))
+            / F.col("true_cents"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -115,6 +115,7 @@ AUDITED = [
     "agg_bitmap_distinct",
     "agg_partial_merge",
     "window_running_distinct",
+    "agg_hdr_histogram",
 ]
 
 _JOIN_OPS = (
