@@ -60,14 +60,20 @@ _MYSQL_TOKENS = [
 #:       are week 00) — identical to C/Python strftime %U
 _WEEK_TOKENS = {"%U", "%u", "%v"}
 
+#: Tokens compiled to expression rewrites (not DateTimeFormatter
+#: patterns): the week numbers above plus two exactly-mappable scalars —
+#: %w (weekday 0=Sunday = dayofweek()-1) and %D (day with English
+#: ordinal suffix, a pure CASE on the day number).
+_EXPR_TOKENS = _WEEK_TOKENS | {"%w", "%D"}
+
 #: MySQL tokens with no faithful Spark equivalent — loud failure beats a
-#: silently-literal "%D" in every report row. %V stays here deliberately:
+#: silently-wrong column in every report row. %V stays here deliberately:
 #: its pairing with the %X week-year gives year-boundary days a
 #: MySQL-source-defined week/year split (e.g. a Dec 31 that MySQL may
 #: assign to next year's week 1) that we cannot reproduce provably;
 #: a near-miss rewrite would silently corrupt exactly the year-boundary
 #: rows week-of-year reports care about.
-_UNSUPPORTED_TOKENS = {"%D", "%V", "%X", "%x", "%w"}
+_UNSUPPORTED_TOKENS = {"%V", "%X", "%x"}
 
 _FN_REWRITES = [
     (re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE), "current_date()"),
@@ -109,15 +115,36 @@ def _week_number_expr(d: str, tok: str) -> str:
 
 
 def _has_week_tokens(fmt: str) -> bool:
+    """True when fmt contains any expression-rewrite token (week numbers,
+    %w weekday, %D ordinal day)."""
     i = 0
     while i < len(fmt) - 1:
         if fmt[i] == "%":
-            if fmt[i : i + 2] in _WEEK_TOKENS:
+            if fmt[i : i + 2] in _EXPR_TOKENS:
                 return True
             i += 2
         else:
             i += 1
     return False
+
+
+def _expr_token(d: str, tok: str) -> str:
+    """Expression for one non-DateTimeFormatter token over date ``d``."""
+    if tok in _WEEK_TOKENS:
+        return _week_number_expr(d, tok)
+    if tok == "%w":
+        # MySQL %w: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday.
+        return f"cast(dayofweek({d}) - 1 as string)"
+    # %D: day of month with English ordinal suffix (1st, 2nd, 3rd, 4th,
+    # ..., 11th-13th, 21st, 22nd, 23rd, 31st).
+    day = f"dayofmonth({d})"
+    return (
+        f"concat(cast({day} as string), "
+        f"CASE WHEN {day} IN (11, 12, 13) THEN 'th' "
+        f"WHEN {day} % 10 = 1 THEN 'st' "
+        f"WHEN {day} % 10 = 2 THEN 'nd' "
+        f"WHEN {day} % 10 = 3 THEN 'rd' ELSE 'th' END)"
+    )
 
 
 def _format_to_expr(first_arg: str, fmt: str) -> str:
@@ -136,9 +163,9 @@ def _format_to_expr(first_arg: str, fmt: str) -> str:
     i = 0
     while i < len(fmt):
         tok = fmt[i : i + 2]
-        if fmt[i] == "%" and tok in _WEEK_TOKENS:
+        if fmt[i] == "%" and tok in _EXPR_TOKENS:
             flush_run()
-            parts.append(_week_number_expr(d, tok))
+            parts.append(_expr_token(d, tok))
             i += 2
         elif fmt[i] == "%" and i + 1 < len(fmt):
             run.append(tok)

@@ -61,8 +61,8 @@ def test_date_format_three_args_passthrough():
 def test_date_format_unsupported_token_raises():
     import pytest
 
-    with pytest.raises(ValueError, match="%D"):
-        translate_mysql("SELECT DATE_FORMAT(d, '%D') FROM t")
+    with pytest.raises(ValueError, match="%V"):
+        translate_mysql("SELECT DATE_FORMAT(d, '%V') FROM t")
 
 
 def test_date_format_fixed_suffix():
@@ -142,6 +142,33 @@ def test_week_year_pairing_still_raises():
     days a MySQL-source-defined split we cannot reproduce provably."""
     import pytest
 
-    for tok in ("%V", "%X", "%x", "%D", "%w"):
+    for tok in ("%V", "%X", "%x"):
         with pytest.raises(ValueError):
             translate_mysql(f"SELECT DATE_FORMAT(d, '{tok}') FROM t")
+
+
+def test_weekday_and_ordinal_tokens_match_mysql(spark):
+    """%w == strftime('%w') (0=Sunday); %D == English ordinal day —
+    swept over a full month-plus so every suffix class (1st/2nd/3rd/4th,
+    the 11th-13th exceptions, 21st-23rd, 31st) appears."""
+    import datetime
+
+    dates = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+             for i in range(45)]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    df.createOrReplaceTempView("wd_golden")
+    sql = translate_mysql(
+        "SELECT d, DATE_FORMAT(d, '%w') AS wd, DATE_FORMAT(d, '%D') AS od, "
+        "DATE_FORMAT(d, 'the %D at w%w') AS mixed FROM wd_golden"
+    )
+
+    def suffix(n: int) -> str:
+        if n in (11, 12, 13):
+            return "th"
+        return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+    for r in spark.sql(sql).collect():
+        d = r["d"]
+        assert r["wd"] == d.strftime("%w"), (d, r["wd"])
+        assert r["od"] == f"{d.day}{suffix(d.day)}", (d, r["od"])
+        assert r["mixed"] == f"the {d.day}{suffix(d.day)} at w{d.strftime('%w')}"
