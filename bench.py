@@ -65,6 +65,19 @@ HEAVY = [
     "etl_llm_corpus",
 ]
 
+#: Round-5 mining/eval additions, timed like HEAVY (min of two, reported
+#: in `queries` but outside the cross-round headline total): the
+#: span-dedup double shuffle, the training-as-aggregation posting pass,
+#: the release card, the bitmap-distinct contraction and its windowed
+#: running form.
+R5_SET = [
+    "text_segment_dedup",
+    "train_naive_bayes",
+    "etl_dataset_card",
+    "agg_bitmap_distinct",
+    "window_running_distinct",
+]
+
 
 def main() -> None:
     import re
@@ -124,6 +137,18 @@ def main() -> None:
         heavy_timings[name] = round(best, 3)
     timings.update(heavy_timings)
 
+    r5_timings: dict[str, float] = {}
+    for name in R5_SET:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        r5_timings[name] = round(best, 3)
+    timings.update(r5_timings)
+
     load_canary_end = canary()
 
     print(
@@ -135,6 +160,7 @@ def main() -> None:
                 "queries": timings,
                 "headline_queries": HEADLINE,
                 "heavy_total": round(sum(heavy_timings.values()), 3),
+                "r5_total": round(sum(r5_timings.values()), 3),
                 "load_canary_start": load_canary_start,
                 "load_canary_end": load_canary_end,
                 "sf": sf,
