@@ -889,12 +889,16 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (the score takes 11 discrete values) so the midrank path
     is genuinely exercised.
 
-    Scale shape: one global sort (a rank window over the score — the same
-    distributed-sort shape as any percentile) on an already-projected
-    (score, label) pair stream, then a 1-row aggregate. With a discrete
-    score domain the sort degenerates to a #distinct-scores histogram
-    join at 100 TB — the documented cheaper rewrite — but the rank form
-    stays exact for continuous scores too."""
+    Scale shape (the round-5 verdict's histogram rewrite): ONE
+    map-side-combined aggregate contracts the corpus to the ≤11-row
+    discrete-score histogram ``(q10, cnt, pos)``; midranks are then pure
+    prefix-sum math on that contracted table (its unpartitioned window
+    sees ≤#distinct-scores rows, never corpus rows), and the final
+    aggregate is a second ≤11→1 contraction. Nothing after the first
+    shuffle is proportional to the data — at 100 TB the plan moves ~11
+    rows where the old global rank window moved ALL of them into one
+    task. A positive in score-bucket s has midrank2 ``2·(prefix(s)+1) +
+    cnt(s) − 1``, so ``Σ_pos avg2 = Σ_s pos_s · avg2_s`` exactly."""
     labeled = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -903,23 +907,31 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         )
     )
-    ranked = labeled.select(
+    hist = labeled.groupBy("q10").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").alias("pos"),
+    )
+    prefix = Window.orderBy(F.col("q10").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "cnt",
         "pos",
         (
-            2 * F.rank().over(Window.orderBy(F.col("q10").asc()))
-            + F.count(F.lit(1)).over(Window.partitionBy("q10"))
+            2 * (F.coalesce(F.sum("cnt").over(prefix), F.lit(0)) + 1)
+            + F.col("cnt")
             - 1
         ).alias("avg2"),
     )
     return ranked.agg(
         F.sum("pos").alias("n_pos"),
-        F.sum(1 - F.col("pos")).alias("n_neg"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
         F.round(
             (
-                F.sum(F.when(F.col("pos") == 1, F.col("avg2")).otherwise(0))
+                F.sum(F.col("pos") * F.col("avg2"))
                 - F.sum("pos") * (F.sum("pos") + 1)
             )
-            / (2.0 * F.sum("pos") * F.sum(1 - F.col("pos"))),
+            / (2.0 * F.sum("pos") * F.sum(F.col("cnt") - F.col("pos"))),
             6,
         ).alias("auc"),
     )
@@ -1231,12 +1243,7 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(k)
         for j in range(i, k)
     ]
-    m = table(spark, sf_dir, "lineitem").select(
-        *[
-            F.col(c).cast("decimal(14,2)").alias(f"c{i}")
-            for i, c in enumerate(_CORR_COLS)
-        ]
-    ).agg(*aggs)
+    m = li.agg(*aggs)
     n = F.col("n")
 
     def corr(i: int, j: int):
@@ -1916,13 +1923,15 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     # ONE full-outer marker join + ONE aggregate row: three scalar counts
-    # without 1x1 cross joins (which plan as CartesianProduct).
+    # without 1x1 cross joins (which plan as CartesianProduct). COUNT of the
+    # non-null markers, not SUM: on a duplicate-free corpus an empty arm
+    # would make SUM publish NULL where the oracle's COUNT(*) publishes 0.
     marked = cand.withColumn("in_c", F.lit(1)).join(
         truth.withColumn("in_t", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
-    return marked.agg(
-        F.sum("in_c").cast("long").alias("n_cand"),
-        F.sum("in_t").cast("long").alias("n_true"),
+    out = marked.agg(
+        F.count("in_c").alias("n_cand"),
+        F.count("in_t").alias("n_true"),
         F.count(
             F.when(F.col("in_c").isNotNull() & F.col("in_t").isNotNull(), 1)
         ).alias("n_hit"),
@@ -1933,6 +1942,13 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
         F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
     )
+    # The result is ONE row: materialize it now (localCheckpoint pins the
+    # single-row RDD) so `base` can be unpersisted here instead of leaking
+    # cached shingle partitions for the session lifetime (every bench /
+    # correctness / example invocation re-persisted it).
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # --- running exact distinct (cumulative-unique-users curve) ----------------
@@ -2046,8 +2062,9 @@ _HDR_QS_SQL = "[" + ", ".join(repr(q) for q in _HDR_QS) + "]"
       SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
     ), bucketed AS (
       SELECT cents,
-             length(bin(cents)) - 1 AS msb,
-             cents >> (length(bin(cents)) - 1 - 3) AS sub
+             length(bin(GREATEST(cents, 8))) - 1 AS msb,
+             GREATEST(cents, 8)
+               >> (length(bin(GREATEST(cents, 8))) - 1 - 3) AS sub
       FROM c
     ), grid AS (
       SELECT msb * 8 + sub - 8 AS bucket,
@@ -2106,10 +2123,18 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
+    # Domain precondition: cents must be NON-NEGATIVE (log buckets are
+    # undefined for negatives). Values 0..7 are clamped into the first full
+    # octave (bucket floor 8): below 8 the shift ``cents >> (msb-3)`` would
+    # be negative, which Spark masks mod 64 and DuckDB rejects — the clamp
+    # routes them to a defined low bucket identically on both engines.
     bucketed = cents.select(
         "cents",
-        (F.length(F.bin("cents")) - 1).alias("msb"),
-        F.expr("cents >> (length(bin(cents)) - 1 - 3)").alias("sub"),
+        (F.length(F.bin(F.greatest("cents", F.lit(8)))) - 1).alias("msb"),
+        F.expr(
+            "GREATEST(cents, 8)"
+            " >> (length(bin(GREATEST(cents, 8))) - 1 - 3)"
+        ).alias("sub"),
     )
     grid = bucketed.groupBy(
         (F.col("msb") * 8 + F.col("sub") - 8).alias("bucket")
@@ -2136,18 +2161,27 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("lb_cents").alias("est_cents"))
     )
-    wr = Window.orderBy(F.col("cents").asc())
-    wrt = Window.orderBy("cents").rowsBetween(
+    # Exact-truth arm, CONTRACTED (round-5 verdict task 3): the exact rank
+    # quantile needs only the distinct-value histogram — MIN(cents) whose
+    # cumulative count reaches ceil(q·n) equals the row-number form on raw
+    # rows. The global window therefore runs over ≤#distinct cents (bounded
+    # by the price domain), never over corpus rows; the raw table is touched
+    # by exactly one map-side-combined aggregate.
+    vals = cents.groupBy("cents").agg(F.count(F.lit(1)).alias("vn"))
+    wvc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wvt = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = cents.select(
+    cumv = vals.select(
         "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wrt).alias("total"),
+        F.sum("vn").over(wvc).alias("crn"),
+        F.sum("vn").over(wvt).alias("total"),
     )
     tru = (
-        ranked.select("cents", "rn", "total", qs)
-        .where(F.col("rn") >= F.ceil(F.col("q") * F.col("total")))
+        cumv.select("cents", "crn", "total", qs)
+        .where(F.col("crn") >= F.ceil(F.col("q") * F.col("total")))
         .groupBy("q")
         .agg(F.min("cents").alias("true_cents"))
     )

@@ -42,9 +42,12 @@ def test_dhash_invariant_under_png_filter_choice(w, h, seed, f1, f2):
 
 def _hdr_bucket(cents: int) -> tuple[int, int]:
     """Reference reimplementation of the agg_hdr_histogram bucket math
-    (msb via bit_length, 8 sub-buckets per octave) → (bucket, lb)."""
-    msb = cents.bit_length() - 1
-    sub = cents >> (msb - 3)
+    (msb via bit_length, 8 sub-buckets per octave, values below 8 clamped
+    into the first full octave — mirrors the production GREATEST(cents, 8))
+    → (bucket, lb)."""
+    c = max(cents, 8)
+    msb = c.bit_length() - 1
+    sub = c >> (msb - 3)
     return msb * 8 + sub - 8, sub << (msb - 3)
 
 
@@ -59,10 +62,19 @@ def test_hdr_bucket_bound_and_membership(cents):
     assert cents < lb + (lb >> 3) + 1  # lb * 9/8, integer-safe
 
 
+@settings(max_examples=50, deadline=None)
+@given(cents=st.integers(min_value=0, max_value=7))
+def test_hdr_bucket_clamps_small_values(cents):
+    """cents < 8 (where a raw ``>> (msb-3)`` would be a negative shift —
+    engine-divergent) route to the first full octave's floor bucket."""
+    assert _hdr_bucket(cents) == _hdr_bucket(8)
+    assert _hdr_bucket(cents)[1] == 8
+
+
 @settings(max_examples=100, deadline=None)
 @given(
-    a=st.integers(min_value=8, max_value=10**12),
-    b=st.integers(min_value=8, max_value=10**12),
+    a=st.integers(min_value=0, max_value=10**12),
+    b=st.integers(min_value=0, max_value=10**12),
 )
 def test_hdr_bucket_monotone(a, b):
     """Bucket index (and its lower bound) is monotone in the value — the
