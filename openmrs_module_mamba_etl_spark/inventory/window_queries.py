@@ -172,13 +172,32 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK/DENSE_RANK with intentional ties (rounded balances)."""
-    w = Window.orderBy(F.round(F.col("c_acctbal"), 0).desc())
-    return table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+    """RANK/DENSE_RANK with intentional ties (rounded balances).
+
+    Scale shape (round-5 verdict task 3): global ranking is the operator's
+    semantics, but a global ``Window.orderBy`` plans a single-partition
+    WindowExec over the WHOLE table. Because rank ranges over the rounded
+    key, ties share one rank value, so the two-pass form is exact: contract
+    to the value histogram (one map-side-combined aggregate, ≤#distinct
+    rounded balances — bounded by the value domain, not the row count),
+    compute RANK = 1 + prefix-sum of higher-value counts and DENSE_RANK =
+    row_number on the CONTRACTED table, then broadcast-join the rank pair
+    back to the fact rows. No corpus-sized partition anywhere."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.round(F.col("c_acctbal"), 0).alias("k")
+    )
+    hist = cust.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.col("k").desc())
+    prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.select(
+        "k",
+        (F.coalesce(F.sum("cnt").over(prefix), F.lit(0)) + 1).alias(
+            "bal_rank"
+        ),
+        F.row_number().over(order).alias("bal_dense_rank"),
+    )
+    return cust.join(F.broadcast(ranks), "k").select(
+        "c_custkey", "c_acctbal", "bal_rank", "bal_dense_rank"
     )
 
 
@@ -665,12 +684,61 @@ def grouped_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (SURVEY.md §2.E): decile bucketing + percent
-    rank over account balance, deterministic via the custkey tiebreak."""
-    w = Window.orderBy(F.round(F.col("c_acctbal"), 2).asc(), F.col("c_custkey").asc())
-    return table(spark, sf_dir, "customer").select(
+    rank over account balance, deterministic via the custkey tiebreak.
+
+    Scale shape (round-5 verdict task 3): ``NTILE``/``PERCENT_RANK`` over a
+    global ORDER BY would plan a single-partition WindowExec over the whole
+    table. Both are pure functions of (global row number, total count), and
+    the ordering key leads with the ROUNDED balance, so the two-pass form
+    is exact: contract to the rounded-balance histogram (map-side-combined,
+    ≤#distinct rounded values — domain-bounded), broadcast back each
+    value's prefix-sum offset and the grand total, and recover the global
+    row number as offset + row_number WITHIN the balance partition (a
+    partitioned window, never a global one). NTILE(10) is then integer
+    arithmetic: the first ``n % 10`` buckets carry ``n div 10 + 1`` rows,
+    the rest ``n div 10``; PERCENT_RANK is ``(rn−1)/(n−1)``."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("k")
+    )
+    hist = cust.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.col("k").asc())
+    offs = hist.select(
+        "k",
+        F.coalesce(
+            F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt")
+        .over(
+            order.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col("c_custkey").asc())
+    )
+    ranked = cust.join(F.broadcast(offs), "k").select(
+        "c_custkey", (F.col("off") + within).alias("rn"), "n"
+    )
+    # NTILE(10): buckets 1..(n%10) hold (n div 10)+1 rows, the rest n div 10;
+    # both branches are exact integer ceil-division on (rn, n).
+    ntile = F.expr(
+        "CASE WHEN rn <= ((n div 10) + 1) * (n % 10) "
+        "THEN (rn + (n div 10)) div ((n div 10) + 1) "
+        "ELSE (n % 10) + ((rn - ((n div 10) + 1) * (n % 10)) + (n div 10) - 1)"
+        " div (n div 10) END"
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(10).over(w).alias("bal_decile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        ntile.alias("bal_decile"),
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("rn") - 1) / (F.col("n") - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bal_pct_rank"),
     )
 
 
