@@ -1,10 +1,19 @@
-"""Meta plan audit: no registered query may plan a scale-hostile join.
+"""Meta plan audit: no registered query may plan a scale-hostile shape.
 
 CartesianProduct is always a bug. BroadcastNestedLoopJoin is allowed only
-for the two intentional brute-force baselines (theta self-joins whose
-scalable variants exist alongside them). A new query that trips this test
-needs an equi-join key, a broadcast hint, or an LSH/bucketing pre-pass —
-not a whitelist entry.
+for the intentional brute-force baselines (theta self-joins whose scalable
+variants exist alongside them). A new query that trips this test needs an
+equi-join key, a broadcast hint, or an LSH/bucketing pre-pass — not a
+whitelist entry.
+
+The second audit (round-5 verdict task 3) machine-checks the global-window
+class: any ``Exchange SinglePartition`` — the physical shape behind an
+unpartitioned Window.orderBy, a global sort-to-one-task, or a final global
+aggregate — must sit above a CONTRACTION (aggregate / limit / top-k) on
+every path down to a parquet scan. A single partition of contracted rows
+is the canonical scalar/histogram plan; a single partition of RAW corpus
+rows is the 100 TB killer that eval_auc/window_rank_dense shipped with
+until round 6.
 """
 
 from __future__ import annotations
@@ -75,11 +84,64 @@ SKIP = {
 }
 
 
+#: physical nodes that bound the row count flowing upward: once one of
+#: these sits between a scan and a SinglePartition exchange, the exchange
+#: moves a contracted relation (groups / top-k / limit), not corpus rows.
+_CONTRACTIONS = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _unwrap(jnode):
+    if jnode.nodeName() == "AdaptiveSparkPlan":
+        return _unwrap(jnode.initialPlan())
+    return jnode
+
+
+def _children(jnode):
+    return [jnode.children().apply(i) for i in range(jnode.children().size())]
+
+
+def _uncontracted_scans(jnode) -> list[str]:
+    """Parquet-scan leaves reachable from ``jnode`` with NO contraction on
+    the path — the rows a parent SinglePartition exchange would move in
+    full into one task."""
+    name = jnode.nodeName()
+    if any(c in name for c in _CONTRACTIONS):
+        return []
+    kids = _children(jnode)
+    if not kids:
+        return [name] if name.startswith("Scan parquet") else []
+    return [leaf for k in kids for leaf in _uncontracted_scans(k)]
+
+
+def _single_partition_offenses(jplan) -> list[str]:
+    out = []
+    stack = [jplan]
+    while stack:
+        n = stack.pop()
+        kids = _children(n)
+        stack.extend(kids)
+        if n.nodeName() == "Exchange" and "SinglePartition" in str(
+            n.outputPartitioning().toString()
+        ):
+            for k in kids:
+                out.extend(_uncontracted_scans(k))
+    return out
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
-def test_no_scale_hostile_joins(spark, sf_dir, name):
+def test_no_scale_hostile_plans(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        QUERIES[name](spark, sf_dir).explain("formatted")
+        df.explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
     if name not in BNLJ_ALLOWED:
@@ -87,3 +149,29 @@ def test_no_scale_hostile_joins(spark, sf_dir, name):
             f"{name} plans a nested-loop join; give it an equi key or "
             "add it to BNLJ_ALLOWED with justification"
         )
+    if not df.isStreaming:
+        jplan = _unwrap(df._jdf.queryExecution().executedPlan())
+        offenses = _single_partition_offenses(jplan)
+        assert not offenses, (
+            f"{name} funnels uncontracted scans {offenses} through an "
+            "Exchange SinglePartition — a one-task sort/window of corpus "
+            "rows at scale; contract first (histogram/limit/aggregate)"
+        )
+
+
+def test_single_partition_audit_catches_global_window(spark, sf_dir):
+    """Negative control: the audit must FLAG the retired global-window
+    shape (rank over the whole table, no partitionBy) — the exact plan
+    eval_auc/window_rank_dense shipped with before round 6."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    bad = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.rank().over(Window.orderBy("c_acctbal")).alias("r")
+    )
+    offenses = _single_partition_offenses(
+        _unwrap(bad._jdf.queryExecution().executedPlan())
+    )
+    assert offenses, "audit failed to flag a global rank window over a scan"
