@@ -202,32 +202,51 @@ def sink_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     creates the analysis DB if missing): CREATE DATABASE IF NOT EXISTS +
     saveAsTable into it, read back via the catalog. The catalog table is
     what downstream report sessions see without knowing file paths."""
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     from openmrs_module_mamba_etl_spark.sources.parquet import table
 
-    import shutil
-
     spark.sql("CREATE DATABASE IF NOT EXISTS mamba_analysis")
-    spark.sql("DROP TABLE IF EXISTS mamba_analysis.order_status_counts")
-    # the default in-memory catalog is per-session: a prior session's
-    # managed-table directory survives as an orphan, so clear the location
+    # Run-scoped table name: the in-memory catalog is per-session, but the
+    # warehouse DIRECTORY on disk is shared — a fixed name makes two
+    # concurrent suites (parity + driver gate) clobber each other's files
+    # mid-write. Per-pid names give each process its own managed location.
+    tbl = f"mamba_analysis.order_status_counts_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # the catalog is per-session: prior runs' managed-table directories
+    # survive as orphans, so prune locations owned by dead pids (plus any
+    # unsuffixed dir from older revisions' fixed-name scheme)
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    shutil.rmtree(
-        f"{warehouse}/mamba_analysis.db/order_status_counts",
-        ignore_errors=True,
-    )
+    db_dir = f"{warehouse}/mamba_analysis.db"
+    shutil.rmtree(f"{db_dir}/order_status_counts", ignore_errors=True)
+    if os.path.isdir(db_dir):
+        for entry in os.listdir(db_dir):
+            if not entry.startswith("order_status_counts_"):
+                continue
+            try:
+                pid = int(entry.rsplit("_", 1)[-1])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(f"{db_dir}/{entry}", ignore_errors=True)
+            except PermissionError:
+                pass
     agg = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    agg.write.mode("overwrite").saveAsTable(
-        "mamba_analysis.order_status_counts"
-    )
-    return spark.table("mamba_analysis.order_status_counts")
+    agg.write.mode("overwrite").saveAsTable(tbl)
+    return spark.table(tbl)
 
 
 @query(
