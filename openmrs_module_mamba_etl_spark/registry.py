@@ -113,20 +113,44 @@ def load_all() -> None:
         window_queries,
     )
 
-    # Deterministic per-round rotation, three tiers (alphabetical within
-    # each): (0) keys whose last driver signal is red/rows-only — a stale
-    # failure is worse than no signal, so they re-sample first; (1) keys the
-    # driver has never sampled; (2) already-hash-green keys last.  As greens
-    # accumulate in CORRECTNESS files across rounds, the unverified frontier
-    # advances automatically until every key has earned a hash-green row.
+    # Deterministic per-round rotation, four tiers (alphabetical within
+    # each): (0) keys whose last driver signal is red, or was rows-only but
+    # have SINCE gained an oracle — a stale failure / unexercised oracle is
+    # worse than no signal, so they re-sample first; (1) keys the driver has
+    # never sampled; (2) already-hash-green keys; (3) rows-only-BY-DESIGN
+    # keys (sampled, still no oracle) dead last — re-sampling them burns a
+    # rotation slot for a signal their ``*_portable`` twins already exceed
+    # (round-5 verdict task 5: they displaced never-sampled oracled keys
+    # for five rounds).  As greens accumulate in CORRECTNESS files across
+    # rounds, the unverified frontier advances automatically until every
+    # oracled key has earned a hash-green row.
     verified, sampled = _driver_history()
 
     def tier(k: str) -> int:
         if k in verified:
             return 2
-        return 0 if k in sampled else 1
+        if k not in sampled:
+            return 1
+        return 0 if k in ORACLE else 3
 
-    ordered = sorted(QUERIES, key=lambda k: (tier(k), k))
+    # Within the never-sampled tier, round-robin across name-prefix families
+    # (sql_*, stream_*, tpch_*, window_*, ...) instead of pure alphabetical:
+    # the unsampled families all start with s/t/w, so a time-budgeted driver
+    # walking dict order would exhaust its slots on sql_*/stream_* and leave
+    # window_* (the §2.E proof gap) unsampled for another round.  Interleaved,
+    # a partial walk still covers every family proportionally.
+    fam_pos: dict[str, int] = {}
+    rank: dict[str, int] = {}
+    for k in sorted(QUERIES):
+        fam = k.split("_", 1)[0]
+        rank[k] = fam_pos.get(fam, 0)
+        fam_pos[fam] = rank[k] + 1
+
+    def sort_key(k: str):
+        t = tier(k)
+        return (t, rank[k], k) if t == 1 else (t, 0, k)
+
+    ordered = sorted(QUERIES, key=sort_key)
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

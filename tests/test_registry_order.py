@@ -16,14 +16,36 @@ def test_tier_order_matches_correctness_history():
     def tier(k: str) -> int:
         if k in verified:
             return 2
-        return 0 if k in sampled else 1
+        if k not in sampled:
+            return 1
+        return 0 if k in registry.ORACLE else 3
 
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers), "tiers must be monotonically nondecreasing"
-    # alphabetical within each tier (neutral order, no cherry-picking)
-    for t in (0, 1, 2):
+    # alphabetical within tiers 0/2/3 (neutral order, no cherry-picking)
+    for t in (0, 2, 3):
         group = [k for k in keys if tier(k) == t]
         assert group == sorted(group)
+    # tier 1 (never-sampled) interleaves name-prefix families round-robin so
+    # a slot-budgeted driver walk covers every family proportionally: keys
+    # are ordered by (position within own family, name) — and within any one
+    # family that still yields alphabetical order.
+    t1 = [k for k in keys if tier(k) == 1]
+    fam_pos: dict[str, int] = {}
+    rank = {}
+    for k in sorted(keys):  # rank within family over ALL keys, like registry
+        fam = k.split("_", 1)[0]
+        rank[k] = fam_pos.get(fam, 0)
+        fam_pos[fam] = rank[k] + 1
+    assert t1 == sorted(t1, key=lambda k: (rank[k], k))
+    fams = {k.split("_", 1)[0] for k in t1}
+    for fam in fams:
+        group = [k for k in t1 if k.split("_", 1)[0] == fam]
+        assert group == sorted(group)
+    # the interleave property itself: if ≥2 families are unsampled, the
+    # ordering must not be a single alphabetical block
+    if len(fams) > 1:
+        assert t1 != sorted(t1)
 
 
 def test_history_reader_tolerates_missing_and_garbage(tmp_path, monkeypatch):
