@@ -532,3 +532,41 @@ def test_hybrid_rrf_arms_contract_before_fusion(spark, sf_dir):
     # fusion of two ≤20-row arms: any join strategy is fine, but no
     # broadcast of a raw scan (arms contract first)
     assert "CartesianProduct" not in p
+
+
+def test_eval_auc_contracts_before_rank_window(spark, sf_dir):
+    """eval_auc (round-6 histogram rewrite): the midrank window must see
+    the ≤#distinct-scores histogram, never corpus rows — between the
+    Window and the parquet scan there must be a contracting aggregate,
+    and the corpus is scanned exactly once."""
+    p = plan(spark, sf_dir, "eval_auc")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet ") == 1
+    w, s = tree.index("Window"), tree.index("Scan parquet")
+    assert w < s and "HashAggregate" in tree[w:s]
+
+
+def test_rank_dense_two_pass_histogram_broadcast(spark, sf_dir):
+    """window_rank_dense (round-6 rewrite): global RANK/DENSE_RANK is
+    computed on the rounded-value histogram and broadcast back — the fact
+    rows never enter a global window."""
+    p = plan(spark, sf_dir, "window_rank_dense")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    w, s = tree.index("Window"), tree.rindex("Scan parquet")
+    assert w < s and "HashAggregate" in tree[w:s]
+
+
+def test_ntile_pctrank_partitioned_window_only(spark, sf_dir):
+    """window_ntile_pctrank (round-6 rewrite): the only window over fact
+    rows is PARTITIONED by the rounded balance (row_number within k);
+    the global component lives on the broadcast histogram."""
+    p = plan(spark, sf_dir, "window_ntile_pctrank")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # deepest Window (the histogram prefix-sum) is fed by an aggregate
+    w, s = tree.rindex("Window"), tree.rindex("Scan parquet")
+    assert w < s and "HashAggregate" in tree[w:s]
+    # the fact-row window is hash-partitioned, not global: its exchange
+    # must not be SinglePartition (details section spells partitioning)
+    assert "windowspecdefinition(k" in p

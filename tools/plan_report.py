@@ -116,6 +116,10 @@ AUDITED = [
     "agg_partial_merge",
     "window_running_distinct",
     "agg_hdr_histogram",
+    # round-6 global-window retirements: rank/ntile now contract to the
+    # value histogram and broadcast ranks back — the plan is the proof
+    "window_rank_dense",
+    "window_ntile_pctrank",
 ]
 
 _JOIN_OPS = (
