@@ -42,20 +42,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _loaded = False
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(verified, sampled) key sets from the CORRECTNESS_r*.json history.
+def _driver_history() -> tuple[set[str], set[str], set[str]]:
+    """(verified, sampled, crashed) key sets from CORRECTNESS_r*.json.
 
     Used only to *order* registration: a time-budgeted external checker walks
     QUERIES in dict order.  ``verified`` = keys whose LATEST driver signal
     (highest round that sampled them) is value-hash green — an earlier green
     does not excuse a later red, so a regressed key re-samples first, not
-    last.  ``sampled`` = keys that appeared in any round at all.  Rows-only
-    runs (``err: no_oracle``) and crashed rows count as sampled but NOT
-    verified — many of those keys have since gained oracles or fixes and need
-    a fresh sample.  Failure to read the files degrades to the neutral
-    (alphabetical) order.
+    last.  ``sampled`` = keys that appeared in any round at all.  ``crashed``
+    = keys whose LATEST signal is a hard failure other than the benign
+    ``err: no_oracle`` rows-only marker — these must re-sample first even if
+    they have no oracle (a crashed rows-only key is a red, not a tier-3
+    skip).  Rows-only runs count as sampled but NOT verified — many of those
+    keys have since gained oracles or fixes and need a fresh sample.
+    Failure to read the files degrades to the neutral (alphabetical) order.
     """
     last_green: dict[str, bool] = {}
+    last_crash: dict[str, bool] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def round_num(path: str) -> int:
@@ -85,11 +88,14 @@ def _driver_history() -> tuple[set[str], set[str]]:
             hm = row.get("hash_match")
             if hm is None and row.get("err") == "no_oracle":
                 last_green.setdefault(key, False)
+                last_crash[key] = False
             else:
                 last_green[key] = hm is True
+                last_crash[key] = hm is not True
     sampled = set(last_green)
     verified = {k for k, green in last_green.items() if green}
-    return verified, sampled
+    crashed = {k for k, bad in last_crash.items() if bad}
+    return verified, sampled, crashed
 
 
 def load_all() -> None:
@@ -124,14 +130,16 @@ def load_all() -> None:
     # for five rounds).  As greens accumulate in CORRECTNESS files across
     # rounds, the unverified frontier advances automatically until every
     # oracled key has earned a hash-green row.
-    verified, sampled = _driver_history()
+    verified, sampled, crashed = _driver_history()
 
     def tier(k: str) -> int:
         if k in verified:
             return 2
         if k not in sampled:
             return 1
-        return 0 if k in ORACLE else 3
+        # sampled, not green: red / newly-oracled keys re-sample first;
+        # only CLEAN rows-only-by-design keys defer to the back.
+        return 0 if (k in ORACLE or k in crashed) else 3
 
     # Within the never-sampled tier, round-robin across name-prefix families
     # (sql_*, stream_*, tpch_*, window_*, ...) instead of pure alphabetical:

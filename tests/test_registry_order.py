@@ -11,14 +11,14 @@ from openmrs_module_mamba_etl_spark import registry
 
 def test_tier_order_matches_correctness_history():
     keys = list(entrymod.queries())
-    verified, sampled = registry._driver_history()
+    verified, sampled, crashed = registry._driver_history()
 
     def tier(k: str) -> int:
         if k in verified:
             return 2
         if k not in sampled:
             return 1
-        return 0 if k in registry.ORACLE else 3
+        return 0 if (k in registry.ORACLE or k in crashed) else 3
 
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers), "tiers must be monotonically nondecreasing"
@@ -55,7 +55,7 @@ def test_history_reader_tolerates_missing_and_garbage(tmp_path, monkeypatch):
     monkeypatch.setattr(
         regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
     )
-    v, s = regmod._driver_history()
+    v, s, c = regmod._driver_history()
     assert v == set() and s == set()
 
     # garbage file is skipped, valid rows still read
@@ -69,9 +69,11 @@ def test_history_reader_tolerates_missing_and_garbage(tmp_path, monkeypatch):
             }
         )
     )
-    v, s = regmod._driver_history()
+    v, s, c = regmod._driver_history()
     assert v == {"good"}
     assert s == {"good", "ran_red", "rows_only"}
+    # only the hard failure is crashed; a clean rows-only run is benign
+    assert c == {"ran_red"}
 
 
 def test_history_latest_signal_wins(tmp_path, monkeypatch):
@@ -98,7 +100,7 @@ def test_history_latest_signal_wins(tmp_path, monkeypatch):
             }
         )
     )
-    v, s = regmod._driver_history()
+    v, s, c = regmod._driver_history()
     assert v == {"recovered"}
     assert s == {"regressed", "recovered"}
 
@@ -119,6 +121,29 @@ def test_history_rows_only_does_not_demote(tmp_path, monkeypatch):
             {"steady": {"hash_match": None, "err": "no_oracle", "spark_rows": 5}}
         )
     )
-    v, s = regmod._driver_history()
+    v, s, c = regmod._driver_history()
     assert v == {"steady"}
     assert s == {"steady"}
+
+
+def test_history_crashed_rows_only_key_flags_crashed(tmp_path, monkeypatch):
+    # a rows-only key (no oracle) that RAISED is a red, not a benign
+    # rows-only pass — it must appear in crashed so the rotation puts it
+    # in tier 0 (re-sample first) instead of tier 3 (dead last)
+    import openmrs_module_mamba_etl_spark.registry as regmod
+
+    monkeypatch.setattr(
+        regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "blew_up": {"hash_match": None, "err": "AnalysisException"},
+                "fine_rows_only": {"hash_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    v, s, c = regmod._driver_history()
+    assert v == set()
+    assert s == {"blew_up", "fine_rows_only"}
+    assert c == {"blew_up"}
