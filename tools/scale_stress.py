@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Scale-stress harness: run heavy operators on K× multiplied data.
+
+sf0.1 is the largest driver-provided scale. This harness manufactures a
+K× corpus from it (replicas with shifted ids; document text perturbed with
+a replica tag so near-duplicate DENSITY stays constant instead of
+exploding quadratically across replicas), materializes it as a synthetic
+sf directory of parquet files, and times the registered heavy queries at
+1× and K×. The wall-clock ratio vs K is the scaling evidence: contracted-
+intermediate shapes should stay well under linear (fixed costs amortize);
+anything super-linear flags a pair-space or partition-strategy problem
+before a real cluster finds it.
+
+Run: ``python tools/scale_stress.py [K]`` (default 8). Prints one JSON
+line per query and a summary table. Multiplied tables: documents,
+embeddings, lineitem, orders, events; dimension tables are copied 1×
+(dims don't grow with corpus size at 100 TB either).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: tables that grow with the corpus; everything else is dimension-like.
+FACTS = ["documents", "embeddings", "lineitem", "orders", "events"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+#: heavy/shuffle-bound queries worth stressing, with the facts they read.
+STRESSED = [
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_semantic",
+    "etl_llm_corpus",
+    "agg_group_by",
+    "tpch_q9",
+    "window_sessionize",
+    "eval_auc",
+    "agg_hdr_histogram",
+]
+
+#: id-shift must clear every real id domain (max doc_id/orderkey ≪ 1e12).
+OFFSET = 10**12
+
+
+def build_stress_dir(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_root,
+    )
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    out = str(_scratch_root() / f"sfstress_x{k}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    id_cols = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id"],
+    }
+    for t in FACTS:
+        df = table(spark, BASE, t)
+        reps = []
+        for i in range(k):
+            r = df
+            for c in id_cols[t]:
+                r = r.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            if t == "events" and i > 0:
+                # shift the session key so replicas are new users, keeping
+                # per-user event volume (and session pair space) constant
+                r = r.withColumn("user_id", F.col("user_id") + F.lit(i * OFFSET))
+            if t == "documents" and i > 0:
+                # Keep near-dup density CONSTANT across replicas. A mere
+                # document-level suffix is NOT enough: token/shingle Jaccard
+                # between a text and text+" tag" is ≈1, so replicas of one
+                # doc stay genuine near-duplicates and the TRUE pair space
+                # grows K² — the first run measured exactly that (ratio
+                # 14.5 at K=8 for dedup_token_jaccard). Suffixing EVERY
+                # token makes cross-replica token sets disjoint (Jaccard 0)
+                # while each replica's internal similarity structure is
+                # preserved verbatim.
+                r = r.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", "$1" + f"zq{i}"),
+                )
+            if t == "embeddings" and i > 0:
+                # Same constant-density rule for vectors: identical copies
+                # would make cross-replica cosine 1.0 and blow up in-cell
+                # pair spaces quadratically. Rolling every replica-i vector
+                # by i positions preserves norms and all WITHIN-replica
+                # pairwise dot products exactly, while cross-replica pairs
+                # see relatively-rotated (decorrelated) vectors.
+                dim = 64
+                r = r.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", 1, i),
+                    ),
+                )
+            reps.append(r)
+        u = reps[0]
+        for r in reps[1:]:
+            u = u.unionByName(r)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in DIMS:
+        # dims stay 1× — point the synthetic dir at the originals
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    from openmrs_module_mamba_etl_spark import registry
+    from openmrs_module_mamba_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="scale-stress")
+
+    print(json.dumps({"building": f"{k}x stress dir from {BASE}"}), flush=True)
+    t0 = time.monotonic()
+    stress_dir = build_stress_dir(spark, k)
+    print(
+        json.dumps({"built": stress_dir, "sec": round(time.monotonic() - t0, 1)}),
+        flush=True,
+    )
+
+    rows = []
+    for name in STRESSED:
+        fn = registry.QUERIES[name]
+        rec = {"key": name}
+        try:
+            for label, d, nrep in (("base", BASE, 2), ("stress", stress_dir, 1)):
+                best = float("inf")
+                for _ in range(nrep):
+                    t0 = time.monotonic()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.monotonic() - t0)
+                rec[label] = round(best, 3)
+            rec["ratio"] = round(rec["stress"] / rec["base"], 2)
+            rec["k"] = k
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    ok = [r for r in rows if "ratio" in r]
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "k": k,
+                    "queries": len(rows),
+                    "errors": [r["key"] for r in rows if "error" in r],
+                    "superlinear": [
+                        r["key"] for r in ok if r["ratio"] > k
+                    ],
+                    "max_ratio": max((r["ratio"] for r in ok), default=None),
+                }
+            }
+        )
+    )
+    shutil.rmtree(stress_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
