@@ -194,7 +194,16 @@ def flatten_column_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch_dir,
     )
 
-    wide = flatten(table(spark, sf_dir, "events"), EVENTS_SPEC)
+    from openmrs_module_mamba_etl_spark.operators.flatten import discover_attrs
+
+    ev = table(spark, sf_dir, "events")
+    # discovered ∪ declared event types: the export schema (and the g0
+    # group dir) must exist even on an empty increment
+    attrs = sorted(
+        set(discover_attrs(ev, EVENTS_SPEC))
+        | {"click", "error", "purchase", "signup", "view"}
+    )
+    wide = flatten(ev, EVENTS_SPEC, attrs=attrs)
     value_cols = [c for c in wide.columns if c != "user_id"]
     cap = 3  # force >1 group on the 5-attribute fixture
     groups = [value_cols[i : i + cap] for i in range(0, len(value_cols), cap)]
@@ -298,8 +307,21 @@ def stream_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q)
 
-    cells = spark.read.parquet(cur["path"])
-    attrs = sorted(r[0] for r in cells.select("event_type").distinct().collect())
+    if "path" in cur:
+        cells = spark.read.parquet(cur["path"])
+    else:  # zero micro-batches (empty source): empty cell store
+        cells = spark.createDataFrame(
+            [], "user_id long, event_type string, value double, ts long"
+        )
+    # Discovered attributes ∪ the oracle's declared event-type contract:
+    # on an empty/partial increment the wide schema must stay stable (the
+    # same empty-increment rule as plans/clinical.py REPORT_CONTRACT_ATTRS),
+    # and an empty attrs list would make agg() throw outright.
+    contract = {"click", "error", "purchase", "signup", "view"}
+    attrs = sorted(
+        {r[0] for r in cells.select("event_type").distinct().collect()}
+        | contract
+    )
     return cells.groupBy("user_id").agg(
         *[
             F.max(

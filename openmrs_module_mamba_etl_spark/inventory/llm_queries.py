@@ -621,6 +621,11 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
         .select("embedding")
         .first()
     )
+    if row is None:
+        # empty corpus / missing probe id: any query vector scores zero
+        # rows, so the zero vector keeps every downstream top-k runnable
+        # (and empty) instead of crashing on a driver-side subscript
+        return [0.0] * _EMB_DIM
     return [float(x) for x in row[0]]
 
 
@@ -996,7 +1001,7 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, counts = kmeans_train(emb, "vec_id", "embedding", k=8, iters=2)
     rows = [
         (c, d, cents[c][d], counts[c])
-        for c in range(8)
+        for c in range(len(cents))  # < 8 seeds on a tiny/empty corpus
         for d in range(len(cents[c]))
     ]
     return spark.createDataFrame(
@@ -1507,6 +1512,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dl", F.size("toks"))
     )
     n, avgdl = docs.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    avgdl = avgdl if avgdl is not None else 1.0  # empty corpus: no rows score
     tf_cols = {
         w: F.size(F.filter(F.col("toks"), lambda x: x == F.lit(w))).cast("double")
         for w in _BM25_TERMS

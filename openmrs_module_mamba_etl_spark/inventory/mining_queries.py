@@ -1939,8 +1939,14 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cand",
         "n_true",
         "n_hit",
-        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
-        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        # try_divide: NULL on a zero denominator (duplicate-free corpus) —
+        # matching DuckDB, where x/0 is NULL; plain `/` under ANSI raises
+        F.round(F.try_divide(F.col("n_hit"), F.col("n_cand")), 6).alias(
+            "precision"
+        ),
+        F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
+            "recall"
+        ),
     )
     # The result is ONE row: materialize it now (localCheckpoint pins the
     # single-row RDD) so `base` can be unpersisted here instead of leaking

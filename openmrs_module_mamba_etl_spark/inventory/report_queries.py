@@ -333,7 +333,8 @@ def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.format("noop").mode("overwrite").save()
     m = obs.get
+    total = float(m["total_price"]) if m["total_price"] is not None else 0.0
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_large"], float(m["total_price"]))],
+        [(m["n_rows"], m["n_large"], total)],  # SUM over 0 rows is NULL
         "n_rows long, n_large long, total_price double",
     )

@@ -223,6 +223,7 @@ def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, not just counts."""
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _scratch_dir,
+        read_back,
     )
 
     docs = table(spark, sf_dir, "documents").withColumn(
@@ -233,7 +234,13 @@ def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(16, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(target)
-    out = spark.read.parquet(target)
+    # schema-explicit: an empty corpus writes no shard dirs at all
+    out = read_back(
+        spark,
+        target,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, shard string",
+    )
     return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("sum_doc_id"),

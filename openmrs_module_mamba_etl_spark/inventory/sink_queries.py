@@ -66,6 +66,21 @@ ORDER_COLS = [
 ]
 
 
+def read_back(spark, path: str, schema):
+    """Read a just-written parquet location with the WRITER's schema.
+
+    A zero-row write leaves no part files (a zero-batch stream sink may
+    leave no directory at all), and schema inference then fails with
+    UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND. An empty increment is a
+    normal production event — it must read back as an empty relation of
+    the expected schema, never as an error. ``schema`` is a StructType or
+    DDL string (whatever the writer had).
+    """
+    if not os.path.isdir(str(path)):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(str(path))
+
+
 def _scratch_dir(name: str) -> str:
     """Per-query scratch path under the run-scoped root, wiped on every call.
 
@@ -248,9 +263,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = _scratch_dir("sink_partitioned")
     orders.write.mode("overwrite").partitionBy("order_year").parquet(target)
-    out = spark.read.parquet(target).where(
-        F.col("order_year").between(1996, 1998)
-    )
+    # schema-explicit read-back: an empty increment writes no partition
+    # dirs and inference would fail (partition col reads back as string)
+    out = read_back(
+        spark,
+        target,
+        "o_orderkey bigint, o_totalprice double, order_year string",
+    ).where(F.col("order_year").between(1996, 1998))
     # Partition column comes back as the inferred type + last position;
     # normalize order and type so the oracle schema matches.
     return out.select(

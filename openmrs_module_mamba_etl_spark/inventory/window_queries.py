@@ -335,7 +335,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.streaming.sessionize import (
         streaming_sessionize,
     )
@@ -344,8 +347,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch_dir("stream_sessionize")
     # the file source wants a directory; glob down to the one table
     stream = _events_stream(spark, sf_dir)
+    sdf = streaming_sessionize(stream)
     q = (
-        streaming_sessionize(stream)
+        sdf
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))
@@ -354,7 +358,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), sdf.schema)
 
 
 def _tws_available() -> bool:
@@ -407,7 +411,10 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful-API carriers implement identical semantics."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.streaming.sessionize_tws import (
         streaming_sessionize_tws,
     )
@@ -422,8 +429,9 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _scratch_dir("stream_sessionize_tws")
     stream = _events_stream(spark, sf_dir)
+    sdf = streaming_sessionize_tws(stream)
     q = (
-        streaming_sessionize_tws(stream)
+        sdf
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))
@@ -432,7 +440,7 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), sdf.schema)
 
 
 if _tws_available():
@@ -455,7 +463,10 @@ def stream_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks; the final manifest shows one commit per batch."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.sources.txnlog import (
         VersionedParquetTable,
     )
@@ -521,14 +532,18 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py)."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.streaming.windows import windowed_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_windowed_counts")
     stream = _events_stream(spark, sf_dir)
+    sdf = windowed_counts(stream, window="1 day", watermark_delay="1 hour")
     q = (
-        windowed_counts(stream, window="1 day", watermark_delay="1 hour")
+        sdf
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))
@@ -537,7 +552,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), sdf.schema)
 
 
 def _documents_stream_schema():
@@ -577,7 +592,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from openmrs_module_mamba_etl_spark.functions.text import content_hash
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.streaming.dedup import streaming_dedup
 
     scratch = _scratch_dir("stream_dedup")
@@ -586,8 +604,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    sdf = streaming_dedup(stream, content_hash(F.col("text")))
     q = (
-        streaming_dedup(stream, content_hash(F.col("text")))
+        sdf
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))
@@ -596,7 +615,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), sdf.schema)
 
 
 @query(
@@ -616,7 +635,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles the stream side."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.sources.parquet import table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -637,7 +659,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), joined.schema)
 
 
 # Re-export for API users; keeps operators/windows.py the canonical impl.
@@ -761,7 +783,10 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate; maintenance rewrites only touched chunk directories."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.operators.rollup import (
         rollup_aggregate,
         rollup_write,
@@ -775,7 +800,13 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = _scratch_dir("rollup_hypertable")
     rollup_write(rolled, target)
-    out = spark.read.parquet(target)
+    # partition col `chunk` reads back from directory names as string
+    out = read_back(
+        spark,
+        target,
+        "event_type string, n_events bigint, sum_value double, "
+        "min_value double, max_value double, chunk string",
+    )
     # partition column round-trips as its directory value; cast back to long
     return out.select(
         F.col("chunk").cast("long").alias("chunk"),
@@ -810,7 +841,10 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table rebuild."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.operators.rollup import rollup_refresh
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -853,7 +887,12 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    out = spark.read.parquet(rollup)
+    out = read_back(
+        spark,
+        rollup,
+        "event_type string, n_events bigint, sum_value double, "
+        "min_value double, max_value double, chunk string",
+    )
     return out.select(
         F.col("chunk").cast("long").alias("chunk"),
         "event_type",
@@ -889,7 +928,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval width is the state-size knob."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_stream_join")
@@ -936,7 +978,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(os.path.join(scratch, "out"))
+    return read_back(spark, os.path.join(scratch, "out"), joined.schema)
 
 
 @query(
@@ -1043,7 +1085,10 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_upsert")
@@ -1126,7 +1171,10 @@ def stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Derby stands in for MySQL exactly as in sink_jdbc."""
     import os
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
     from openmrs_module_mamba_etl_spark.sources.jdbc import JdbcSink
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1275,6 +1323,7 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _scratch_dir,
+        read_back,
     )
     from openmrs_module_mamba_etl_spark.streaming.windows import (
         windowed_counts,
@@ -1283,10 +1332,11 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_topk_trending")
     stream = _events_stream(spark, sf_dir)
+    sdf = windowed_counts(stream, key_col="event_type").select(
+        "window_start", "event_type", "n_events"
+    )
     q = (
-        windowed_counts(stream, key_col="event_type")
-        .select("window_start", "event_type", "n_events")
-        .writeStream.format("parquet")
+        sdf.writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(scratch, "out"))
         .option("checkpointLocation", os.path.join(scratch, "ckpt"))
@@ -1294,7 +1344,7 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    counts = spark.read.parquet(os.path.join(scratch, "out"))
+    counts = read_back(spark, os.path.join(scratch, "out"), sdf.schema)
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )
@@ -1428,7 +1478,10 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from openmrs_module_mamba_etl_spark.inventory.sink_queries import _scratch_dir
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _scratch_dir,
+        read_back,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scratch = _scratch_dir("stream_bitmap_distinct")

@@ -143,6 +143,11 @@ def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     maximal cell — deterministic. Centroid count × dim doubles are
     broadcast-sized by construction for an IVF coarse quantizer.
     """
+    if not centroids:
+        # zero cells (empty training corpus): the expression can only ever
+        # evaluate over zero rows — a constant keeps the plan analyzable
+        # (array() of nothing is untyped and fails analysis)
+        return F.lit(0).cast("int")
     C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     scores = F.transform(C, lambda c: cosine(vec, c))
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -180,6 +185,12 @@ def ivf_train(
         .select("_v")
         .collect()
     )
+    if not sample:
+        # empty corpus: no trainable structure — empty centroid list; every
+        # consumer (assign / topk / dedup) treats it as "zero cells" and
+        # short-circuits to an empty result instead of crashing numpy on a
+        # 0-row matrix
+        return []
     X = np.asarray([list(r["_v"]) for r in sample], dtype=np.float64)
     C = X[: min(n_cells, len(X))].copy()
     Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
@@ -204,6 +215,10 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
     """
     from pyspark.sql.functions import pandas_udf
 
+    if not centroids:
+        # zero cells (empty training corpus): the kernel can only ever see
+        # zero rows, so any placeholder keeps the matmul well-formed
+        centroids = [[0.0]]
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
 
@@ -244,6 +259,10 @@ def ivf_topk(
     rises with nprobe; nprobe = n_cells degrades gracefully to exact.
     """
     centroids = ivf_train(df, id_col, vec_col, n_cells, refine_iters)
+    if not centroids:  # empty corpus: nothing to probe, empty top-k
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).where(F.lit(False))
     C = np.asarray(centroids, dtype=float)
     qv = np.asarray(query_vec, dtype=float)
     sims = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv) + 1e-12)
@@ -421,6 +440,10 @@ def ivf_topk_portable(
     pruning when the table is written partitioned by cell).
     """
     centroids = ivf_seed_centroids(df, id_col, vec_col, n_cells)
+    if not centroids:  # empty corpus: nothing to probe, empty top-k
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).where(F.lit(False))
     sims = [_cosine_lr(c, query_vec) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
 
@@ -459,6 +482,8 @@ def pq_codebooks(
     ``n_codes`` rows.
     """
     seeds = ivf_seed_centroids(df, id_col, vec_col, n_codes)
+    if not seeds:  # empty corpus: no codebooks, consumers short-circuit
+        return []
     dim = len(seeds[0])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -534,6 +559,10 @@ def pq_topk_portable(
     in SQL.
     """
     codebooks = pq_codebooks(df, id_col, vec_col, n_sub, n_codes)
+    if not codebooks:  # empty corpus: no codes to score, empty top-k
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("adc_ip")
+        ).where(F.lit(False))
     d = len(codebooks[0][0])
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     codes = pq_encode(F.col(vec_col), codebooks)
@@ -580,6 +609,10 @@ def ivfpq_topk_portable(
     encoding, LUT scoring and the final top-k all replay in SQL.
     """
     centroids = ivf_seed_centroids(df, id_col, vec_col, n_cells)
+    if not centroids:  # empty corpus: nothing to probe, empty top-k
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("adc_ip")
+        ).where(F.lit(False))
     sims = [_cosine_lr(c, query_vec) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
 

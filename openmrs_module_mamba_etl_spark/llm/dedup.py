@@ -480,6 +480,10 @@ def _cosine_pairs_bruteforce_arrow(
     import pandas as pd
 
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: no pairs (and numpy needs a 2-D matrix)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     ids_all = np.asarray([r[0] for r in rows], dtype=np.int64)
     M = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(M, axis=1, keepdims=True)

@@ -58,6 +58,8 @@ def kmeans_train(
         .collect()
     )
     cents = [[n / 1_000_000_000.0 for n in r["nv"]] for r in seed_rows]
+    if not cents:  # empty corpus: nothing to seed, no trainable state
+        return [], []
     counts = [0] * k
     for _ in range(iters):
         assigned = df.select(

@@ -102,11 +102,13 @@ def train_logreg_hashed(
             .collect()
         )
         bias_row = scored.agg(F.avg("err").alias("g")).first()
+        # empty corpus: no gradient signal — AVG is NULL, weights stay 0
+        bg = float(bias_row["g"]) if bias_row["g"] is not None else 0.0
         grad = {int(r["bucket"]): float(r["g"]) / n_docs for r in grad_rows}
         w = [
             round(w[b] - lr * grad.get(b, 0.0), round_w)
             for b in range(n_buckets)
         ]
-        bias = round(bias - lr * float(bias_row["g"]), round_w)
+        bias = round(bias - lr * bg, round_w)
     base.unpersist()
     return w + [bias]

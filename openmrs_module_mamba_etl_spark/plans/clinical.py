@@ -69,11 +69,24 @@ def dim_encounter(spark: SparkSession, ctx: PipelineContext) -> DataFrame:
     )
 
 
+#: Columns the registered reports reference by name (the reference's JSON
+#: column-config contract): they must exist in the flat table even on a day
+#: with zero events, or report SQL fails UNRESOLVED_COLUMN on an empty
+#: increment instead of returning an empty result.
+REPORT_CONTRACT_ATTRS = ("purchase",)
+
+
 @PIPELINE.register("mamba_flat_user_activity")
 def flat_user_activity(spark: SparkSession, ctx: PipelineContext) -> DataFrame:
     """events (EAV long) → wide per-user table via the dynamic pivot (the
-    ``mamba_flat_encounter_<type>`` analog — reference: README.md:252-253)."""
-    return flatten(table(spark, ctx.sf_dir, "events"), EVENTS_AS_OBS)
+    ``mamba_flat_encounter_<type>`` analog — reference: README.md:252-253).
+    Discovered attributes are unioned with the report-contract columns so
+    the schema is stable under empty/partial input."""
+    from openmrs_module_mamba_etl_spark.operators.flatten import discover_attrs
+
+    ev = table(spark, ctx.sf_dir, "events")
+    attrs = sorted(set(discover_attrs(ev, EVENTS_AS_OBS)) | set(REPORT_CONTRACT_ATTRS))
+    return flatten(ev, EVENTS_AS_OBS, attrs=attrs)
 
 
 @PIPELINE.register("mamba_fact_order_totals")

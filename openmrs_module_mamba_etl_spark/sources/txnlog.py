@@ -147,6 +147,11 @@ class VersionedParquetTable:
                 "op": mode,
                 "dirs": dirs,
                 "stats": stats,
+                # schema travels with the manifest so a version whose dirs
+                # all pruned/forgot away still reads back as an EMPTY
+                # relation of the right shape (Delta/Iceberg keep schema in
+                # metadata for the same reason)
+                "schema": df.schema.jsonValue(),
                 **(meta or {}),
             }
 
@@ -180,7 +185,18 @@ class VersionedParquetTable:
             raise FileNotFoundError(
                 f"version {v} not in log (have {self.versions()})"
             )
-        dirs = self._manifest(v)["dirs"]
+        m = self._manifest(v)
+        dirs = m["dirs"]
+        if not dirs:
+            # every dir pruned/forgotten away: an empty snapshot, not an
+            # error — schema comes from the manifest (older logs without a
+            # recorded schema cannot produce an empty-dirs version, since
+            # only schema-recording code paths write one)
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
         return spark.read.parquet(*[str(self._files / d) for d in dirs])
 
     # ---- exactly-once streaming sink ------------------------------------
@@ -358,6 +374,7 @@ class VersionedParquetTable:
                 "dirs": new_dirs,
                 "stats": new_stats,
                 "n_keys": len(keys),
+                "schema": kept.schema.jsonValue(),
             }
             tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
             tmp.write_text(json.dumps(manifest, indent=2))
