@@ -926,12 +926,14 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.sum("pos").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+        # try_divide: AUC is undefined with a single class (n_pos or n_neg
+        # = 0) — NULL on both engines (DuckDB x/0 is NULL; ANSI `/` raises)
         F.round(
-            (
+            F.try_divide(
                 F.sum(F.col("pos") * F.col("avg2"))
-                - F.sum("pos") * (F.sum("pos") + 1)
-            )
-            / (2.0 * F.sum("pos") * F.sum(F.col("cnt") - F.col("pos"))),
+                - F.sum("pos") * (F.sum("pos") + 1),
+                2.0 * F.sum("pos") * F.sum(F.col("cnt") - F.col("pos")),
+            ),
             6,
         ).alias("auc"),
     )
