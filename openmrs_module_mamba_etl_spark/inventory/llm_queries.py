@@ -606,7 +606,7 @@ def _assert_emb_dim(
     Pass ``width`` when the caller already knows it; otherwise the query
     vector is probed."""
     if width is None:
-        width = len(_query_vec(spark, sf_dir, 0))
+        width = len(_query_vec(spark, sf_dir, 0)[0])
     if width != _EMB_DIM:
         raise AssertionError(
             f"embeddings width {width} != {_EMB_DIM}; regenerate the "
@@ -614,7 +614,17 @@ def _assert_emb_dim(
         )
 
 
-def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+def _query_vec(
+    spark: SparkSession, sf_dir: str, vec_id: int = 0
+) -> tuple[list[float], bool]:
+    """Probe vector + found flag.
+
+    A missing probe row (empty corpus OR just no vec_id=``vec_id``) must
+    score ZERO rows — the oracles all join ``FROM embeddings b, q`` where
+    ``q`` is the probe row, so an absent probe empties the result. The
+    zero-vector placeholder only keeps the downstream pipeline
+    constructible; every caller gates its final frame with
+    ``.where(F.lit(found))`` so both engines publish the same empty set."""
     row = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == vec_id)
@@ -622,11 +632,8 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
         .first()
     )
     if row is None:
-        # empty corpus / missing probe id: any query vector scores zero
-        # rows, so the zero vector keeps every downstream top-k runnable
-        # (and empty) instead of crashing on a driver-side subscript
-        return [0.0] * _EMB_DIM
-    return [float(x) for x in row[0]]
+        return [0.0] * _EMB_DIM, False
+    return [float(x) for x in row[0]], True
 
 
 @query(
@@ -648,10 +655,10 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a query vector (scan + TakeOrdered)."""
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     return brute_force_topk(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", qv, k=10
-    )
+    ).where(F.lit(found))
 
 
 @query(
@@ -682,7 +689,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ball ``bit_count(bucket XOR qbucket) <= 2``, and the oracle carries
     the same seed-42 projection literals, so the pruned candidate set —
     and the top-10 — replay exactly."""
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     _assert_emb_dim(width=len(qv))
     return lsh_topk(
         table(spark, sf_dir, "embeddings"),
@@ -692,7 +699,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         planes=8,
         multiprobe_hamming=2,
-    )
+    ).where(F.lit(found))
 
 
 @query("ann_topk_ivf")  # quantizer cells are engine-internal
@@ -701,7 +708,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed Lloyd step), probe the 4 nearest of 16 cells (rows-only
     check). At scale the table is written partitionBy(ivf_cell) so the
     probe filter is partition pruning, not a full scan."""
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     return ivf_topk(
         table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -710,7 +717,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_cells=16,
         nprobe=4,
-    )
+    ).where(F.lit(found))
 
 
 @query(
@@ -754,7 +761,7 @@ def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_portable`` does for MinHash+LSH."""
     from openmrs_module_mamba_etl_spark.llm.ann import ivf_topk_portable
 
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     return ivf_topk_portable(
         table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -763,7 +770,7 @@ def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_cells=16,
         nprobe=4,
-    )
+    ).where(F.lit(found))
 
 
 def _pq_slice(col: str) -> str:
@@ -827,7 +834,7 @@ def ann_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     table partitionBy(ivf_cell) and this becomes IVF-PQ."""
     from openmrs_module_mamba_etl_spark.llm.ann import pq_topk_portable
 
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     _assert_emb_dim(width=len(qv))
     return pq_topk_portable(
         table(spark, sf_dir, "embeddings"),
@@ -837,7 +844,7 @@ def ann_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_sub=4,
         n_codes=16,
-    )
+    ).where(F.lit(found))
 
 
 @query(
@@ -906,7 +913,7 @@ def ann_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k all replay in the oracle."""
     from openmrs_module_mamba_etl_spark.llm.ann import ivfpq_topk_portable
 
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     _assert_emb_dim(width=len(qv))
     return ivfpq_topk_portable(
         table(spark, sf_dir, "embeddings"),
@@ -918,7 +925,7 @@ def ann_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         n_sub=4,
         n_codes=16,
-    )
+    ).where(F.lit(found))
 
 
 def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 2) -> str:
@@ -1168,7 +1175,7 @@ def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incremental path equals the one-shot answer. At scale the
     standing answer is k rows — the increment is the only thing scored
     per tick."""
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
     _assert_emb_dim(width=len(qv))
     emb = table(spark, sf_dir, "embeddings")
     standing_corpus = emb.where(F.col("vec_id") % 2 == 0)
@@ -1179,6 +1186,7 @@ def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         standing.unionByName(delta)
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+        .where(F.lit(found))
     )
 
 

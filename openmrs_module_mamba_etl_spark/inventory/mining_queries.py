@@ -1048,7 +1048,9 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
+    # missing probe row -> both arms empty, same as the oracle's probe CTE
+    emb = emb.where(F.lit(found))
     w_arr = F.array(*[F.lit(w) for w in _DCG_W])
     exact = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
         "vec_id",
@@ -1485,7 +1487,9 @@ def emb_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_module_mamba_etl_spark.llm.ann import brute_force_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
+    qv, found = _query_vec(spark, sf_dir, 0)
+    # missing probe row -> every arm empty, same as the oracle's probe CTE
+    emb = emb.where(F.lit(found))
     exact = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
         "vec_id"
     )

@@ -465,7 +465,6 @@ def stream_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _scratch_dir,
-        read_back,
     )
     from openmrs_module_mamba_etl_spark.sources.txnlog import (
         VersionedParquetTable,
@@ -1143,9 +1142,16 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.read.parquet(cur["path"]).select(
-        "user_id", "last_event", "last_value", "last_tus"
+    # Zero micro-batches (empty source) leaves cur without a path: the
+    # upsert must read back as an empty state table, not a KeyError —
+    # same empty-increment contract as stream_flatten's cell store.
+    state = read_back(
+        spark,
+        cur.get("path", os.path.join(scratch, "state_v0")),
+        "user_id long, event_id long, last_event string, "
+        "last_value double, last_tus long",
     )
+    return state.select("user_id", "last_event", "last_value", "last_tus")
 
 
 @query(
@@ -1173,7 +1179,6 @@ def stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _scratch_dir,
-        read_back,
     )
     from openmrs_module_mamba_etl_spark.sources.jdbc import JdbcSink
 
@@ -1238,6 +1243,14 @@ def stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
+    if not state["exists"]:
+        # Zero micro-batches: the Derby table was never created — an
+        # empty increment reads back as an empty relation, not an error.
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_event string, "
+            "last_value double, last_tus long",
+        )
     return sink.read_back(spark, dbtable).select(
         "user_id", "last_event", "last_value", "last_tus"
     )
@@ -1532,11 +1545,13 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return (
-        spark.read.parquet(cur["path"])
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.bit_count("word")).cast("long").alias("n_users"),
-            F.count(F.lit(1)).alias("n_blocks"),
-        )
+    # Zero micro-batches (empty source): empty bitmap state, not KeyError.
+    state = read_back(
+        spark,
+        cur.get("path", os.path.join(scratch, "state_v0")),
+        "event_type string, blk long, word long",
+    )
+    return state.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_blocks"),
     )

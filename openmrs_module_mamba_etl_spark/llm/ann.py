@@ -418,6 +418,12 @@ def _cosine_lr(a: list[float], b: list[float]) -> float:
     nb = 0.0
     for y in b:
         nb += y * y
+    if na == 0.0 or nb == 0.0:
+        # zero-norm input (e.g. the missing-probe placeholder vector):
+        # the SQL replay yields NULL here; driver-side this only ranks
+        # probe cells, and callers gate the final frame empty, so a
+        # constant is safe where a ZeroDivisionError is not
+        return 0.0
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
