@@ -42,6 +42,52 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _loaded = False
 
 
+def driver_signals() -> dict[str, str]:
+    """key → latest driver signal label from CORRECTNESS_r*.json:
+    ``'green rN'`` | ``'rows-only rN'`` | ``'red rN'``.
+
+    One state machine for every consumer (rotation ordering below, the
+    docs/OPERATORS.md generator): files iterate in round order and the
+    last SIGNAL per key wins, where a clean rows-only run (``err:
+    no_oracle``, no hash verdict) clears an earlier red but never demotes
+    an earlier green.  Unreadable files are skipped.
+    """
+    sig: dict[str, str] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def round_num(path: str) -> int:
+        # Parse the round number so r100 sorts AFTER r99 — a lexicographic
+        # filename sort would misorder them and let a stale verdict win.
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            return int(stem.rsplit("_r", 1)[-1])
+        except ValueError:
+            return -1
+
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                   key=round_num)
+    for path in paths:
+        rn = round_num(path)
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            hm = row.get("hash_match")
+            if hm is None and row.get("err") == "no_oracle":
+                # benign rows-only sample: marks sampled, recovers a red
+                if not sig.get(key, "").startswith("green"):
+                    sig[key] = f"rows-only r{rn}"
+            elif hm is True:
+                sig[key] = f"green r{rn}"
+            else:
+                sig[key] = f"red r{rn}"
+    return sig
+
+
 def _driver_history() -> tuple[set[str], set[str], set[str]]:
     """(verified, sampled, crashed) key sets from CORRECTNESS_r*.json.
 
@@ -57,44 +103,10 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
     keys have since gained oracles or fixes and need a fresh sample.
     Failure to read the files degrades to the neutral (alphabetical) order.
     """
-    last_green: dict[str, bool] = {}
-    last_crash: dict[str, bool] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    def round_num(path: str) -> int:
-        # Parse the round number so r100 sorts AFTER r99 — a lexicographic
-        # filename sort would misorder them and let a stale verdict win.
-        stem = os.path.splitext(os.path.basename(path))[0]
-        try:
-            return int(stem.rsplit("_r", 1)[-1])
-        except ValueError:
-            return -1
-
-    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-                   key=round_num)
-    for path in paths:
-        try:
-            with open(path, encoding="utf-8") as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for key, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            # files iterate in round order; the last SIGNAL per key wins.
-            # A rows-only run (no oracle existed that round) carries no
-            # hash verdict either way — it marks the key sampled but must
-            # not demote an earlier green.
-            hm = row.get("hash_match")
-            if hm is None and row.get("err") == "no_oracle":
-                last_green.setdefault(key, False)
-                last_crash[key] = False
-            else:
-                last_green[key] = hm is True
-                last_crash[key] = hm is not True
-    sampled = set(last_green)
-    verified = {k for k, green in last_green.items() if green}
-    crashed = {k for k, bad in last_crash.items() if bad}
+    sig = driver_signals()
+    sampled = set(sig)
+    verified = {k for k, v in sig.items() if v.startswith("green")}
+    crashed = {k for k, v in sig.items() if v.startswith("red")}
     return verified, sampled, crashed
 
 
