@@ -89,9 +89,18 @@ def build_stress_dir(spark, k: int) -> str:
                 # doc stay genuine near-duplicates and the TRUE pair space
                 # grows K² — the first run measured exactly that (ratio
                 # 14.5 at K=8 for dedup_token_jaccard). Suffixing EVERY
-                # token makes cross-replica token sets disjoint (Jaccard 0)
+                # whitespace token makes cross-replica token sets disjoint
+                # (Jaccard 0) UNDER THE DEDUP FAMILY'S TOKENIZER — the
+                # lowercased whitespace split of functions/similarity.py
+                # tokens(), which every stressed pair generator (token/
+                # shingle Jaccard, MinHash bands, clusters) builds on —
                 # while each replica's internal similarity structure is
-                # preserved verbatim.
+                # preserved verbatim. Char-level analyzers (langid
+                # n-grams, the BPE-ish counter) do still see shared
+                # substrings, but none of them generate pairs, so the
+                # pair-space invariant is unaffected; main() MEASURES the
+                # invariant below (cross_replica_pairs) instead of
+                # trusting this comment.
                 r = r.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", "$1" + f"zq{i}"),
@@ -143,6 +152,23 @@ def main() -> int:
         json.dumps({"built": stress_dir, "sec": round(time.monotonic() - t0, 1)}),
         flush=True,
     )
+
+    # Measured constant-density invariant: the 0.9-Jaccard pair set must not
+    # contain a single cross-replica pair (ids land in different OFFSET
+    # blocks). A nonzero count means the perturbation leaked similarity
+    # across replicas and every dedup ratio below is measuring K² pair-space
+    # inflation, not engine scaling — fail loudly rather than publish that.
+    from pyspark.sql import functions as F
+
+    pairs = registry.QUERIES["dedup_token_jaccard"](spark, stress_dir)
+    n_cross = pairs.where(
+        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
+    ).count()
+    print(json.dumps({"cross_replica_pairs": n_cross}), flush=True)
+    if n_cross:
+        print(json.dumps({"error": "replica perturbation leaked pairs"}))
+        shutil.rmtree(stress_dir, ignore_errors=True)
+        return 1
 
     rows = []
     for name in STRESSED:
