@@ -20,6 +20,12 @@ from openmrs_module_mamba_etl_spark.operators.flatten import (
 from openmrs_module_mamba_etl_spark.registry import query
 from openmrs_module_mamba_etl_spark.sources.parquet import table
 
+#: The declared event-type contract: the wide-schema columns every flatten/
+#: pivot in this module publishes even on an empty increment (the oracles
+#: bake the same five as CASE WHEN literals). One constant so the schema
+#: can't silently diverge between queries when the contract changes.
+EVENT_TYPE_CONTRACT = ("click", "error", "purchase", "signup", "view")
+
 _LATEST_CTE = """
     WITH latest AS (
       SELECT user_id, event_type, value,
@@ -85,7 +91,7 @@ def pivot_eav_config(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with a SUM measure (wide metrics table per entity)."""
     ev = table(spark, sf_dir, "events")
-    attrs = ["click", "error", "purchase", "signup", "view"]
+    attrs = list(EVENT_TYPE_CONTRACT)
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", attrs)
@@ -200,8 +206,7 @@ def flatten_column_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discovered ∪ declared event types: the export schema (and the g0
     # group dir) must exist even on an empty increment
     attrs = sorted(
-        set(discover_attrs(ev, EVENTS_SPEC))
-        | {"click", "error", "purchase", "signup", "view"}
+        set(discover_attrs(ev, EVENTS_SPEC)) | set(EVENT_TYPE_CONTRACT)
     )
     wide = flatten(ev, EVENTS_SPEC, attrs=attrs)
     value_cols = [c for c in wide.columns if c != "user_id"]
@@ -317,10 +322,9 @@ def stream_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on an empty/partial increment the wide schema must stay stable (the
     # same empty-increment rule as plans/clinical.py REPORT_CONTRACT_ATTRS),
     # and an empty attrs list would make agg() throw outright.
-    contract = {"click", "error", "purchase", "signup", "view"}
     attrs = sorted(
         {r[0] for r in cells.select("event_type").distinct().collect()}
-        | contract
+        | set(EVENT_TYPE_CONTRACT)
     )
     return cells.groupBy("user_id").agg(
         *[

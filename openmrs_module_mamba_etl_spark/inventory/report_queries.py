@@ -219,27 +219,16 @@ def sink_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the catalog is per-session: prior runs' managed-table directories
     # survive as orphans, so prune locations owned by dead pids (plus any
     # unsuffixed dir from older revisions' fixed-name scheme)
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        prune_dead_pid_dirs,
+    )
+
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     db_dir = f"{warehouse}/mamba_analysis.db"
     shutil.rmtree(f"{db_dir}/order_status_counts", ignore_errors=True)
-    if os.path.isdir(db_dir):
-        for entry in os.listdir(db_dir):
-            if not entry.startswith("order_status_counts_"):
-                continue
-            try:
-                pid = int(entry.rsplit("_", 1)[-1])
-            except ValueError:
-                continue
-            if pid == os.getpid():
-                continue
-            try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                shutil.rmtree(f"{db_dir}/{entry}", ignore_errors=True)
-            except PermissionError:
-                pass
+    prune_dead_pid_dirs(db_dir, "order_status_counts_")
     agg = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

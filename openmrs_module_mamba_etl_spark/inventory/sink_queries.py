@@ -21,6 +21,36 @@ _SCRATCH_BASE = Path(__file__).resolve().parents[2] / "_scratch"
 _SCRATCH: Path | None = None
 
 
+def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
+    """Remove ``<prefix><pid>`` dirs under ``parent`` whose owning process
+    is gone.
+
+    The one liveness rule for every per-pid on-disk namespace (the scratch
+    run roots here, ``sink_database``'s managed-table locations): dirs of
+    live pids are left alone (concurrent suites), dirs of dead pids are
+    litter from a crashed or finished run. Kept in one place so a fix —
+    pid-reuse handling, an age cutoff — can't silently miss a copy.
+    """
+    parent = Path(parent)
+    if not parent.is_dir():
+        return
+    for stale in parent.iterdir():
+        if not stale.name.startswith(prefix):
+            continue
+        try:
+            pid = int(stale.name[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another user: leave it
+
+
 def _scratch_root() -> Path:
     """Run-scoped scratch root, resolved once per process.
 
@@ -29,8 +59,10 @@ def _scratch_root() -> Path:
     the oracle preflight, and the driver's correctness gate can run
     CONCURRENTLY without clobbering each other's sink/stream dirs (the
     round-5 judge had to sequence runs).  Roots left behind by processes
-    that are no longer alive are pruned on first use; a crashed run's
-    litter therefore survives at most until the next run starts.
+    that are no longer alive are pruned on first use — as is anything NOT
+    named ``run_*`` (pre-run-scoping revisions wrote fixed
+    ``_scratch/<name>`` dirs directly here, which nothing else cleans).
+    A crashed run's litter therefore survives at most until the next run.
     """
     global _SCRATCH
     if _SCRATCH is None:
@@ -39,19 +71,11 @@ def _scratch_root() -> Path:
             root = Path(env)
         else:
             root = _SCRATCH_BASE / f"run_{os.getpid()}"
-            for stale in _SCRATCH_BASE.glob("run_*"):
-                try:
-                    pid = int(stale.name[4:])
-                except ValueError:
-                    continue
-                if pid == os.getpid():
-                    continue
-                try:
-                    os.kill(pid, 0)  # raises if no such process
-                except ProcessLookupError:
-                    shutil.rmtree(stale, ignore_errors=True)
-                except PermissionError:
-                    pass  # pid exists under another user: leave it
+            prune_dead_pid_dirs(_SCRATCH_BASE, "run_")
+            if _SCRATCH_BASE.is_dir():
+                for legacy in _SCRATCH_BASE.iterdir():
+                    if not legacy.name.startswith("run_"):
+                        shutil.rmtree(legacy, ignore_errors=True)
         root.mkdir(parents=True, exist_ok=True)
         _SCRATCH = root
     return _SCRATCH
