@@ -169,6 +169,12 @@ def main() -> int:
         print(json.dumps({"error": "replica perturbation leaked pairs"}))
         shutil.rmtree(stress_dir, ignore_errors=True)
         return 1
+    # The PPJoin operators persist their tokenized frames (LRU-evictable by
+    # design, unpersisted by long-lived callers): drop the invariant pass's
+    # 8× cache — and each query's below — so a pinned store doesn't squeeze
+    # execution memory and inflate the NEXT measurement's spill time
+    # (first seen as dedup_token_jaccard 18 s → 52 s after the pre-pass).
+    spark.catalog.clearCache()
 
     rows = []
     for name in STRESSED:
@@ -186,6 +192,7 @@ def main() -> int:
             rec["k"] = k
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        spark.catalog.clearCache()  # isolate measurements (see above)
         rows.append(rec)
         print(json.dumps(rec), flush=True)
 
