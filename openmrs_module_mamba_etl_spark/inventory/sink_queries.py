@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -74,7 +75,17 @@ def _scratch_root() -> Path:
             prune_dead_pid_dirs(_SCRATCH_BASE, "run_")
             if _SCRATCH_BASE.is_dir():
                 for legacy in _SCRATCH_BASE.iterdir():
-                    if not legacy.name.startswith("run_"):
+                    if legacy.name.startswith("run_"):
+                        continue
+                    # age guard: a non-run_* entry could be a LIVE root
+                    # another process pointed here via MAMBA_SCRATCH_DIR —
+                    # only reap entries untouched for an hour (real legacy
+                    # litter is days old; a live run rewrites constantly)
+                    try:
+                        idle = time.time() - legacy.stat().st_mtime
+                    except OSError:
+                        continue
+                    if idle > 3600:
                         shutil.rmtree(legacy, ignore_errors=True)
         root.mkdir(parents=True, exist_ok=True)
         _SCRATCH = root

@@ -78,20 +78,25 @@ def _canon_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
-    from pyspark.sql import SparkSession
+    # The repo session, not a bare one: the claim must hold under the
+    # engine config every other gate and bench actually run (AQE
+    # coalesce/skew, Arrow exchange, 8g heap) — layout knobs are then
+    # overridden per run below.
+    from openmrs_module_mamba_etl_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("determinism-sweep")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="determinism-sweep")
 
     import __spark_entry__ as entry
 
     queries = entry.queries()
 
     def run(name, conf):
+        # clear BEFORE each run: a .persist() materialized under config A
+        # would otherwise be silently substituted into config B's plan
+        # (runtime layout confs aren't part of the analyzed plan the
+        # CacheManager matches on), making the A/B compare vacuous for
+        # everything upstream of the persist.
+        spark.catalog.clearCache()
         for k, v in conf.items():
             spark.conf.set(k, v)
         try:
@@ -111,14 +116,17 @@ def main() -> int:
             if cols_a != cols_b:
                 rec["status"] = f"column_drift {cols_a} vs {cols_b}"
             elif _canon_rows(cols_a, rows_a) != _canon_rows(cols_b, rows_b):
-                diffs = [
-                    (x, y)
-                    for x, y in zip(
-                        _canon_rows(cols_a, rows_a), _canon_rows(cols_b, rows_b)
-                    )
-                    if x != y
-                ][:3]
-                rec["status"] = f"value_drift {diffs}"
+                # set differences, not a zip: the likeliest drift mode is a
+                # threshold-boundary row present in ONE layout, where a zip
+                # of the sorted lists truncates or cascades misalignment
+                ca, cb = set(_canon_rows(cols_a, rows_a)), set(
+                    _canon_rows(cols_b, rows_b)
+                )
+                rec["status"] = (
+                    f"value_drift rows {len(rows_a)} vs {len(rows_b)}; "
+                    f"only_in_a={sorted(ca - cb)[:3]} "
+                    f"only_in_b={sorted(cb - ca)[:3]}"
+                )
             else:
                 rec["status"] = "ok"
                 rec["rows"] = len(rows_a)
