@@ -115,6 +115,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        # cache isolation: several operators persist() intermediates by
+        # design (PPJoin token frames, IVF assignments); left pinned they
+        # squeeze execution memory for every LATER query and make its
+        # number depend on suite order (measured in tools/scale_stress.py:
+        # a pinned prior pass inflated dedup_token_jaccard 18 s -> 52 s).
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(5):
             start = time.perf_counter()
@@ -128,6 +134,7 @@ def main() -> None:
     heavy_timings: dict[str, float] = {}
     for name in HEAVY:
         fn = registry.QUERIES[name]
+        spark.catalog.clearCache()  # see HEADLINE loop note
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
@@ -140,6 +147,7 @@ def main() -> None:
     r5_timings: dict[str, float] = {}
     for name in R5_SET:
         fn = registry.QUERIES[name]
+        spark.catalog.clearCache()  # see HEADLINE loop note
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
