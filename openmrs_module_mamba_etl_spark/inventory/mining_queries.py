@@ -2131,7 +2131,10 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~200-cell grid — mergeable across partitions/days by adding counts
     (the agg_partial_merge algebra), answering any quantile without
     touching the stream again; the exact-rank arm is the evaluation
-    harness (global sort), absent in production."""
+    harness, itself a two-level bucketed prefix-sum — within-bucket
+    running sums partitioned by bucket, then an exclusive prefix over the
+    ≤#buckets-row totals — so no single task ever materializes the
+    distinct-value set."""
     cents = table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
@@ -2173,23 +2176,49 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("lb_cents").alias("est_cents"))
     )
-    # Exact-truth arm, CONTRACTED (round-5 verdict task 3): the exact rank
-    # quantile needs only the distinct-value histogram — MIN(cents) whose
-    # cumulative count reaches ceil(q·n) equals the row-number form on raw
-    # rows. The global window therefore runs over ≤#distinct cents (bounded
-    # by the price domain), never over corpus rows; the raw table is touched
-    # by exactly one map-side-combined aggregate.
+    # Exact-truth arm, TWO-LEVEL bucketed prefix-sum (round-6 verdict task
+    # 3): the exact rank quantile needs only the distinct-value histogram —
+    # MIN(cents) whose cumulative count reaches ceil(q·n) equals the
+    # row-number form on raw rows. The cumulative count splits along the
+    # sketch's own bucket grid: level 1 is a within-bucket running sum,
+    # PARTITIONED by bucket (no task ever sees more than one bucket's
+    # distinct values); level 2 is an exclusive prefix over the per-bucket
+    # totals — a ≤#buckets-row table, the one relation that crosses a
+    # single-partition exchange. Global rank of a value = its bucket's
+    # level-2 base + its level-1 within-bucket sum. The raw table is still
+    # touched by exactly one map-side-combined aggregate.
     vals = cents.groupBy("cents").agg(F.count(F.lit(1)).alias("vn"))
-    wvc = Window.orderBy("cents").rowsBetween(
+    valsb = vals.withColumn(
+        "bucket",
+        (F.length(F.bin(F.greatest("cents", F.lit(8)))) - 1) * 8
+        + F.expr(
+            "GREATEST(cents, 8)"
+            " >> (length(bin(GREATEST(cents, 8))) - 1 - 3)"
+        )
+        - 8,
+    )
+    wwithin = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wvt = Window.orderBy("cents").rowsBetween(
+    within = valsb.select(
+        "cents", "bucket", F.sum("vn").over(wwithin).alias("wcum")
+    )
+    bkt = valsb.groupBy("bucket").agg(F.sum("vn").alias("bn"))
+    wbc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wbt = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cumv = vals.select(
+    base = bkt.select(
+        "bucket",
+        (F.sum("bn").over(wbc) - F.col("bn")).alias("base"),
+        F.sum("bn").over(wbt).alias("total"),
+    )
+    cumv = within.join(F.broadcast(base), "bucket").select(
         "cents",
-        F.sum("vn").over(wvc).alias("crn"),
-        F.sum("vn").over(wvt).alias("total"),
+        (F.col("base") + F.col("wcum")).alias("crn"),
+        "total",
     )
     tru = (
         cumv.select("cents", "crn", "total", qs)

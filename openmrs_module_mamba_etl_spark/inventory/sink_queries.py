@@ -29,8 +29,11 @@ def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
     The one liveness rule for every per-pid on-disk namespace (the scratch
     run roots here, ``sink_database``'s managed-table locations): dirs of
     live pids are left alone (concurrent suites), dirs of dead pids are
-    litter from a crashed or finished run. Kept in one place so a fix —
-    pid-reuse handling, an age cutoff — can't silently miss a copy.
+    litter from a crashed or finished run. os.kill(pid, 0) alone can be
+    fooled by pid RECYCLING (an unrelated live process inherits a dead
+    run's pid and keeps its litter alive forever), so a dir untouched for
+    >24h is pruned even when a process with that pid exists — a live suite
+    rewrites its query dirs constantly, bumping the root's mtime.
     """
     parent = Path(parent)
     if not parent.is_dir():
@@ -48,14 +51,26 @@ def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
             os.kill(pid, 0)  # raises if no such process
         except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
+            continue
         except PermissionError:
-            pass  # pid exists under another user: leave it
+            pass  # pid exists under another user: leave it (age check below)
+        try:
+            idle = time.time() - stale.stat().st_mtime
+        except OSError:
+            continue
+        if idle > 24 * 3600:  # pid-recycled corpse: no live run sits idle 24h
+            shutil.rmtree(stale, ignore_errors=True)
 
 
 def _scratch_root() -> Path:
     """Run-scoped scratch root, resolved once per process.
 
-    ``MAMBA_SCRATCH_DIR`` overrides outright (CI that wants a tmpfs).
+    ``MAMBA_SCRATCH_DIR`` overrides outright (CI that wants a tmpfs); such
+    roots get a ``.mamba_live_root`` marker file so that if a user points
+    one INSIDE ``_scratch`` itself, other processes' legacy sweeps skip it
+    unconditionally — the 1-hour idle guard alone is not enough, because a
+    root's mtime only moves when direct children change and a single
+    scale-stress-sized query can sit inside one dir for over an hour.
     Otherwise each process owns ``_scratch/run_<pid>`` so the parity suite,
     the oracle preflight, and the driver's correctness gate can run
     CONCURRENTLY without clobbering each other's sink/stream dirs (the
@@ -70,6 +85,8 @@ def _scratch_root() -> Path:
         env = os.environ.get("MAMBA_SCRATCH_DIR")
         if env:
             root = Path(env)
+            root.mkdir(parents=True, exist_ok=True)
+            (root / ".mamba_live_root").touch()
         else:
             root = _SCRATCH_BASE / f"run_{os.getpid()}"
             prune_dead_pid_dirs(_SCRATCH_BASE, "run_")
@@ -77,10 +94,12 @@ def _scratch_root() -> Path:
                 for legacy in _SCRATCH_BASE.iterdir():
                     if legacy.name.startswith("run_"):
                         continue
-                    # age guard: a non-run_* entry could be a LIVE root
-                    # another process pointed here via MAMBA_SCRATCH_DIR —
-                    # only reap entries untouched for an hour (real legacy
-                    # litter is days old; a live run rewrites constantly)
+                    # a marked dir is a LIVE external root another process
+                    # pointed here via MAMBA_SCRATCH_DIR — never reap it
+                    if (legacy / ".mamba_live_root").exists():
+                        continue
+                    # age guard for everything else: real legacy litter is
+                    # days old; a live run rewrites constantly
                     try:
                         idle = time.time() - legacy.stat().st_mtime
                     except OSError:
@@ -110,10 +129,27 @@ def read_back(spark, path: str, schema):
     normal production event — it must read back as an empty relation of
     the expected schema, never as an error. ``schema`` is a StructType or
     DDL string (whatever the writer had).
+
+    When part files DO exist, the declared column names are checked
+    against the files' own (footer + partition-dir) columns: an explicit
+    ``.schema()`` read silently NULL-fills any declared column the files
+    lack, so a writer-side rename/retype would otherwise surface as wrong
+    values instead of an error.
     """
     if not os.path.isdir(str(path)):
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(str(path))
+    out = spark.read.schema(schema).parquet(str(path))
+    try:
+        actual = spark.read.parquet(str(path)).columns
+    except Exception:
+        # no readable footers (zero-row batch write): nothing to drift-check
+        return out
+    if set(out.columns) != set(actual):
+        raise ValueError(
+            f"schema drift at {path}: declared columns {sorted(out.columns)} "
+            f"!= written columns {sorted(actual)}"
+        )
+    return out
 
 
 def _scratch_dir(name: str) -> str:

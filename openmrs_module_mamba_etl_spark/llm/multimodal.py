@@ -189,6 +189,27 @@ def decode_images(
     return media.mapInPandas(batches, schema=DECODED_IMAGE_SCHEMA)
 
 
+def _pil_frames(payload: bytes, max_frames: int) -> list[bytes] | None:
+    """Optional-PIL frame adapter for containers the pure-python codecs
+    don't cover (animated WebP, APNG): frames as raw RGB bytes, or None
+    when PIL itself is absent (the caller raises the declared seam) —
+    decode ERRORS on a present backend propagate, they are not a reason
+    to pretend the seam is closed."""
+    try:
+        import io
+
+        from PIL import Image, ImageSequence  # type: ignore
+    except ImportError:
+        return None
+    with Image.open(io.BytesIO(payload)) as im:
+        out: list[bytes] = []
+        for i, frame in enumerate(ImageSequence.Iterator(im)):
+            if i >= max_frames:
+                break
+            out.append(frame.convert("RGB").tobytes())
+        return out
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, fake: bool = True
 ) -> DataFrame:
@@ -196,11 +217,15 @@ def sample_frames(
 
     The fake kernel slices the payload every ``every_n_bytes``;
     ``fake=False`` decodes for real via the pure-python Y4M codec
-    (llm/y4m.py — the uncompressed video interchange format): decoded
-    frames emit as raw RGB bytes, capped at ``max_frames``. Compressed video raises at the seam (an ffmpeg
-    binding slots in with the same fan-out shape). Either way the frame
-    blow-up happens inside mapInPandas — explode-style row
-    multiplication executor-side, never through the driver.
+    (llm/y4m.py — the uncompressed video interchange format) or GIF
+    codec: decoded frames emit as raw RGB bytes, capped at
+    ``max_frames``. Other animated containers (WebP, APNG) go through
+    the optional PIL adapter when importable — ``ImageSequence`` frames
+    converted to the same raw-RGB contract; compressed VIDEO (an ffmpeg
+    binding slots in with the same fan-out shape) raises only when no
+    backend covers the payload. Either way the frame blow-up happens
+    inside mapInPandas — explode-style row multiplication executor-side,
+    never through the driver.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,13 +257,17 @@ def sample_frames(
                     elif gifc.is_gif(payload):
                         _w, _h, decoded = gifc.decode_gif(payload)
                     else:
-                        raise NotImplementedError(
-                            "real frame extraction from compressed video "
-                            "requires ffmpeg bindings, not available in "
-                            "this environment (Y4M and animated GIF "
-                            "decode via the pure-python codecs; use "
-                            "fake=True otherwise)"
-                        )
+                        decoded = _pil_frames(payload, max_frames)
+                        if decoded is None:
+                            raise NotImplementedError(
+                                "real frame extraction from this container "
+                                "requires PIL (animated WebP/APNG) or "
+                                "ffmpeg bindings (compressed video), "
+                                "neither importable in this environment "
+                                "(Y4M and animated GIF decode via the "
+                                "pure-python codecs; use fake=True "
+                                "otherwise)"
+                            )
                     for i, fr in enumerate(decoded[:max_frames]):
                         ids.append(mid)
                         idxs.append(i)
@@ -316,11 +345,12 @@ def extract_audio_features(
     The fake kernel treats the payload as 16-bit PCM at ``sample_rate``
     (duration_ms = bytes × 1000 // (rate × 2), exact) and derives a deterministic
     ``n_mfcc``-dim vector from the sha256 digest. ``fake=False`` decodes
-    for real via the pure-python WAV codec (llm/wav.py): actual header
-    sample rate, exact duration from the sample count, and per-frame RMS
-    energies as the feature vector; non-WAV payloads raise at the seam
-    (no MP3/OGG codec exists here — librosa/torchaudio slot in the same
-    way PIL does for images).
+    for real: WAV via the pure-python codec (llm/wav.py — deterministic,
+    no dependency); any OTHER container (MP3/OGG/FLAC/...) through the
+    optional ``soundfile`` adapter when importable, mapped to the same
+    (rate, duration, frame-RMS) contract. The seam raises only when
+    NEITHER backend covers the payload — a real-world mixed-audio corpus
+    hard-stops only on a box with no soundfile, not by design.
     """
     bytes_per_s = sample_rate * 2
 
@@ -339,14 +369,28 @@ def extract_audio_features(
             return (None, None, None)
         from openmrs_module_mamba_etl_spark.llm import wav as wavc
 
-        if not wavc.is_wav(b):
-            raise NotImplementedError(
-                "real decoding of non-WAV audio requires librosa/"
-                "torchaudio, not available in this environment (WAV "
-                "decodes via the pure-python codec; use fake=True for "
-                "other formats)"
+        if wavc.is_wav(b):
+            rate, samples = wavc.decode_wav(b)
+        else:
+            try:
+                import io
+
+                import soundfile  # type: ignore
+            except ImportError:
+                raise NotImplementedError(
+                    "real decoding of non-WAV audio requires the optional "
+                    "soundfile backend (or librosa/torchaudio), none "
+                    "importable in this environment (WAV decodes via the "
+                    "pure-python codec; use fake=True for other formats)"
+                ) from None
+            data, rate = soundfile.read(
+                io.BytesIO(bytes(b)), dtype="int16", always_2d=True
             )
-        rate, samples = wavc.decode_wav(b)
+            # same contract as wav.decode_wav: downmix channels by mean,
+            # normalize 16-bit PCM to [-1, 1)
+            import numpy as _np
+
+            samples = _np.asarray(data, dtype=_np.float64).mean(axis=1) / 32768.0
         return (
             rate,
             (len(samples) * 1000) // rate,

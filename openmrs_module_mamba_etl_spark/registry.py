@@ -44,13 +44,18 @@ _loaded = False
 
 def driver_signals() -> dict[str, str]:
     """key → latest driver signal label from CORRECTNESS_r*.json:
-    ``'green rN'`` | ``'rows-only rN'`` | ``'red rN'``.
+    ``'green rN'`` | ``'rows-only rN'`` | ``'red rN'`` | ``'sampled rN'``.
 
     One state machine for every consumer (rotation ordering below, the
     docs/OPERATORS.md generator): files iterate in round order and the
     last SIGNAL per key wins, where a clean rows-only run (``err:
     no_oracle``, no hash verdict) clears an earlier red but never demotes
-    an earlier green.  Unreadable files are skipped.
+    an earlier green.  ``red`` requires an EXPLICIT failure signal —
+    ``hash_match: false`` or a non-benign ``err`` — a record that merely
+    lacks both (a skipped/timeout-budget shape a future driver might emit)
+    reads ``sampled``: it marks the key driver-touched without pinning it
+    in the rotation's re-sample-first tier forever.  Unreadable files are
+    skipped.
     """
     sig: dict[str, str] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -77,15 +82,30 @@ def driver_signals() -> dict[str, str]:
             if not isinstance(row, dict):
                 continue
             hm = row.get("hash_match")
-            if hm is None and row.get("err") == "no_oracle":
+            err = row.get("err")
+            if hm is None and err == "no_oracle":
                 # benign rows-only sample: marks sampled, recovers a red
                 if not sig.get(key, "").startswith("green"):
                     sig[key] = f"rows-only r{rn}"
             elif hm is True:
                 sig[key] = f"green r{rn}"
-            else:
+            elif hm is False or (err is not None and err != ""):
                 sig[key] = f"red r{rn}"
+            else:
+                # hash_match null, no err: unrecognized-but-not-failing shape
+                # (e.g. a skipped / budget-cut entry).  Sampled, unclassified —
+                # never demotes a green, never counts as crashed.
+                if not sig.get(key, "").startswith("green"):
+                    sig[key] = f"sampled r{rn}"
     return sig
+
+
+def _signal_round(label: str) -> int:
+    """Round number embedded in a driver-signal label ('green r3' → 3)."""
+    try:
+        return int(label.rsplit("r", 1)[-1])
+    except (ValueError, IndexError):
+        return -1
 
 
 def _driver_history() -> tuple[set[str], set[str], set[str]]:
@@ -108,6 +128,12 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
     verified = {k for k, v in sig.items() if v.startswith("green")}
     crashed = {k for k, v in sig.items() if v.startswith("red")}
     return verified, sampled, crashed
+
+
+def _green_rounds() -> dict[str, int]:
+    """key → round of its latest driver hash-green, for staleness ordering."""
+    return {k: _signal_round(v) for k, v in driver_signals().items()
+            if v.startswith("green")}
 
 
 def load_all() -> None:
@@ -166,9 +192,20 @@ def load_all() -> None:
         rank[k] = fam_pos.get(fam, 0)
         fam_pos[fam] = rank[k] + 1
 
+    # Within the green tier, oldest-certified first: a key last hash-green
+    # in round 1 has five rounds of code churn between its proof and today,
+    # so the rotation's leftover slots re-certify the stalest signal instead
+    # of re-sampling whatever sorts alphabetically (round-6 verdict task 2 —
+    # r1/r2-era relational greens had never been re-checked by the driver).
+    green_round = _green_rounds()
+
     def sort_key(k: str):
         t = tier(k)
-        return (t, rank[k], k) if t == 1 else (t, 0, k)
+        if t == 1:
+            return (t, rank[k], k)
+        if t == 2:
+            return (t, green_round.get(k, -1), k)
+        return (t, 0, k)
 
     ordered = sorted(QUERIES, key=sort_key)
     reordered = {k: QUERIES[k] for k in ordered}

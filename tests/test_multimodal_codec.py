@@ -702,3 +702,147 @@ def test_jpeg_progressive_pillow_interop():
     # approximation — now fully supported
     w, h, raw = decode_jpeg(buf.getvalue())
     assert (w, h) == (24, 16) and len(raw) == 24 * 16 * 3
+
+
+def test_audio_soundfile_adapter_wins_for_non_wav(monkeypatch):
+    """extract_audio_features(fake=False): a non-WAV payload must route to
+    the optional soundfile backend when importable — proven with a stub
+    soundfile module emitting sentinel samples, so the adapter wiring is
+    exercised even in containers without the real library."""
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+    from openmrs_module_mamba_etl_spark.llm.wav import frame_energies
+
+    rate = 22_050
+    samples = np.arange(-100, 100, dtype=np.int16)
+
+    sf_mod = types.ModuleType("soundfile")
+
+    def _read(buf, dtype, always_2d):
+        assert dtype == "int16" and always_2d
+        return samples.reshape(-1, 1), rate
+
+    sf_mod.read = _read
+    monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
+
+    # drive the row kernel through the same mapInPandas batch fn the
+    # DataFrame path uses, without spinning Spark
+    captured = {}
+
+    def fake_map_in_pandas(self, fn, schema):
+        pdf = pd.DataFrame({"media_id": [1], "content": [b"ID3 not a wav"]})
+        captured["out"] = next(fn(iter([pdf])))
+        return self
+
+    class _FakeDF:
+        mapInPandas = fake_map_in_pandas
+
+    mm.extract_audio_features(_FakeDF(), n_mfcc=4, fake=False)
+    out = captured["out"]
+    assert int(out["sample_rate"][0]) == rate
+    assert int(out["duration_ms"][0]) == (len(samples) * 1000) // rate
+    # same normalization contract as the pure-python WAV path
+    assert out["mfcc"][0] == frame_energies(
+        samples.astype(np.float64) / 32768.0, 4
+    )
+
+
+def test_audio_non_wav_without_soundfile_raises_at_seam(monkeypatch):
+    """Without any backend, the non-WAV audio seam must raise loudly and
+    name the missing adapter."""
+    import builtins
+    import sys
+
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+
+    monkeypatch.delitem(sys.modules, "soundfile", raising=False)
+    real_import = builtins.__import__
+
+    def no_soundfile(name, *a, **k):
+        if name == "soundfile":
+            raise ImportError("stubbed out")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_soundfile)
+
+    captured = {}
+
+    def fake_map_in_pandas(self, fn, schema):
+        pdf = pd.DataFrame({"media_id": [1], "content": [b"ID3 not a wav"]})
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            next(fn(iter([pdf])))
+        captured["raised"] = True
+        return self
+
+    class _FakeDF:
+        mapInPandas = fake_map_in_pandas
+
+    mm.extract_audio_features(_FakeDF(), fake=False)
+    assert captured["raised"]
+
+
+def test_pil_frames_adapter_and_absent_seam(monkeypatch):
+    """_pil_frames: returns RGB frames through a stub PIL ImageSequence
+    when PIL imports, and None (caller raises the declared seam) when it
+    does not."""
+    import sys
+    import types
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _pil_frames
+
+    f0, f1, f2 = (bytes([i, i, i] * 4) for i in (1, 2, 3))
+
+    class _Frame:
+        def __init__(self, raw):
+            self.raw = raw
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return self.raw
+
+    class _StubAnim:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _StubAnim()
+    seq_mod = types.ModuleType("PIL.ImageSequence")
+    seq_mod.Iterator = lambda im: iter([_Frame(f0), _Frame(f1), _Frame(f2)])
+    pil.Image = image_mod
+    pil.ImageSequence = seq_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setitem(sys.modules, "PIL.ImageSequence", seq_mod)
+
+    # adapter decodes and honors max_frames
+    assert _pil_frames(b"RIFFxxxxWEBPVP8 ", max_frames=2) == [f0, f1]
+
+    # PIL absent -> None (the sample_frames caller raises the seam)
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("stubbed out")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "PIL", raising=False)
+    monkeypatch.delitem(sys.modules, "PIL.Image", raising=False)
+    monkeypatch.delitem(sys.modules, "PIL.ImageSequence", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+    assert _pil_frames(b"RIFFxxxxWEBPVP8 ", max_frames=2) is None

@@ -22,10 +22,16 @@ def test_tier_order_matches_correctness_history():
 
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers), "tiers must be monotonically nondecreasing"
-    # alphabetical within tiers 0/2/3 (neutral order, no cherry-picking)
-    for t in (0, 2, 3):
+    # alphabetical within tiers 0/3 (neutral order, no cherry-picking)
+    for t in (0, 3):
         group = [k for k in keys if tier(k) == t]
         assert group == sorted(group)
+    # tier 2 (greens) is staleness-ordered: oldest driver green first, so
+    # leftover rotation slots re-certify the signal that has aged the most;
+    # alphabetical tie-break within a round.
+    green_round = registry._green_rounds()
+    g2 = [k for k in keys if tier(k) == 2]
+    assert g2 == sorted(g2, key=lambda k: (green_round.get(k, -1), k))
     # tier 1 (never-sampled) interleaves name-prefix families round-robin so
     # a slot-budgeted driver walk covers every family proportionally: keys
     # are ordered by (position within own family, name) — and within any one
@@ -163,3 +169,52 @@ def test_history_crashed_rows_only_key_flags_crashed(tmp_path, monkeypatch):
     assert v == set()
     assert s == {"blew_up", "fine_rows_only"}
     assert c == {"blew_up"}
+
+
+def test_history_unclassified_shape_is_sampled_not_red(tmp_path, monkeypatch):
+    # a record with neither a hash verdict nor an err (e.g. a future driver's
+    # skipped/budget-cut marker) is sampled-but-unclassified: it must not be
+    # labelled red (which would pin the key in tier 0 forever) and must not
+    # demote an earlier green
+    import openmrs_module_mamba_etl_spark.registry as regmod
+
+    monkeypatch.setattr(
+        regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"was_green": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "was_green": {"hash_match": None, "spark_rows": 5},
+                "new_odd": {"hash_match": None},
+                "empty_err": {"hash_match": None, "err": ""},
+            }
+        )
+    )
+    sig = regmod.driver_signals()
+    assert sig["was_green"] == "green r1"
+    assert sig["new_odd"] == "sampled r2"
+    assert sig["empty_err"] == "sampled r2"
+    v, s, c = regmod._driver_history()
+    assert v == {"was_green"}
+    assert s == {"was_green", "new_odd", "empty_err"}
+    assert c == set()
+
+
+def test_green_rounds_staleness_map(tmp_path, monkeypatch):
+    # _green_rounds reports the LATEST green round per key, so the rotation
+    # re-certifies oldest-certified greens first
+    import openmrs_module_mamba_etl_spark.registry as regmod
+
+    monkeypatch.setattr(
+        regmod.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"old": {"hash_match": True}, "refresh": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"refresh": {"hash_match": True}})
+    )
+    assert regmod._green_rounds() == {"old": 1, "refresh": 3}

@@ -38,3 +38,47 @@ def test_prunes_dead_keeps_live_and_foreign(tmp_path):
 
 def test_missing_parent_is_a_noop(tmp_path):
     prune_dead_pid_dirs(tmp_path / "nope", "run_")  # must not raise
+
+
+def test_recycled_pid_dir_pruned_after_24h_idle(tmp_path):
+    # pid 1 (init) is alive but is NOT a mamba run — it models a recycled
+    # pid keeping a dead run's dir alive. Idle >24h → pruned anyway; a
+    # recently-touched dir with a live pid survives (could be a real run).
+    old = _mk(tmp_path, "run_1")
+    day_ago = os.stat(old).st_mtime - 25 * 3600
+    os.utime(old, (day_ago, day_ago))
+    live_pid = os.getppid() if os.getppid() not in (0, 1) else os.getpid()
+    fresh_pid_dir = _mk(tmp_path, f"run_{live_pid}")
+
+    prune_dead_pid_dirs(tmp_path, "run_")
+
+    assert not old.is_dir(), "24h-idle dir with live (recycled) pid pruned"
+    assert fresh_pid_dir.is_dir(), "fresh dir with live pid survives"
+
+
+def test_live_root_marker_exempts_external_root(tmp_path, monkeypatch):
+    # A MAMBA_SCRATCH_DIR root placed INSIDE _scratch gets a marker that
+    # exempts it from the legacy idle sweep, no matter how stale its mtime.
+    import openmrs_module_mamba_etl_spark.inventory.sink_queries as sq
+
+    monkeypatch.setattr(sq, "_SCRATCH_BASE", tmp_path)
+    monkeypatch.setattr(sq, "_SCRATCH", None)
+    monkeypatch.setenv("MAMBA_SCRATCH_DIR", str(tmp_path / "external_root"))
+    ext = sq._scratch_root()
+    assert (ext / ".mamba_live_root").exists()
+
+    # age the root far past the 1h idle cutoff
+    old = ext.stat().st_mtime - 48 * 3600
+    os.utime(ext, (old, old))
+
+    # a second process resolving the default root runs the legacy sweep
+    monkeypatch.delenv("MAMBA_SCRATCH_DIR")
+    monkeypatch.setattr(sq, "_SCRATCH", None)
+    stale_legacy = _mk(tmp_path, "old_fixed_dir")
+    os.utime(stale_legacy, (old, old))
+    sq._scratch_root()
+    try:
+        assert ext.is_dir(), "marked external root must survive the sweep"
+        assert not stale_legacy.is_dir(), "unmarked stale legacy dir reaped"
+    finally:
+        monkeypatch.setattr(sq, "_SCRATCH", None)

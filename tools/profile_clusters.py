@@ -1,0 +1,100 @@
+"""Stage-level profile of dedup_clusters at sf0.1 (round-6 verdict task 4).
+
+Splits the query's wall into: pair generation (token-Jaccard posting-list
+join), edge symmetrization + checkpoint, and the min-label propagation loop
+(per-round wall). Prints one JSON line per repetition.
+
+Usage: python tools/profile_clusters.py [n_reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from openmrs_module_mamba_etl_spark.llm import dedup as dd
+    from openmrs_module_mamba_etl_spark.llm.dedup import token_jaccard_pairs
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    # warm the session (JVM + codegen + parquet footer caches)
+    table(spark, SF_DIR, "documents").count()
+
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        out: dict = {"rep": rep}
+
+        t0 = time.perf_counter()
+        pairs = token_jaccard_pairs(
+            table(spark, SF_DIR, "documents"), "doc_id", "text", threshold=0.9
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        out["pairs_sec"] = round(time.perf_counter() - t0, 3)
+        out["n_pairs"] = n_pairs
+
+        t0 = time.perf_counter()
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        n_nodes = labels.count()
+        out["edges_sec"] = round(time.perf_counter() - t0, 3)
+        out["n_nodes"] = n_nodes
+
+        rounds = []
+        t_loop = time.perf_counter()
+        for it in range(20):
+            t0 = time.perf_counter()
+            new_labels = dd._propagation_round(
+                edges, labels, F.broadcast
+            ).localCheckpoint()
+            changed = (
+                new_labels.where(F.col("label") != F.col("old_label"))
+                .limit(1)
+                .count()
+            )
+            rounds.append(round(time.perf_counter() - t0, 3))
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+        out["loop_sec"] = round(time.perf_counter() - t_loop, 3)
+        out["rounds"] = rounds
+
+        t0 = time.perf_counter()
+        labels.count()
+        out["final_collect_sec"] = round(time.perf_counter() - t0, 3)
+        out["total_sec"] = round(
+            out["pairs_sec"] + out["edges_sec"] + out["loop_sec"], 3
+        )
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
