@@ -58,22 +58,20 @@ _MYSQL_TOKENS = [
 #:       days this year; year-end partial weeks keep counting 53)
 #:   %U  MySQL WEEK(d,0) (Sunday, 00-53, days before the first Sunday
 #:       are week 00) — identical to C/Python strftime %U
-_WEEK_TOKENS = {"%U", "%u", "%v"}
+#:   %V  MySQL WEEK(d,2) (Sunday, 01-53): same weeks as %U, but days
+#:       before the year's first Sunday carry the PREVIOUS year's last
+#:       week number instead of week 00
+#:   %X  the 4-digit year paired with %V (year-1 exactly on those
+#:       carried-over January days)
+#:   %x  the 4-digit ISO week-year paired with %v (the year of the
+#:       week's Thursday)
+_WEEK_TOKENS = {"%U", "%u", "%v", "%V", "%X", "%x"}
 
 #: Tokens compiled to expression rewrites (not DateTimeFormatter
 #: patterns): the week numbers above plus two exactly-mappable scalars —
 #: %w (weekday 0=Sunday = dayofweek()-1) and %D (day with English
 #: ordinal suffix, a pure CASE on the day number).
 _EXPR_TOKENS = _WEEK_TOKENS | {"%w", "%D"}
-
-#: MySQL tokens with no faithful Spark equivalent — loud failure beats a
-#: silently-wrong column in every report row. %V stays here deliberately:
-#: its pairing with the %X week-year gives year-boundary days a
-#: MySQL-source-defined week/year split (e.g. a Dec 31 that MySQL may
-#: assign to next year's week 1) that we cannot reproduce provably;
-#: a near-miss rewrite would silently corrupt exactly the year-boundary
-#: rows week-of-year reports care about.
-_UNSUPPORTED_TOKENS = {"%V", "%X", "%x"}
 
 _FN_REWRITES = [
     (re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE), "current_date()"),
@@ -95,6 +93,16 @@ def _week_number_expr(d: str, tok: str) -> str:
     that ISO hands to next year's week 1 keep counting 53 here. Verified
     against Python's strftime('%U') / an ISO-derived mode-1 oracle across
     year boundaries in tests/test_dialect.py.
+
+    ``%V``/``%X`` are MySQL WEEK mode 2 and its paired week-year: the
+    same Sunday-first weeks as ``%U``, except the January days before the
+    year's first Sunday — week 00 in mode 0 — belong to the PREVIOUS
+    year's last week, so they take the mode-0 week number of that year's
+    Dec 31 and ``%X`` = year−1 (every other day: ``%X`` = year). ``%x``
+    is the ISO week-year paired with ``%v``: the calendar year of the
+    date's week's Thursday — year(d + (3 − weekday(d))), weekday()
+    Monday-based. Golden-swept against Python references (strftime-based
+    mode-2 fold, isocalendar()) in tests/test_dialect.py.
     """
     if tok == "%v":
         n = f"weekofyear({d})"
@@ -104,13 +112,32 @@ def _week_number_expr(d: str, tok: str) -> str:
             f"(CASE WHEN dayofyear({d}) <= {s} THEN 0 "
             f"ELSE (dayofyear({d}) - {s} - 1) div 7 + 1 END)"
         )
-    else:  # %u
+    elif tok == "%u":
         m = f"((9 - dayofweek(trunc({d}, 'YEAR'))) % 7)"
         n = (
             f"(CASE WHEN dayofyear({d}) <= {m} THEN 0 "
             f"ELSE (dayofyear({d}) - {m} - 1) div 7 + 1 END "
             f"+ CASE WHEN {m} >= 4 THEN 1 ELSE 0 END)"
         )
+    elif tok in ("%V", "%X"):
+        s = f"((8 - dayofweek(trunc({d}, 'YEAR'))) % 7)"
+        prev = f"date_sub(trunc({d}, 'YEAR'), 1)"  # Dec 31 of year-1
+        sp = f"((8 - dayofweek(trunc({prev}, 'YEAR'))) % 7)"
+        if tok == "%V":
+            n = (
+                f"(CASE WHEN dayofyear({d}) <= {s} "
+                f"THEN (dayofyear({prev}) - {sp} - 1) div 7 + 1 "
+                f"ELSE (dayofyear({d}) - {s} - 1) div 7 + 1 END)"
+            )
+        else:  # %X: the year %V's week belongs to
+            n = (
+                f"(CASE WHEN dayofyear({d}) <= {s} THEN year({d}) - 1 "
+                f"ELSE year({d}) END)"
+            )
+            return f"lpad(cast({n} as string), 4, '0')"
+    else:  # %x: ISO week-year = year of the ISO week's Thursday
+        n = f"year(date_add({d}, 3 - weekday({d})))"
+        return f"lpad(cast({n} as string), 4, '0')"
     return f"lpad(cast({n} as string), 2, '0')"
 
 
@@ -207,11 +234,6 @@ def _translate_format(fmt: str) -> str:
                 out.append(repl)
                 i += 2
                 continue
-            if tok in _UNSUPPORTED_TOKENS:
-                raise ValueError(
-                    f"MySQL DATE_FORMAT token {tok!r} has no Spark "
-                    "DateTimeFormatter equivalent"
-                )
             raise ValueError(f"unknown MySQL DATE_FORMAT token {tok!r}")
         literal.append(ch)
         i += 1

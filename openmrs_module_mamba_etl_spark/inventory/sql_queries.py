@@ -574,3 +574,56 @@ def report_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+@query(
+    "report_week_year_rollup",
+    oracle="""
+    WITH lab AS (
+      SELECT o_totalprice,
+             strftime(o_orderdate, '%G-w%V') AS wk_iso,
+             CAST(strftime(o_orderdate, '%U') AS INT) AS w0,
+             CAST(strftime(o_orderdate, '%Y') AS INT) AS yy,
+             CAST(strftime(make_date(
+               CAST(strftime(o_orderdate, '%Y') AS INT) - 1, 12, 31
+             ), '%U') AS INT) AS wprev
+      FROM orders
+    )
+    SELECT wk_iso,
+           lpad(CAST(CASE WHEN w0 = 0 THEN yy - 1 ELSE yy END AS VARCHAR),
+                4, '0')
+           || '/'
+           || lpad(CAST(CASE WHEN w0 = 0 THEN wprev ELSE w0 END AS VARCHAR),
+                   2, '0') AS wk_sun,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM lab
+    GROUP BY wk_iso, wk_sun
+    """,
+)
+def report_week_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-of-year rollup with PAIRED WEEK-YEARS through the dialect shim
+    — the year-boundary-safe form of report_week_rollup (a bare week
+    number conflates the Dec/Jan wrap; pairing it with its week-year is
+    how MySQL surveillance reports label epidemiological weeks). The
+    MySQL source uses '%x-w%v' (ISO week-year + ISO week) and '%X/%V'
+    (Sunday week-year + WEEK(d,2)); functions/dialect.py compiles both to
+    exact integer arithmetic. The oracle pins cross-engine semantics:
+    DuckDB strftime's C-standard %G-%V pair == MySQL %x-%v, and MySQL
+    WEEK mode 2 folds out of strftime %U by carrying the previous year's
+    last week onto the January week-00 days."""
+    from openmrs_module_mamba_etl_spark.functions.dialect import (
+        translate_mysql,
+    )
+
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        translate_mysql(
+            """
+            SELECT DATE_FORMAT(o_orderdate, '%x-w%v') AS wk_iso,
+                   DATE_FORMAT(o_orderdate, '%X/%V') AS wk_sun,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY wk_iso, wk_sun
+            """
+        )
+    )

@@ -58,11 +58,13 @@ def test_date_format_three_args_passthrough():
     assert translate_mysql(sql) == sql
 
 
-def test_date_format_unsupported_token_raises():
+def test_date_format_unknown_token_raises():
+    # a token MySQL itself does not define must fail loudly, not pass
+    # through as a silent literal
     import pytest
 
-    with pytest.raises(ValueError, match="%V"):
-        translate_mysql("SELECT DATE_FORMAT(d, '%V') FROM t")
+    with pytest.raises(ValueError, match="%Q"):
+        translate_mysql("SELECT DATE_FORMAT(d, '%Q') FROM t")
 
 
 def test_date_format_fixed_suffix():
@@ -137,14 +139,45 @@ def test_week_tokens_match_mysql_semantics(spark):
         assert r["mixed"] == f"{d.year}-w{_mode1_week(d):02d}", (d, r["mixed"])
 
 
-def test_week_year_pairing_still_raises():
-    """%V/%X/%x stay loud: their week-year pairing gives year-boundary
-    days a MySQL-source-defined split we cannot reproduce provably."""
-    import pytest
+def _mode2_week_year(d) -> tuple[int, int]:
+    """Python reference for MySQL WEEK(d, 2) and its paired %X year:
+    Sunday-first weeks (strftime %U); the week-00 days before the year's
+    first Sunday carry the previous year's last week number and year-1."""
+    import datetime
 
-    for tok in ("%V", "%X", "%x"):
-        with pytest.raises(ValueError):
-            translate_mysql(f"SELECT DATE_FORMAT(d, '{tok}') FROM t")
+    w = int(d.strftime("%U"))
+    if w == 0:
+        prev = datetime.date(d.year - 1, 12, 31)
+        return int(prev.strftime("%U")), d.year - 1
+    return w, d.year
+
+
+def test_week_year_tokens_match_mysql_semantics(spark):
+    """%V/%X (WEEK mode 2 + paired year) and %x (ISO week-year paired
+    with %v) — swept over EVERY day of 2014-2026, which covers leap
+    years and all seven weekdays a Jan 1 / Dec 31 can fall on, so every
+    year-boundary carry case appears."""
+    import datetime
+
+    d0 = datetime.date(2014, 1, 1)
+    dates = [d0 + datetime.timedelta(days=i)
+             for i in range((datetime.date(2027, 1, 1) - d0).days)]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    df.createOrReplaceTempView("week_year_golden")
+    sql = translate_mysql(
+        "SELECT d, DATE_FORMAT(d, '%V') AS v2, DATE_FORMAT(d, '%X') AS x2, "
+        "DATE_FORMAT(d, '%x') AS xi, DATE_FORMAT(d, '%x-w%v') AS iso_label, "
+        "DATE_FORMAT(d, '%X/%V') AS sun_label FROM week_year_golden"
+    )
+    for r in spark.sql(sql).collect():
+        d = r["d"]
+        w2, y2 = _mode2_week_year(d)
+        iso = d.isocalendar()
+        assert r["v2"] == f"{w2:02d}", (d, r["v2"])
+        assert r["x2"] == f"{y2:04d}", (d, r["x2"])
+        assert r["xi"] == f"{iso[0]:04d}", (d, r["xi"])
+        assert r["iso_label"] == f"{iso[0]:04d}-w{iso[1]:02d}"
+        assert r["sun_label"] == f"{y2:04d}/{w2:02d}"
 
 
 def test_weekday_and_ordinal_tokens_match_mysql(spark):
