@@ -570,3 +570,39 @@ def test_ntile_pctrank_partitioned_window_only(spark, sf_dir):
     # the fact-row window is hash-partitioned, not global: its exchange
     # must not be SinglePartition (details section spells partitioning)
     assert "windowspecdefinition(k" in p
+
+
+def test_hdr_truth_arm_two_level_prefix_sum(spark, sf_dir):
+    """agg_hdr_histogram's exact-rank truth arm must stay TWO-LEVEL: the
+    distinct-value running sum partitioned BY BUCKET (hashpartitioning on
+    a window over cents), with only bucket-grain tables crossing a
+    SinglePartition exchange — no single task may materialize the whole
+    distinct-value set (round-6 verdict task 3)."""
+    jdf = QUERIES["agg_hdr_histogram"](spark, sf_dir)._jdf
+    import re
+
+    jplan = jdf.queryExecution().executedPlan()
+
+    def unwrap(n):
+        return unwrap(n.initialPlan()) if n.nodeName() == "AdaptiveSparkPlan" else n
+
+    def walk(n):
+        yield n
+        for i in range(n.children().size()):
+            yield from walk(n.children().apply(i))
+
+    texts = [str(n) for n in walk(unwrap(jplan))]
+    # level 1 exists: a window whose partition spec is the bucket key
+    assert any(
+        n.splitlines()[0].startswith("Window")
+        and "bucket" in n.splitlines()[0]
+        for n in texts
+    ), "within-bucket window (partitionBy bucket) missing from the plan"
+    # no unpartitioned window runs directly over the cents histogram:
+    # every Window ORDER BY cents must carry a bucket partition spec
+    for n in texts:
+        head = n.splitlines()[0]
+        if head.startswith("Window") and re.search(r"orderby.*cents", head, re.I):
+            assert "bucket" in head, (
+                "global window over distinct cents reintroduced: " + head
+            )
