@@ -32,8 +32,11 @@ def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
     litter from a crashed or finished run. os.kill(pid, 0) alone can be
     fooled by pid RECYCLING (an unrelated live process inherits a dead
     run's pid and keeps its litter alive forever), so a dir untouched for
-    >24h is pruned even when a process with that pid exists — a live suite
-    rewrites its query dirs constantly, bumping the root's mtime.
+    >24h whose pid does NOT look like a Python process (via /proc cmdline,
+    Linux) is pruned even though the pid exists. A live Python pid is
+    never pruned on age alone — a paused suite (debugger, suspended
+    session) can legitimately sit idle for days; where /proc is
+    unreadable the pid gets the same benefit of the doubt.
     """
     parent = Path(parent)
     if not parent.is_dir():
@@ -53,24 +56,62 @@ def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
             shutil.rmtree(stale, ignore_errors=True)
             continue
         except PermissionError:
-            pass  # pid exists under another user: leave it (age check below)
+            pass  # pid exists under another user: age check below
         try:
             idle = time.time() - stale.stat().st_mtime
         except OSError:
             continue
-        if idle > 24 * 3600:  # pid-recycled corpse: no live run sits idle 24h
+        if idle > 24 * 3600 and not _pid_runs_python(pid):
             shutil.rmtree(stale, ignore_errors=True)
+
+
+def _live_root_owner_alive(marker: Path) -> bool:
+    """True when an external-root marker file exists AND its recorded
+    owner pid is still alive. A legacy marker with no/garbled pid counts
+    as alive (never reap what we can't attribute); a readable marker
+    whose pid is gone counts as dead, re-enabling the age sweep."""
+    try:
+        content = marker.read_text().strip()
+    except OSError:
+        return False  # no marker: not an external root
+    try:
+        pid = int(content)
+    except ValueError:
+        return True  # pre-pid marker format: keep protecting
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive under another user
+
+
+def _pid_runs_python(pid: int) -> bool:
+    """True when /proc says the pid is a Python process — i.e. plausibly a
+    real (if idle) suite rather than a recycled pid. Unreadable/absent
+    /proc returns True (benefit of the doubt: never prune what might be a
+    live run)."""
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            cmd = fh.read().replace(b"\x00", b" ")
+        return b"python" in cmd or b"java" in cmd
+    except OSError:
+        return True
 
 
 def _scratch_root() -> Path:
     """Run-scoped scratch root, resolved once per process.
 
     ``MAMBA_SCRATCH_DIR`` overrides outright (CI that wants a tmpfs); such
-    roots get a ``.mamba_live_root`` marker file so that if a user points
-    one INSIDE ``_scratch`` itself, other processes' legacy sweeps skip it
-    unconditionally — the 1-hour idle guard alone is not enough, because a
-    root's mtime only moves when direct children change and a single
-    scale-stress-sized query can sit inside one dir for over an hour.
+    roots get a ``.mamba_live_root`` marker recording the OWNING PID so
+    that if a user points one INSIDE ``_scratch`` itself, other
+    processes' legacy sweeps skip it while that pid lives — the 1-hour
+    idle guard alone is not enough, because a root's mtime only moves
+    when direct children change and a single scale-stress-sized query can
+    sit inside one dir for over an hour. Once the owner dies, the marker
+    stops protecting and the normal age guard applies, so a crashed CI
+    run's external root cannot become permanent litter.
     Otherwise each process owns ``_scratch/run_<pid>`` so the parity suite,
     the oracle preflight, and the driver's correctness gate can run
     CONCURRENTLY without clobbering each other's sink/stream dirs (the
@@ -86,7 +127,7 @@ def _scratch_root() -> Path:
         if env:
             root = Path(env)
             root.mkdir(parents=True, exist_ok=True)
-            (root / ".mamba_live_root").touch()
+            (root / ".mamba_live_root").write_text(str(os.getpid()))
         else:
             root = _SCRATCH_BASE / f"run_{os.getpid()}"
             prune_dead_pid_dirs(_SCRATCH_BASE, "run_")
@@ -94,9 +135,12 @@ def _scratch_root() -> Path:
                 for legacy in _SCRATCH_BASE.iterdir():
                     if legacy.name.startswith("run_"):
                         continue
-                    # a marked dir is a LIVE external root another process
-                    # pointed here via MAMBA_SCRATCH_DIR — never reap it
-                    if (legacy / ".mamba_live_root").exists():
+                    # a marked dir is an external root another process
+                    # pointed here via MAMBA_SCRATCH_DIR — skip it while
+                    # its recorded owner pid is alive; a dead owner's
+                    # marker stops protecting (falls through to the age
+                    # guard) so crashed runs can't leave litter forever
+                    if _live_root_owner_alive(legacy / ".mamba_live_root"):
                         continue
                     # age guard for everything else: real legacy litter is
                     # days old; a live run rewrites constantly
@@ -130,11 +174,17 @@ def read_back(spark, path: str, schema):
     the expected schema, never as an error. ``schema`` is a StructType or
     DDL string (whatever the writer had).
 
-    When part files DO exist, the declared column names are checked
+    When part files DO exist, the declared column NAMES are checked
     against the files' own (footer + partition-dir) columns: an explicit
     ``.schema()`` read silently NULL-fills any declared column the files
-    lack, so a writer-side rename/retype would otherwise surface as wrong
-    values instead of an error.
+    lack, so a writer-side rename (or a dropped/added column) would
+    otherwise surface as wrong values instead of an error. A same-name
+    RETYPE is outside this check's reach — Parquet's reader raises its
+    own conversion error for incompatible types, which is already loud.
+    The check costs one extra schema-inference pass (file listing +
+    footers, no data); read_back backs registered sink/stream queries
+    only, never a production data path, so the metadata double-read is
+    bounded by harness-sized sink dirs.
     """
     if not os.path.isdir(str(path)):
         return spark.createDataFrame([], schema)

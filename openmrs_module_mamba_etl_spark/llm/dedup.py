@@ -738,6 +738,35 @@ def _propagation_round(edges, labels, maybe_broadcast):
     )
 
 
+def _cc_bootstrap(
+    pairs: DataFrame, id_a: str, id_b: str
+) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized-checkpointed (edges, initial labels) for the
+    connected-components loop — shared by duplicate_clusters and
+    tools/profile_clusters.py so the profiler measures exactly the
+    production bootstrap.
+
+    localCheckpoint (not persist): an iterative DataFrame's logical plan
+    otherwise doubles per round — by iteration ~15 analysis alone OOMs
+    the driver. Checkpointing truncates lineage to the materialized RDD.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    return edges, labels
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -760,23 +789,7 @@ def duplicate_clusters(
     cluster_id = min doc id of the component (the canonical survivor —
     same keep-lowest rule as exact_dedup).
     """
-    # localCheckpoint (not persist): an iterative DataFrame's logical plan
-    # otherwise doubles per round — by iteration ~15 analysis alone OOMs
-    # the driver. Checkpointing truncates lineage to the materialized RDD.
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    edges, labels = _cc_bootstrap(pairs, id_a, id_b)
 
     # The label table is one row per node-with-a-duplicate — usually orders
     # of magnitude smaller than the edge list (dup clusters are

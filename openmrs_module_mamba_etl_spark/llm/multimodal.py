@@ -192,16 +192,22 @@ def decode_images(
 def _pil_frames(payload: bytes, max_frames: int) -> list[bytes] | None:
     """Optional-PIL frame adapter for containers the pure-python codecs
     don't cover (animated WebP, APNG): frames as raw RGB bytes, or None
-    when PIL itself is absent (the caller raises the declared seam) —
-    decode ERRORS on a present backend propagate, they are not a reason
-    to pretend the seam is closed."""
+    when the payload stays uncovered — PIL absent, or PIL present but
+    unable to IDENTIFY the container (compressed video like MP4: not an
+    image format at all, the caller's NotImplementedError seam applies).
+    Decode errors on an identified format propagate — a corrupt WebP is
+    a data error, not a missing backend."""
     try:
         import io
 
-        from PIL import Image, ImageSequence  # type: ignore
+        from PIL import Image, ImageSequence, UnidentifiedImageError  # type: ignore
     except ImportError:
         return None
-    with Image.open(io.BytesIO(payload)) as im:
+    try:
+        im = Image.open(io.BytesIO(payload))
+    except UnidentifiedImageError:
+        return None
+    with im:
         out: list[bytes] = []
         for i, frame in enumerate(ImageSequence.Iterator(im)):
             if i >= max_frames:

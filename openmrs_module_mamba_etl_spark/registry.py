@@ -53,9 +53,11 @@ def driver_signals() -> dict[str, str]:
     an earlier green.  ``red`` requires an EXPLICIT failure signal —
     ``hash_match: false`` or a non-benign ``err`` — a record that merely
     lacks both (a skipped/timeout-budget shape a future driver might emit)
-    reads ``sampled``: it marks the key driver-touched without pinning it
-    in the rotation's re-sample-first tier forever.  Unreadable files are
-    skipped.
+    reads ``sampled``: it keeps the key OUT of the crashed set and the
+    red display class. (An oracled key whose latest signal is ``sampled``
+    still sorts into the re-sample-first tier below — desired, a sample
+    with no verdict should retry soon; the label only prevents it being
+    REPORTED as a failure.)  Unreadable files are skipped.
     """
     sig: dict[str, str] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -108,7 +110,9 @@ def _signal_round(label: str) -> int:
         return -1
 
 
-def _driver_history() -> tuple[set[str], set[str], set[str]]:
+def _driver_history(
+    sig: dict[str, str] | None = None,
+) -> tuple[set[str], set[str], set[str]]:
     """(verified, sampled, crashed) key sets from CORRECTNESS_r*.json.
 
     Used only to *order* registration: a time-budgeted external checker walks
@@ -122,17 +126,20 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
     skip).  Rows-only runs count as sampled but NOT verified — many of those
     keys have since gained oracles or fixes and need a fresh sample.
     Failure to read the files degrades to the neutral (alphabetical) order.
+    ``sig`` lets callers that already hold a ``driver_signals()`` dict
+    (load_all reads the CORRECTNESS files exactly once) pass it in.
     """
-    sig = driver_signals()
+    sig = driver_signals() if sig is None else sig
     sampled = set(sig)
     verified = {k for k, v in sig.items() if v.startswith("green")}
     crashed = {k for k, v in sig.items() if v.startswith("red")}
     return verified, sampled, crashed
 
 
-def _green_rounds() -> dict[str, int]:
+def _green_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
     """key → round of its latest driver hash-green, for staleness ordering."""
-    return {k: _signal_round(v) for k, v in driver_signals().items()
+    sig = driver_signals() if sig is None else sig
+    return {k: _signal_round(v) for k, v in sig.items()
             if v.startswith("green")}
 
 
@@ -168,7 +175,8 @@ def load_all() -> None:
     # for five rounds).  As greens accumulate in CORRECTNESS files across
     # rounds, the unverified frontier advances automatically until every
     # oracled key has earned a hash-green row.
-    verified, sampled, crashed = _driver_history()
+    sig = driver_signals()  # parse the CORRECTNESS files exactly once
+    verified, sampled, crashed = _driver_history(sig)
 
     def tier(k: str) -> int:
         if k in verified:
@@ -197,7 +205,7 @@ def load_all() -> None:
     # so the rotation's leftover slots re-certify the stalest signal instead
     # of re-sampling whatever sorts alphabetically (round-6 verdict task 2 —
     # r1/r2-era relational greens had never been re-checked by the driver).
-    green_round = _green_rounds()
+    green_round = _green_rounds(sig)
 
     def sort_key(k: str):
         t = tier(k)

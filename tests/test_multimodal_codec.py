@@ -817,19 +817,34 @@ def test_pil_frames_adapter_and_absent_seam(monkeypatch):
         def __exit__(self, *a):
             return False
 
+    class _StubUnidentified(Exception):
+        pass
+
     pil = types.ModuleType("PIL")
     image_mod = types.ModuleType("PIL.Image")
-    image_mod.open = lambda buf: _StubAnim()
+
+    def _open(buf):
+        if buf.getvalue().startswith(b"\x00\x00\x00 ftyp"):  # MP4 box
+            raise _StubUnidentified("cannot identify image file")
+        return _StubAnim()
+
+    image_mod.open = _open
     seq_mod = types.ModuleType("PIL.ImageSequence")
     seq_mod.Iterator = lambda im: iter([_Frame(f0), _Frame(f1), _Frame(f2)])
     pil.Image = image_mod
     pil.ImageSequence = seq_mod
+    pil.UnidentifiedImageError = _StubUnidentified
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
     monkeypatch.setitem(sys.modules, "PIL.ImageSequence", seq_mod)
 
     # adapter decodes and honors max_frames
     assert _pil_frames(b"RIFFxxxxWEBPVP8 ", max_frames=2) == [f0, f1]
+
+    # PIL present but container unidentifiable (compressed video): None,
+    # so the caller raises the honest NotImplementedError seam instead of
+    # leaking a cryptic PIL error
+    assert _pil_frames(b"\x00\x00\x00 ftypisom....", max_frames=2) is None
 
     # PIL absent -> None (the sample_frames caller raises the seam)
     import builtins

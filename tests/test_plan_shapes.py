@@ -579,8 +579,6 @@ def test_hdr_truth_arm_two_level_prefix_sum(spark, sf_dir):
     SinglePartition exchange — no single task may materialize the whole
     distinct-value set (round-6 verdict task 3)."""
     jdf = QUERIES["agg_hdr_histogram"](spark, sf_dir)._jdf
-    import re
-
     jplan = jdf.queryExecution().executedPlan()
 
     def unwrap(n):
@@ -591,18 +589,23 @@ def test_hdr_truth_arm_two_level_prefix_sum(spark, sf_dir):
         for i in range(n.children().size()):
             yield from walk(n.children().apply(i))
 
-    texts = [str(n) for n in walk(unwrap(jplan))]
-    # level 1 exists: a window whose partition spec is the bucket key
+    heads = [
+        str(n).splitlines()[0].strip()
+        for n in walk(unwrap(jplan))
+        if str(n).splitlines()[0].strip().startswith("Window")
+    ]
+    assert heads, "no Window nodes found — plan capture broken"
+    # Window heads print as 'Window [agg windowspecdefinition(part..., order
+    # ASC, frame)...], [partSpec], [orderSpec]'; the distinct-value running
+    # sum must reference BOTH the cents order key and the bucket partition
+    # key in one node (empirically: a global Window.orderBy('cents') head
+    # mentions cents# with no bucket#).
     assert any(
-        n.splitlines()[0].startswith("Window")
-        and "bucket" in n.splitlines()[0]
-        for n in texts
-    ), "within-bucket window (partitionBy bucket) missing from the plan"
-    # no unpartitioned window runs directly over the cents histogram:
-    # every Window ORDER BY cents must carry a bucket partition spec
-    for n in texts:
-        head = n.splitlines()[0]
-        if head.startswith("Window") and re.search(r"orderby.*cents", head, re.I):
-            assert "bucket" in head, (
-                "global window over distinct cents reintroduced: " + head
+        "cents#" in h and "bucket#" in h for h in heads
+    ), f"within-bucket running sum over cents missing: {heads}"
+    # no unpartitioned window runs directly over the cents histogram
+    for h in heads:
+        if "cents#" in h:
+            assert "bucket#" in h, (
+                "global window over distinct cents reintroduced: " + h
             )

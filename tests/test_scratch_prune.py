@@ -82,3 +82,25 @@ def test_live_root_marker_exempts_external_root(tmp_path, monkeypatch):
         assert not stale_legacy.is_dir(), "unmarked stale legacy dir reaped"
     finally:
         monkeypatch.setattr(sq, "_SCRATCH", None)
+
+
+def test_dead_owner_marker_stops_protecting(tmp_path, monkeypatch):
+    # a crashed run's external root (marker pid dead) must fall back to
+    # the age guard instead of living forever
+    import openmrs_module_mamba_etl_spark.inventory.sink_queries as sq
+
+    monkeypatch.setattr(sq, "_SCRATCH_BASE", tmp_path)
+    monkeypatch.setattr(sq, "_SCRATCH", None)
+
+    dead_pid = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead_pid, 0)
+    orphan = _mk(tmp_path, "crashed_ci_root")
+    (orphan / ".mamba_live_root").write_text(str(dead_pid))
+    old = orphan.stat().st_mtime - 48 * 3600
+    os.utime(orphan, (old, old))
+
+    try:
+        sq._scratch_root()  # default-root resolution runs the sweep
+        assert not orphan.is_dir(), "dead-owner external root must be reaped"
+    finally:
+        monkeypatch.setattr(sq, "_SCRATCH", None)

@@ -50,20 +50,9 @@ def main() -> None:
         out["n_pairs"] = n_pairs
 
         t0 = time.perf_counter()
-        edges = (
-            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
-        )
+        # the production bootstrap itself, so the profile can't drift from
+        # what duplicate_clusters actually runs
+        edges, labels = dd._cc_bootstrap(pairs, "id_a", "id_b")
         n_nodes = labels.count()
         out["edges_sec"] = round(time.perf_counter() - t0, 3)
         out["n_nodes"] = n_nodes
