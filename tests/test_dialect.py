@@ -154,14 +154,20 @@ def _mode2_week_year(d) -> tuple[int, int]:
 
 def test_week_year_tokens_match_mysql_semantics(spark):
     """%V/%X (WEEK mode 2 + paired year) and %x (ISO week-year paired
-    with %v) — swept over EVERY day of 2014-2026, which covers leap
-    years and all seven weekdays a Jan 1 / Dec 31 can fall on, so every
-    year-boundary carry case appears."""
+    with %v) — swept over EVERY day of 2014-2026 (covers leap years and
+    all seven weekdays a Jan 1 / Dec 31 can fall on, so every
+    year-boundary carry case appears) plus the boundary stripes around a
+    skipped-leap century year (1899-1901, 2099-2101) and the unix epoch
+    (1969-1971)."""
     import datetime
 
-    d0 = datetime.date(2014, 1, 1)
-    dates = [d0 + datetime.timedelta(days=i)
-             for i in range((datetime.date(2027, 1, 1) - d0).days)]
+    def days(y0, y1):
+        d0 = datetime.date(y0, 1, 1)
+        return [d0 + datetime.timedelta(days=i)
+                for i in range((datetime.date(y1, 1, 1) - d0).days)]
+
+    dates = days(2014, 2027) + days(1899, 1902) + days(1969, 1972) \
+        + days(2099, 2102)
     df = spark.createDataFrame([(d,) for d in dates], "d date")
     df.createOrReplaceTempView("week_year_golden")
     sql = translate_mysql(
@@ -205,3 +211,87 @@ def test_weekday_and_ordinal_tokens_match_mysql(spark):
         assert r["wd"] == d.strftime("%w"), (d, r["wd"])
         assert r["od"] == f"{d.day}{suffix(d.day)}", (d, r["od"])
         assert r["mixed"] == f"the {d.day}{suffix(d.day)} at w{d.strftime('%w')}"
+
+
+def test_date_format_compositional_fuzz(spark):
+    """Seeded fuzz over RANDOM compositions of every supported token with
+    literal runs: the golden sweeps prove each token alone; this proves
+    the compiler's run-flushing — expression tokens interleaved with
+    DateTimeFormatter runs and quoted literals in one format string —
+    against a per-token Python reference."""
+    import datetime
+    import random
+
+    def suffix(n: int) -> str:
+        if n in (11, 12, 13):
+            return "th"
+        return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+    def mode2(d):
+        w = int(d.strftime("%U"))
+        if w == 0:
+            prev = datetime.date(d.year - 1, 12, 31)
+            return int(prev.strftime("%U")), d.year - 1
+        return w, d.year
+
+    def ref(d: datetime.date, tok: str) -> str:
+        iso = d.isocalendar()
+        w2, y2 = mode2(d)
+        table = {
+            "%Y": d.strftime("%Y"), "%y": d.strftime("%y"),
+            "%M": d.strftime("%B"), "%m": d.strftime("%m"),
+            "%c": str(d.month), "%d": d.strftime("%d"), "%e": str(d.day),
+            "%H": "00", "%k": "0", "%h": "12", "%l": "12",
+            "%i": "00", "%s": "00", "%S": "00",
+            "%j": d.strftime("%j"), "%a": d.strftime("%a"),
+            "%W": d.strftime("%A"), "%b": d.strftime("%b"),
+            "%T": "00:00:00", "%p": "AM", "%r": "12:00:00 AM",
+            "%f": "000000", "%%": "%",
+            "%w": d.strftime("%w"), "%D": f"{d.day}{suffix(d.day)}",
+            "%U": d.strftime("%U"), "%u": f"{_mode1_week(d):02d}",
+            "%v": f"{iso[1]:02d}", "%V": f"{w2:02d}",
+            "%X": f"{y2:04d}", "%x": f"{iso[0]:04d}",
+        }
+        return table[tok]
+
+    tokens = list(
+        {"%Y", "%y", "%M", "%m", "%c", "%d", "%e", "%H", "%k", "%h", "%l",
+         "%i", "%s", "%S", "%j", "%a", "%W", "%b", "%T", "%p", "%r", "%f",
+         "%%", "%w", "%D", "%U", "%u", "%v", "%V", "%X", "%x"}
+    )
+    tokens.sort()
+    literals = ["-", "/", " ", ":", "w", "of ", "T", "'", ", "]
+    rng = random.Random(20260815)
+    fmts = []
+    for _ in range(40):
+        n = rng.randint(1, 6)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(tokens))
+            if rng.random() < 0.5:
+                parts.append(rng.choice(literals))
+        fmts.append("".join(parts))
+
+    dates = [datetime.date(2020, 12, 28) + datetime.timedelta(days=i)
+             for i in range(10)]
+    dates += [datetime.date(2024, rng.randint(1, 12), rng.randint(1, 28))
+              for _ in range(5)]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    df.createOrReplaceTempView("fuzz_golden")
+
+    for fmt in fmts:
+        sql_fmt = fmt.replace("'", "''")
+        sql = translate_mysql(
+            f"SELECT d, DATE_FORMAT(d, '{sql_fmt}') AS out FROM fuzz_golden"
+        )
+        for r in spark.sql(sql).collect():
+            d = r["d"]
+            expect, i = [], 0
+            while i < len(fmt):
+                if fmt[i] == "%" and i + 1 < len(fmt):
+                    expect.append(ref(d, fmt[i : i + 2]))
+                    i += 2
+                else:
+                    expect.append(fmt[i])
+                    i += 1
+            assert r["out"] == "".join(expect), (fmt, d, r["out"])
