@@ -1,6 +1,6 @@
 """In-suite guard for the partial-agg-order determinism class.
 
-`tools/determinism_sweep.py` checks all 276 keys under two opposing
+`tools/determinism_sweep.py` checks all registered keys under two opposing
 physical layouts per round; this test keeps the CLASS guarded between
 tool runs by sweeping the most rounding-sensitive keys (double
 aggregates published through ROUND — the `.xx5`-boundary flap class,
