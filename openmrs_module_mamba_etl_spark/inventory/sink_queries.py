@@ -66,25 +66,50 @@ def prune_dead_pid_dirs(parent: str | Path, prefix: str) -> None:
 
 
 def _live_root_owner_alive(marker: Path) -> bool:
-    """True when an external-root marker file exists AND its recorded
-    owner pid is still alive. A legacy marker with no/garbled pid counts
-    as alive (never reap what we can't attribute); a readable marker
-    whose pid is gone counts as dead, re-enabling the age sweep."""
+    """True when an external-root marker file exists AND ANY of its
+    recorded owner pids is still alive. Markers hold one pid per line —
+    concurrent processes sharing one MAMBA_SCRATCH_DIR each append their
+    own (``_marker_add_pid``), so the root stays protected until the LAST
+    owner exits; a single-pid last-writer-wins marker would drop
+    protection for the survivor as soon as the marker-owning process
+    exited first. A legacy marker with no/garbled pid counts as alive
+    (never reap what we can't attribute); a readable marker whose pids
+    are all gone counts as dead, re-enabling the age sweep."""
     try:
-        content = marker.read_text().strip()
+        tokens = marker.read_text().split()
     except OSError:
         return False  # no marker: not an external root
+    if not tokens:
+        return True  # empty marker: keep protecting (can't attribute)
+    for tok in tokens:
+        try:
+            pid = int(tok)
+        except ValueError:
+            return True  # pre-pid / garbled marker format: keep protecting
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            continue
+        except PermissionError:
+            return True  # alive under another user
+    return False
+
+
+def _marker_add_pid(marker: Path, pid: int) -> None:
+    """Append ``pid`` to a live-root marker, preserving pids already
+    recorded by other processes sharing the same external root. Re-writes
+    the whole file (tiny), dropping duplicates but never another pid —
+    liveness filtering happens at READ time in ``_live_root_owner_alive``
+    so a dead co-owner's stale line costs one failed os.kill probe, not a
+    lost protection."""
     try:
-        pid = int(content)
-    except ValueError:
-        return True  # pre-pid marker format: keep protecting
-    try:
-        os.kill(pid, 0)
-        return True
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # alive under another user
+        existing = marker.read_text().split()
+    except OSError:
+        existing = []
+    if str(pid) not in existing:
+        existing.append(str(pid))
+    marker.write_text("\n".join(existing) + "\n")
 
 
 def _pid_runs_python(pid: int) -> bool:
@@ -104,9 +129,10 @@ def _scratch_root() -> Path:
     """Run-scoped scratch root, resolved once per process.
 
     ``MAMBA_SCRATCH_DIR`` overrides outright (CI that wants a tmpfs); such
-    roots get a ``.mamba_live_root`` marker recording the OWNING PID so
+    roots get a ``.mamba_live_root`` marker recording EVERY owning pid
+    (one per line — concurrent sharers append, never overwrite) so
     that if a user points one INSIDE ``_scratch`` itself, other
-    processes' legacy sweeps skip it while that pid lives — the 1-hour
+    processes' legacy sweeps skip it while any owner lives — the 1-hour
     idle guard alone is not enough, because a root's mtime only moves
     when direct children change and a single scale-stress-sized query can
     sit inside one dir for over an hour. Once the owner dies, the marker
@@ -127,7 +153,7 @@ def _scratch_root() -> Path:
         if env:
             root = Path(env)
             root.mkdir(parents=True, exist_ok=True)
-            (root / ".mamba_live_root").write_text(str(os.getpid()))
+            _marker_add_pid(root / ".mamba_live_root", os.getpid())
         else:
             root = _SCRATCH_BASE / f"run_{os.getpid()}"
             prune_dead_pid_dirs(_SCRATCH_BASE, "run_")
@@ -137,7 +163,7 @@ def _scratch_root() -> Path:
                         continue
                     # a marked dir is an external root another process
                     # pointed here via MAMBA_SCRATCH_DIR — skip it while
-                    # its recorded owner pid is alive; a dead owner's
+                    # any recorded owner pid is alive; an all-dead-owners
                     # marker stops protecting (falls through to the age
                     # guard) so crashed runs can't leave litter forever
                     if _live_root_owner_alive(legacy / ".mamba_live_root"):
@@ -178,28 +204,62 @@ def read_back(spark, path: str, schema):
     against the files' own (footer + partition-dir) columns: an explicit
     ``.schema()`` read silently NULL-fills any declared column the files
     lack, so a writer-side rename (or a dropped/added column) would
-    otherwise surface as wrong values instead of an error. A same-name
-    RETYPE is outside this check's reach — Parquet's reader raises its
-    own conversion error for incompatible types, which is already loud.
-    The check costs one extra schema-inference pass (file listing +
-    footers, no data); read_back backs registered sink/stream queries
-    only, never a production data path, so the metadata double-read is
-    bounded by harness-sized sink dirs.
+    otherwise surface as wrong values instead of an error. Names compare
+    case-INSENSITIVELY, matching Spark's default column resolution — a
+    case-only rename reads back correctly and must not trip the guard.
+
+    Same-name RETYPES of DATA columns are checked against one part
+    file's footer dtypes: Parquet raises its own conversion error for
+    incompatible retypes, but compatible-looking ones (int written,
+    bigint declared — or worse, the reverse after a writer-side type
+    change) read back silently coerced or garbled. Partition-directory
+    columns are exempt from the dtype leg — their "written" types are
+    re-inferred from directory STRINGS, so comparing them would
+    false-positive on every string-typed partition column, and a value
+    that can't cast to the declared type already errors loudly.
+    The checks cost one extra schema-inference pass plus one single-file
+    footer read (file listing + footers, no data); read_back backs
+    registered sink/stream queries only, never a production data path,
+    so the metadata double-read is bounded by harness-sized sink dirs.
     """
     if not os.path.isdir(str(path)):
         return spark.createDataFrame([], schema)
     out = spark.read.schema(schema).parquet(str(path))
     try:
-        actual = spark.read.parquet(str(path)).columns
+        inferred = spark.read.parquet(str(path)).schema
     except Exception:
         # no readable footers (zero-row batch write): nothing to drift-check
         return out
-    if set(out.columns) != set(actual):
+    declared = {f.name.lower(): f.dataType for f in out.schema.fields}
+    written = {f.name.lower() for f in inferred.fields}
+    if set(declared) != written:
         raise ValueError(
-            f"schema drift at {path}: declared columns {sorted(out.columns)} "
-            f"!= written columns {sorted(actual)}"
+            f"schema drift at {path}: declared columns {sorted(declared)} "
+            f"!= written columns {sorted(written)}"
         )
+    part_file = _first_part_file(path)
+    if part_file is not None:
+        # loading the leaf file directly keeps partition-dir columns out:
+        # its parent dir is the base path, so the footer fields below are
+        # exactly the data columns the writer serialized
+        for f in spark.read.parquet(part_file).schema.fields:
+            want = declared.get(f.name.lower())
+            if want is not None and want.simpleString() != f.dataType.simpleString():
+                raise ValueError(
+                    f"schema drift at {path}: column {f.name} written as "
+                    f"{f.dataType.simpleString()} but declared {want.simpleString()}"
+                )
     return out
+
+
+def _first_part_file(path: str | Path) -> str | None:
+    """First parquet part file under ``path``, or None when the location
+    holds no data files (marker/_SUCCESS-only dirs)."""
+    for dirpath, _dirnames, filenames in os.walk(str(path)):
+        for name in sorted(filenames):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                return os.path.join(dirpath, name)
+    return None
 
 
 def _scratch_dir(name: str) -> str:

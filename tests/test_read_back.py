@@ -44,3 +44,45 @@ def test_partition_column_counts_as_written(spark, tmp_path):
         .write.partitionBy("part").parquet(target)
     out = read_back(spark, target, "a bigint, part string")
     assert out.count() == 4
+
+
+def test_case_only_rename_is_not_drift(spark, tmp_path):
+    # Spark resolves columns case-insensitively by default, so a
+    # case-only writer rename reads back correctly — the guard must not
+    # raise a spurious drift error (round-7 ADVICE item 1)
+    target = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS Person_ID", "CAST(id AS STRING) AS b") \
+        .write.parquet(target)
+    out = read_back(spark, target, "person_id bigint, b string")
+    assert out.count() == 3
+
+
+def test_same_name_retype_raises(spark, tmp_path):
+    # a writer-side retype (string written, bigint declared) must raise
+    # instead of reading back coerced/garbled values
+    target = str(tmp_path / "t")
+    spark.range(3).selectExpr("CAST(id AS STRING) AS a", "id AS b") \
+        .write.parquet(target)
+    with pytest.raises(ValueError, match="written as string but declared bigint"):
+        read_back(spark, target, "a bigint, b bigint")
+
+
+def test_widened_retype_raises_too(spark, tmp_path):
+    # even a losslessly-coercible retype (int written, bigint declared)
+    # is drift: the writer's declared schema no longer matches what it
+    # serialized, and the next narrowing change would corrupt silently
+    target = str(tmp_path / "t")
+    spark.range(3).selectExpr("CAST(id AS INT) AS a").write.parquet(target)
+    with pytest.raises(ValueError, match="schema drift"):
+        read_back(spark, target, "a bigint")
+
+
+def test_partition_column_type_not_footer_checked(spark, tmp_path):
+    # partition-dir values re-infer as int from the directory STRINGS —
+    # the dtype leg must skip them or every string-typed partition
+    # column would false-positive
+    target = str(tmp_path / "t")
+    spark.range(4).selectExpr("id AS a", "CAST(id % 2 AS STRING) AS part") \
+        .write.partitionBy("part").parquet(target)
+    out = read_back(spark, target, "a bigint, part string")
+    assert out.count() == 4

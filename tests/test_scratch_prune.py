@@ -41,19 +41,28 @@ def test_missing_parent_is_a_noop(tmp_path):
 
 
 def test_recycled_pid_dir_pruned_after_24h_idle(tmp_path):
-    # pid 1 (init) is alive but is NOT a mamba run — it models a recycled
-    # pid keeping a dead run's dir alive. Idle >24h → pruned anyway; a
-    # recently-touched dir with a live pid survives (could be a real run).
-    old = _mk(tmp_path, "run_1")
-    day_ago = os.stat(old).st_mtime - 25 * 3600
-    os.utime(old, (day_ago, day_ago))
-    live_pid = os.getppid() if os.getppid() not in (0, 1) else os.getpid()
-    fresh_pid_dir = _mk(tmp_path, f"run_{live_pid}")
+    # a live non-Python process models a recycled pid keeping a dead
+    # run's dir alive (pid 1 is NOT safe for this: container entrypoints
+    # are often python, which would flip _pid_runs_python(1) to True).
+    # Idle >24h → pruned anyway; a recently-touched dir with a live pid
+    # survives (could be a real run).
+    import subprocess
 
-    prune_dead_pid_dirs(tmp_path, "run_")
+    sleeper = subprocess.Popen(["sleep", "300"])
+    try:
+        old = _mk(tmp_path, f"run_{sleeper.pid}")
+        day_ago = os.stat(old).st_mtime - 25 * 3600
+        os.utime(old, (day_ago, day_ago))
+        live_pid = os.getppid() if os.getppid() not in (0, 1) else os.getpid()
+        fresh_pid_dir = _mk(tmp_path, f"run_{live_pid}")
 
-    assert not old.is_dir(), "24h-idle dir with live (recycled) pid pruned"
-    assert fresh_pid_dir.is_dir(), "fresh dir with live pid survives"
+        prune_dead_pid_dirs(tmp_path, "run_")
+
+        assert not old.is_dir(), "24h-idle dir with live (recycled) pid pruned"
+        assert fresh_pid_dir.is_dir(), "fresh dir with live pid survives"
+    finally:
+        sleeper.kill()
+        sleeper.wait()
 
 
 def test_live_root_marker_exempts_external_root(tmp_path, monkeypatch):
@@ -104,3 +113,35 @@ def test_dead_owner_marker_stops_protecting(tmp_path, monkeypatch):
         assert not orphan.is_dir(), "dead-owner external root must be reaped"
     finally:
         monkeypatch.setattr(sq, "_SCRATCH", None)
+
+
+def test_marker_append_preserves_other_owners(tmp_path):
+    # two processes sharing one MAMBA_SCRATCH_DIR must BOTH end up in the
+    # marker — the round-7 single-pid format lost the survivor's
+    # protection as soon as the marker-owning process exited first
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _live_root_owner_alive,
+        _marker_add_pid,
+    )
+
+    marker = tmp_path / ".mamba_live_root"
+    dead_pid = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead_pid, 0)
+
+    _marker_add_pid(marker, dead_pid)       # first owner (will "crash")
+    _marker_add_pid(marker, os.getpid())    # second owner (us, alive)
+    _marker_add_pid(marker, os.getpid())    # re-resolution: no dup line
+    assert marker.read_text().split() == [str(dead_pid), str(os.getpid())]
+
+    # first owner gone, second alive: root still protected
+    assert _live_root_owner_alive(marker)
+
+    # all owners gone: protection drops, age sweep applies
+    dead2 = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead2, 0)
+    marker.write_text(f"{dead_pid}\n{dead2}\n")
+    assert not _live_root_owner_alive(marker)
+
+    # garbled/legacy content keeps protecting (never reap unattributable)
+    marker.write_text("not-a-pid\n")
+    assert _live_root_owner_alive(marker)

@@ -57,12 +57,31 @@ def main() -> None:
         out["edges_sec"] = round(time.perf_counter() - t0, 3)
         out["n_nodes"] = n_nodes
 
+        # mirror duplicate_clusters' size-based branch (same default
+        # threshold, read off the signature so they can't drift): a
+        # profile that hard-coded F.broadcast would silently mismeasure
+        # any corpus whose dup-node set exceeds broadcast range, where
+        # production runs the shuffle path over dst-partitioned edges
+        import inspect
+
+        broadcast_max_nodes = inspect.signature(
+            dd.duplicate_clusters
+        ).parameters["broadcast_max_nodes"].default
+        if n_nodes <= broadcast_max_nodes:
+            maybe_broadcast = F.broadcast
+            out["propagation_path"] = "broadcast"
+        else:
+            def maybe_broadcast(df):
+                return df
+            edges = edges.repartition("dst").localCheckpoint()
+            out["propagation_path"] = "shuffle"
+
         rounds = []
         t_loop = time.perf_counter()
         for it in range(20):
             t0 = time.perf_counter()
             new_labels = dd._propagation_round(
-                edges, labels, F.broadcast
+                edges, labels, maybe_broadcast
             ).localCheckpoint()
             changed = (
                 new_labels.where(F.col("label") != F.col("old_label"))
