@@ -11,11 +11,16 @@ incl. successive approximation — llm/png.py, llm/gif.py, llm/jpeg.py) for imag
 PCM + IMA-ADPCM + mu-law (llm/wav.py) for audio, Y4M / animated GIF
 (llm/y4m.py) for video frames; PIL is preferred when importable.
 ``fake=True`` keeps a deterministic byte-derived stub for formats with no
-codec, and ``fake=False`` raises ``NotImplementedError`` only at the
-remaining honest seams (WebP, MP3/OGG, H.264, lossless/arithmetic JPEG)
-where the heavyweight libraries would plug in. Everything Spark-side —
-schemas, UDF signatures, batch iteration, partition sizing — is real and
-tested either way.
+codec, and ``fake=False`` raises ``NotImplementedError`` only when NO
+backend covers the payload: optional adapters route WebP/APNG through PIL
+(``_pil_frames``), MP3/OGG/FLAC through soundfile (``_real_row``), and
+compressed video (H.264/MP4, MKV, WebM) through PyAV (``_av_frames``)
+whenever those libraries import — none ship in this container, so each
+adapter is stub-proven here and interop-tested under
+``pytest.importorskip`` where the real library exists. The only seams
+with no adapter slot at all are lossless/arithmetic JPEG. Everything
+Spark-side — schemas, UDF signatures, batch iteration, partition sizing —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -216,6 +221,48 @@ def _pil_frames(payload: bytes, max_frames: int) -> list[bytes] | None:
         return out
 
 
+def _av_frames(payload: bytes, max_frames: int) -> list[bytes] | None:
+    """Optional-PyAV frame adapter for compressed video containers
+    (H.264/MP4, MKV, WebM) — the ffmpeg binding the ``sample_frames``
+    docstring promised would slot into the same fan-out shape. Returns
+    frames as raw RGB bytes, or None when the payload stays uncovered:
+    PyAV absent, PyAV present but unable to IDENTIFY the container, or an
+    identified container with no video stream (an MP3 through the video
+    path — the audio seam's problem, not ours). Decode errors on an
+    identified video stream propagate — a corrupt H.264 payload is a
+    data error, not a missing backend."""
+    try:
+        import io
+
+        import av  # type: ignore
+    except ImportError:
+        return None
+    # cannot-identify errors differ across PyAV versions; resolve the ones
+    # this build exposes (an empty tuple just matches nothing, so an
+    # unexpectedly-shaped av.error still propagates loudly)
+    open_errors = tuple(
+        exc
+        for exc in (
+            getattr(av.error, "InvalidDataError", None),
+            getattr(av.error, "ValueError", None),
+        )
+        if isinstance(exc, type) and issubclass(exc, BaseException)
+    )
+    try:
+        container = av.open(io.BytesIO(payload))
+    except open_errors:
+        return None
+    with container:
+        if not container.streams.video:
+            return None
+        out: list[bytes] = []
+        for frame in container.decode(video=0):
+            if len(out) >= max_frames:
+                break
+            out.append(frame.to_rgb().to_ndarray().tobytes())
+        return out
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, fake: bool = True
 ) -> DataFrame:
@@ -227,11 +274,12 @@ def sample_frames(
     codec: decoded frames emit as raw RGB bytes, capped at
     ``max_frames``. Other animated containers (WebP, APNG) go through
     the optional PIL adapter when importable — ``ImageSequence`` frames
-    converted to the same raw-RGB contract; compressed VIDEO (an ffmpeg
-    binding slots in with the same fan-out shape) raises only when no
-    backend covers the payload. Either way the frame blow-up happens
-    inside mapInPandas — explode-style row multiplication executor-side,
-    never through the driver.
+    converted to the same raw-RGB contract; compressed VIDEO (H.264/MP4,
+    MKV, WebM) through the optional PyAV adapter (``_av_frames``, same
+    raw-RGB contract); the seam raises only when no backend covers the
+    payload. Either way the frame blow-up happens inside mapInPandas —
+    explode-style row multiplication executor-side, never through the
+    driver.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,14 +313,16 @@ def sample_frames(
                     else:
                         decoded = _pil_frames(payload, max_frames)
                         if decoded is None:
+                            decoded = _av_frames(payload, max_frames)
+                        if decoded is None:
                             raise NotImplementedError(
                                 "real frame extraction from this container "
                                 "requires PIL (animated WebP/APNG) or "
-                                "ffmpeg bindings (compressed video), "
-                                "neither importable in this environment "
-                                "(Y4M and animated GIF decode via the "
-                                "pure-python codecs; use fake=True "
-                                "otherwise)"
+                                "PyAV (compressed video: H.264/MP4, MKV, "
+                                "WebM), neither importable in this "
+                                "environment (Y4M and animated GIF decode "
+                                "via the pure-python codecs; use "
+                                "fake=True otherwise)"
                             )
                     for i, fr in enumerate(decoded[:max_frames]):
                         ids.append(mid)

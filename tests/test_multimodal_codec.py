@@ -861,3 +861,191 @@ def test_pil_frames_adapter_and_absent_seam(monkeypatch):
     monkeypatch.delitem(sys.modules, "PIL.ImageSequence", raising=False)
     monkeypatch.setattr(builtins, "__import__", no_pil)
     assert _pil_frames(b"RIFFxxxxWEBPVP8 ", max_frames=2) is None
+
+
+def test_av_frames_adapter_and_absent_seam(monkeypatch):
+    """_av_frames: decodes compressed-video frames through a stub PyAV
+    when it imports, returns None for unidentifiable/videoless payloads
+    (caller raises the declared seam), and None when PyAV is absent —
+    the video twin of the PIL/soundfile adapter tests."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _av_frames
+
+    shades = (10, 20, 30)
+    arrays = [np.full((2, 2, 3), s, dtype=np.uint8) for s in shades]
+
+    class _Frame:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def to_rgb(self):
+            return self
+
+        def to_ndarray(self):
+            return self.arr
+
+    class _InvalidData(Exception):
+        pass
+
+    class _Container:
+        def __init__(self, has_video):
+            self.streams = types.SimpleNamespace(
+                video=[object()] if has_video else []
+            )
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video=0):
+            assert video == 0
+            return iter(_Frame(a) for a in arrays)
+
+    av_mod = types.ModuleType("av")
+    err_mod = types.ModuleType("av.error")
+    err_mod.InvalidDataError = _InvalidData
+    av_mod.error = err_mod
+
+    def _open(buf):
+        data = buf.getvalue()
+        if data.startswith(b"garbage"):
+            raise _InvalidData("moov atom not found")
+        return _Container(has_video=not data.startswith(b"ID3"))
+
+    av_mod.open = _open
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    monkeypatch.setitem(sys.modules, "av.error", err_mod)
+
+    # adapter decodes and honors max_frames
+    out = _av_frames(b"\x00\x00\x00 ftypisom....", max_frames=2)
+    assert out == [a.tobytes() for a in arrays[:2]]
+
+    # PyAV present but container unidentifiable: None (honest seam at the
+    # caller, not a leaked av.error)
+    assert _av_frames(b"garbage not a container", max_frames=2) is None
+
+    # identified container with no video stream (an MP3): None
+    assert _av_frames(b"ID3 audio only", max_frames=2) is None
+
+    # PyAV absent -> None
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_av(name, *a, **k):
+        if name == "av" or name.startswith("av."):
+            raise ImportError("stubbed out")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "av", raising=False)
+    monkeypatch.delitem(sys.modules, "av.error", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_av)
+    assert _av_frames(b"\x00\x00\x00 ftypisom....", max_frames=2) is None
+
+
+def test_sample_frames_video_routes_through_av_adapter(monkeypatch):
+    """sample_frames(fake=False): an MP4-ish payload the image codecs and
+    PIL can't identify must fall through to the PyAV adapter — proven by
+    stubbing _av_frames itself, so the routing (not the codec) is what's
+    under test."""
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+
+    sentinel = [b"\x01\x02\x03" * 4, b"\x04\x05\x06" * 4]
+    monkeypatch.setattr(
+        mm, "_av_frames", lambda payload, max_frames: sentinel[:max_frames]
+    )
+
+    captured = {}
+
+    def fake_map_in_pandas(self, fn, schema):
+        pdf = pd.DataFrame(
+            {"media_id": [7], "content": [b"\x00\x00\x00 ftypisom...."]}
+        )
+        captured["out"] = next(fn(iter([pdf])))
+        return self
+
+    class _FakeDF:
+        mapInPandas = fake_map_in_pandas
+
+    mm.sample_frames(_FakeDF(), max_frames=2, fake=False)
+    out = captured["out"]
+    assert list(out["media_id"]) == [7, 7]
+    assert list(out["frame_index"]) == [0, 1]
+    assert list(out["frame_bytes"]) == sentinel
+
+
+def test_av_real_interop_mp4_roundtrip():
+    """Real-PyAV interop (skipped where PyAV is absent, like the PIL
+    suite): encode a 3-frame MP4 with PyAV, decode through _av_frames,
+    and check the raw-RGB contract — frame count capped at max_frames,
+    byte length = w*h*3, lossy-tolerant luminance."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _av_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for shade in (16, 128, 240):
+            img = np.full((16, 32, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+
+    frames = _av_frames(buf.getvalue(), max_frames=2)
+    assert frames is not None and len(frames) == 2
+    assert all(len(f) == 32 * 16 * 3 for f in frames)
+    first = np.frombuffer(frames[0], dtype=np.uint8)
+    assert abs(float(first.mean()) - 16) <= 16  # mpeg4 is lossy
+
+
+def test_soundfile_real_interop_flac():
+    """Real-soundfile interop (skipped where soundfile is absent): a FLAC
+    payload — lossless, so rate/duration/frame-RMS must match the
+    pure-python WAV contract exactly."""
+    soundfile = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+    from openmrs_module_mamba_etl_spark.llm.wav import frame_energies
+
+    rate = 8_000
+    samples = (np.sin(np.linspace(0, 20 * np.pi, 800)) * 20_000).astype(np.int16)
+    buf = io.BytesIO()
+    soundfile.write(buf, samples, rate, format="FLAC")
+
+    captured = {}
+
+    def fake_map_in_pandas(self, fn, schema):
+        pdf = pd.DataFrame({"media_id": [1], "content": [buf.getvalue()]})
+        captured["out"] = next(fn(iter([pdf])))
+        return self
+
+    class _FakeDF:
+        mapInPandas = fake_map_in_pandas
+
+    mm.extract_audio_features(_FakeDF(), n_mfcc=4, fake=False)
+    out = captured["out"]
+    assert int(out["sample_rate"][0]) == rate
+    assert int(out["duration_ms"][0]) == (len(samples) * 1000) // rate
+    assert out["mfcc"][0] == frame_energies(
+        samples.astype(np.float64) / 32768.0, 4
+    )
