@@ -98,18 +98,22 @@ def _live_root_owner_alive(marker: Path) -> bool:
 
 def _marker_add_pid(marker: Path, pid: int) -> None:
     """Append ``pid`` to a live-root marker, preserving pids already
-    recorded by other processes sharing the same external root. Re-writes
-    the whole file (tiny), dropping duplicates but never another pid —
-    liveness filtering happens at READ time in ``_live_root_owner_alive``
-    so a dead co-owner's stale line costs one failed os.kill probe, not a
-    lost protection."""
+    recorded by other processes sharing the same external root. The write
+    is an O_APPEND one-liner, not read-modify-rewrite: two processes
+    resolving the same root concurrently would otherwise race the
+    rewrite and one could drop the other's line — the exact
+    last-writer-wins failure the multi-pid marker exists to fix. A
+    duplicate line from a re-resolving pid is harmless (liveness
+    filtering happens at READ time in ``_live_root_owner_alive``, where a
+    dead co-owner's stale line costs one failed os.kill probe), so the
+    pre-check is best-effort only."""
     try:
-        existing = marker.read_text().split()
+        if str(pid) in marker.read_text().split():
+            return
     except OSError:
-        existing = []
-    if str(pid) not in existing:
-        existing.append(str(pid))
-    marker.write_text("\n".join(existing) + "\n")
+        pass
+    with open(marker, "a") as fh:
+        fh.write(f"{pid}\n")
 
 
 def _pid_runs_python(pid: int) -> bool:
