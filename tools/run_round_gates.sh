@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-gate battery: every REQUIRED per-round verification gate from
+# .claude/skills/verify/SKILL.md in one command, so a round can't end on
+# a partially-run (or wrongly-invoked — sf arg vs env var) battery.
+#
+# Two independent long poles run as concurrent lanes; bench runs LAST and
+# alone, because its numbers are only meaningful on an otherwise-idle box.
+# Logs + per-gate status files land in ${GATE_LOG_DIR:-/tmp/round_gates}.
+# Exit 0 only when every gate passes.
+#
+# Usage: tools/run_round_gates.sh            (~40-50 min on local[32])
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR="${GATE_LOG_DIR:-/tmp/round_gates}"
+mkdir -p "$LOGDIR"
+rm -f "$LOGDIR"/*.status
+
+run() {
+    local name="$1"; shift
+    local t0=$SECONDS
+    if "$@" > "$LOGDIR/$name.log" 2>&1; then
+        echo "ok $((SECONDS - t0))s" > "$LOGDIR/$name.status"
+    else
+        echo "FAIL $((SECONDS - t0))s" > "$LOGDIR/$name.status"
+    fi
+}
+
+# lane A: full suite (includes the sf0.001 parity cases), then the
+# driver-identical gate sim and both determinism sweeps (the SF is a
+# POSITIONAL arg to determinism_sweep.py), then the oracle dtype lint
+lane_a() {
+    run pytest_full   python -m pytest tests/ -q
+    run gate_sim      python tools/driver_gate_sim.py 277
+    run det_sf0_001   python tools/determinism_sweep.py
+    run det_sf0_01    python tools/determinism_sweep.py /root/testdata/sf0.01
+    run preflight     python tools/oracle_preflight.py
+}
+
+# lane B: the bench-scale exact-value parity run (the r8-promoted gate
+# that closes the "green at sf0.001 only" class)
+lane_b() {
+    run parity_sf0_1  env MAMBA_TEST_SF_DIR=/root/testdata/sf0.1 \
+        python -m pytest tests/test_oracle_parity.py -q
+}
+
+lane_a & A=$!
+lane_b & B=$!
+wait "$A" "$B"
+
+# bench last, alone: min-of-N shields queries from transient load, but
+# the canaries and the headline are only comparable across rounds idle.
+# Let the box settle after the lanes (JVM teardown, page cache churn) —
+# the first battery run benched canary 0.392 immediately after the lanes
+# vs 0.315 idle, enough to push heavies outside their watch bands.
+sleep 45
+run bench timeout 560 python bench.py
+
+fail=0
+echo "== round gates =="
+for s in "$LOGDIR"/*.status; do
+    name=$(basename "$s" .status)
+    st=$(cat "$s")
+    printf '%-14s %s\n' "$name" "$st"
+    case "$st" in ok*) ;; *) fail=1 ;; esac
+done
+grep -h '"metric"' "$LOGDIR/bench.log" | tail -1
+exit $fail
