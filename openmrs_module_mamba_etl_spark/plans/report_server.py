@@ -72,6 +72,14 @@ def _make_handler(spark: SparkSession, registry: ReportRegistry):
             except ValueError as e:
                 self._send(400, {"error": str(e)})
                 return
+            except Exception as e:  # noqa: BLE001 — transport boundary
+                # anything else (a Spark analysis error from a bad report
+                # definition, a Py4J failure mid-job) must still produce
+                # an HTTP response: unhandled, BaseHTTPRequestHandler
+                # closes the socket with no status and the client sees a
+                # bare connection reset instead of a diagnosable error
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             # run_json already produced the JSON array; splice it verbatim
             body = (
                 '{"report_id": %s, "results": %s}'

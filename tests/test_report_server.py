@@ -127,3 +127,25 @@ def test_row_cap_under_limit_passes(server):
     status, body = _get(f"{server.url}?{q}")
     assert status == 200
     assert body["results"][0]["total_orders_1997"] > 0
+
+
+def test_unexpected_engine_error_is_500_not_connection_drop(spark, sf_dir):
+    """A report whose SQL fails inside Spark (missing table) must come
+    back as an HTTP 500 with the error named — unhandled, the stdlib
+    handler closes the socket with no status and the client sees a bare
+    connection reset."""
+    from openmrs_module_mamba_etl_spark.sources.config import ReportDefinition
+
+    reg = ReportRegistry(
+        [
+            ReportDefinition(
+                report_name="broken",
+                report_id="broken",
+                sql_query="SELECT * FROM table_that_does_not_exist_xyz",
+            )
+        ]
+    )
+    with ReportServer(spark, reg) as srv:
+        status, body = _get(f"{srv.url}?report_id=broken")
+    assert status == 500
+    assert "table_that_does_not_exist_xyz" in body["error"]
