@@ -28,6 +28,26 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _swap_dir(staging: str | os.PathLike, live: str | os.PathLike) -> None:
+    """Promote a fully-written staging dir to the live path with no
+    zero-copies window: rename the old live dir ASIDE (atomic), rename
+    staging IN (atomic), then delete the old data. The previous
+    delete-then-rename order had a crash window between ``rmtree(live)``
+    and ``os.replace`` in which NEITHER the old nor the new table
+    existed; here a crash between the renames leaves the previous table
+    intact at ``<live>.old`` (cleared on the next successful swap). Same
+    single-filesystem constraint as ``os.replace`` itself."""
+    import shutil
+
+    live = Path(live)
+    old = Path(f"{live}.old")
+    shutil.rmtree(old, ignore_errors=True)  # stale .old from a crashed run
+    if live.exists():
+        os.replace(live, old)
+    os.replace(staging, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``base`` not keyed in ``updates``, plus all of ``updates``.
 
@@ -172,11 +192,7 @@ def incremental_flatten_parquet(
 
     staging = f"{target_path}.staging"
     merged.write.mode("overwrite").parquet(staging)
-    if Path(target_path).exists():
-        import shutil
-
-        shutil.rmtree(target_path)
-    os.replace(staging, target_path)
+    _swap_dir(staging, target_path)
 
     if batch_wm is not None:
         store.set(table, batch_wm)
@@ -212,12 +228,7 @@ def incremental_refresh_parquet(
     # truncates the live table (Parquet overwrite is not transactional).
     staging = f"{target_path}.staging"
     merged.write.mode("overwrite").parquet(staging)
-    final = Path(target_path)
-    if final.exists():
-        import shutil
-
-        shutil.rmtree(final)
-    os.replace(staging, target_path)
+    _swap_dir(staging, target_path)
 
     if batch_wm is not None:
         store.set(table, batch_wm)
@@ -245,7 +256,6 @@ def compact_parquet(
     one directory = one compaction unit.
     """
     import math
-    import shutil
 
     p = Path(path)
     data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
@@ -259,6 +269,5 @@ def compact_parquet(
 
     staging = f"{path}.compacting"
     compacted.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(p)
-    os.replace(staging, path)
+    _swap_dir(staging, path)
     return len([f for f in Path(path).rglob("*.parquet") if f.is_file()])

@@ -128,3 +128,33 @@ def test_compact_parquet(spark, tmp_path):
     # data survives the rewrite intact
     got = sorted(r["id"] for r in spark.read.parquet(target).collect())
     assert got == list(range(200))
+
+
+def test_swap_dir_never_leaves_a_zero_copies_window(tmp_path):
+    """_swap_dir renames the live dir aside BEFORE promoting staging, so a
+    crash between the two renames leaves the previous table at <live>.old
+    — the prior rmtree-then-rename order had a window with NEITHER copy.
+    Also: a stale .old from a crashed run is cleared, and the first swap
+    (no live dir yet) just promotes staging."""
+    from openmrs_module_mamba_etl_spark.operators.incremental import _swap_dir
+
+    live = tmp_path / "t"
+    old = tmp_path / "t.old"
+
+    # first swap: no live dir yet
+    s1 = tmp_path / "s1"
+    s1.mkdir()
+    (s1 / "part-0.parquet").write_bytes(b"v1")
+    _swap_dir(s1, live)
+    assert (live / "part-0.parquet").read_bytes() == b"v1"
+    assert not s1.exists() and not old.exists()
+
+    # stale .old from a crashed run must not block the next swap
+    old.mkdir()
+    (old / "junk").write_bytes(b"x")
+    s2 = tmp_path / "s2"
+    s2.mkdir()
+    (s2 / "part-0.parquet").write_bytes(b"v2")
+    _swap_dir(s2, live)
+    assert (live / "part-0.parquet").read_bytes() == b"v2"
+    assert not old.exists()
