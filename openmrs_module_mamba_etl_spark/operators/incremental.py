@@ -17,6 +17,16 @@ the standard lakehouse-less pattern:
 3. **Partition overwrite**: when the target is partitioned by a stable
    column (e.g. date), only affected partitions are rewritten
    (``partitionOverwriteMode=dynamic``) instead of the whole table.
+
+Publish semantics: refresh targets default to **versioned (reader-atomic)
+publishes** through :class:`~openmrs_module_mamba_etl_spark.sources.txnlog.
+VersionedParquetTable` — a new snapshot appears as one atomic manifest
+claim, so a concurrent reader (a report query hitting the analysis table
+mid-refresh) always resolves a complete committed version; there is no
+between-renames ENOENT window and no freed-paths hazard for a reader that
+listed files before the swap. ``versioned=False`` keeps the plain-layout
+staging-dir swap (crash-safe but not reader-atomic) for targets that must
+stay directly ``spark.read.parquet``-able.
 """
 
 from __future__ import annotations
@@ -46,6 +56,84 @@ def _swap_dir(staging: str | os.PathLike, live: str | os.PathLike) -> None:
         os.replace(live, old)
     os.replace(staging, live)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _versioned_table(target_path: str | os.PathLike):
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    return VersionedParquetTable(target_path)
+
+
+def _read_base(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Current committed snapshot of ``target_path``, or None when no
+    target exists yet. Layout-driven regardless of the publish mode: a
+    versioned log under the path always wins; a plain-parquet legacy
+    layout is still readable as the base (it migrates into the log on
+    this tick's versioned publish)."""
+    vt = _versioned_table(target_path)
+    if vt.latest_version() is not None:
+        return vt.read(spark)
+    legacy = _plain_part_files(target_path)
+    if legacy:
+        # explicit file list, not the directory: a crashed first versioned
+        # commit can leave a manifest-less ``files/`` staging dir next to
+        # the legacy part files, and a directory read would recurse into it
+        return spark.read.parquet(*[str(f) for f in legacy])
+    return None
+
+
+def _plain_part_files(target_path: str | os.PathLike) -> list[Path]:
+    """Top-level legacy parquet part files under a target (the pre-log
+    layout); the log's own data lives under ``files/`` and is excluded."""
+    p = Path(target_path)
+    if not p.is_dir():
+        return []
+    return [
+        f
+        for f in p.iterdir()
+        if f.is_file()
+        and f.name.endswith(".parquet")
+        and not f.name.startswith((".", "_"))
+    ]
+
+
+def _publish(
+    spark: SparkSession,
+    merged: DataFrame,
+    target_path: str,
+    versioned: bool,
+    keep_versions: int = 2,
+) -> DataFrame:
+    """Publish ``merged`` as the new committed snapshot of ``target_path``.
+
+    ``versioned=True`` (default): one atomic manifest claim via the
+    transaction log — readers that resolved the previous manifest keep a
+    complete immutable snapshot, readers arriving after the claim see the
+    new one, and no reader can ever observe a missing or half-written
+    table. ``vacuum(keep_last=keep_versions)`` bounds storage while
+    retaining the previous snapshot for in-flight readers; legacy
+    top-level part files (a pre-log layout being migrated) are removed
+    only AFTER the versioned commit, so a crash mid-migration leaves
+    both layouts intact and the log authoritative.
+
+    ``versioned=False``: the plain staging-dir swap — crash-safe (the old
+    table survives at ``<live>.old`` until the new one is in place) but a
+    concurrent reader can catch the instant between the two renames.
+    """
+    if versioned:
+        vt = _versioned_table(target_path)
+        vt.write(merged, mode="overwrite")
+        vt.vacuum(keep_last=max(1, keep_versions))
+        for legacy in _plain_part_files(target_path):
+            legacy.unlink(missing_ok=True)
+        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
+        return vt.read(spark)
+    staging = f"{target_path}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    _swap_dir(staging, target_path)
+    return spark.read.parquet(target_path)
 
 
 def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -138,6 +226,8 @@ def incremental_flatten_parquet(
     audit_col: str,
     store: WatermarkStore,
     table: str,
+    versioned: bool = True,
+    keep_versions: int = 2,
 ) -> DataFrame:
     """Incrementally maintain a flattened (EAV→wide) table on Parquet.
 
@@ -165,9 +255,9 @@ def incremental_flatten_parquet(
     wm = store.get(table)
     batch_wm = snapshot_watermark(obs, audit_col)
     attrs = discover_attrs(obs, spec)
-    target_exists = Path(target_path).exists()
+    base = _read_base(spark, target_path)
 
-    if wm is None or not target_exists:
+    if wm is None or base is None:
         merged = flatten(
             changed_since(obs, audit_col, None, upper=batch_wm),
             spec,
@@ -183,20 +273,17 @@ def incremental_flatten_parquet(
             F.broadcast(changed_entities), on=spec.entity_col, how="left_semi"
         )
         recomputed = flatten(changed_obs, spec, attrs=attrs)
-        base = spark.read.parquet(target_path)
         # schema drift: new attrs missing in base → filled with NULL
         kept = base.join(
             F.broadcast(changed_entities), on=spec.entity_col, how="left_anti"
         )
         merged = kept.unionByName(recomputed, allowMissingColumns=True)
 
-    staging = f"{target_path}.staging"
-    merged.write.mode("overwrite").parquet(staging)
-    _swap_dir(staging, target_path)
+    out = _publish(spark, merged, target_path, versioned, keep_versions)
 
     if batch_wm is not None:
         store.set(table, batch_wm)
-    return spark.read.parquet(target_path)
+    return out
 
 
 def incremental_refresh_parquet(
@@ -207,32 +294,32 @@ def incremental_refresh_parquet(
     audit_col: str,
     store: WatermarkStore,
     table: str,
+    versioned: bool = True,
+    keep_versions: int = 2,
 ) -> DataFrame:
     """End-to-end incremental tick for one Parquet-backed target table.
 
     Full refresh on first run (no watermark / no target), merge thereafter;
-    advances the watermark to max(audit_col) actually observed.
+    advances the watermark to max(audit_col) actually observed. Publishes
+    are reader-atomic by default (see :func:`_publish`): a report query
+    running against the target mid-refresh always reads one complete
+    committed snapshot.
     """
     wm = store.get(table)
     batch_wm = snapshot_watermark(source, audit_col)
     updates = changed_since(source, audit_col, wm, upper=batch_wm)
 
-    target_exists = Path(target_path).exists()
-    if wm is None or not target_exists:
+    base = _read_base(spark, target_path)
+    if wm is None or base is None:
         merged = changed_since(source, audit_col, None, upper=batch_wm)
     else:
-        base = spark.read.parquet(target_path)
         merged = merge_upsert(base, updates, keys)
 
-    # Materialize to a staging dir then swap, so a failed write never
-    # truncates the live table (Parquet overwrite is not transactional).
-    staging = f"{target_path}.staging"
-    merged.write.mode("overwrite").parquet(staging)
-    _swap_dir(staging, target_path)
+    out = _publish(spark, merged, target_path, versioned, keep_versions)
 
     if batch_wm is not None:
         store.set(table, batch_wm)
-    return spark.read.parquet(target_path)
+    return out
 
 
 def compact_parquet(
@@ -254,19 +341,51 @@ def compact_parquet(
     Per-partition-directory compaction of a ``partitionBy`` table is the
     same routine applied under each partition path; this operator handles
     one directory = one compaction unit.
+
+    A versioned target (one published by the default reader-atomic
+    refresh path) is auto-detected and compacted THROUGH the log: the
+    rewrite commits as a new overwrite version, so concurrent readers
+    keep their snapshot and the compaction inherits the same
+    reader-atomicity as the refresh publishes.
     """
     import math
 
-    p = Path(path)
-    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    vt = _versioned_table(path)
+    if vt.latest_version() is not None:
+        df = vt.read(spark)
+        live_dirs = {
+            d
+            for v in vt.versions()
+            for d in vt._manifest(v)["dirs"]
+        }
+        data_files = [
+            f
+            for d in live_dirs
+            for f in (Path(path) / "files" / d).rglob("*.parquet")
+            if f.is_file()
+        ]
+    else:
+        df = spark.read.parquet(path)
+        data_files = [f for f in Path(path).rglob("*.parquet") if f.is_file()]
     total_bytes = sum(f.stat().st_size for f in data_files)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
     compacted = df.repartition(n_files)
     if sort_cols:
         compacted = compacted.sortWithinPartitions(*sort_cols)
 
+    if vt.latest_version() is not None:
+        v = vt.write(compacted, mode="overwrite")
+        vt.vacuum(keep_last=2)
+        m = vt._manifest(v)
+        return len(
+            [
+                f
+                for d in m["dirs"]
+                for f in (Path(path) / "files" / d).rglob("*.parquet")
+                if f.is_file()
+            ]
+        )
     staging = f"{path}.compacting"
     compacted.write.mode("overwrite").parquet(staging)
     _swap_dir(staging, path)
