@@ -74,7 +74,14 @@ def _live_root_owner_alive(marker: Path) -> bool:
     protection for the survivor as soon as the marker-owning process
     exited first. A legacy marker with no/garbled pid counts as alive
     (never reap what we can't attribute); a readable marker whose pids
-    are all gone counts as dead, re-enabling the age sweep."""
+    are all gone counts as dead, re-enabling the age sweep.
+
+    Liveness probes filter through ``_pid_runs_python`` (like
+    ``prune_dead_pid_dirs``): a marker accumulating lines across a
+    long-lived shared root would otherwise keep the root protected
+    forever once any dead owner's pid is RECYCLED by an unrelated
+    process — os.kill(pid, 0) alone cannot tell a recycled pid from a
+    live suite (round-8 ADVICE item 1)."""
     try:
         tokens = marker.read_text().split()
     except OSError:
@@ -88,11 +95,12 @@ def _live_root_owner_alive(marker: Path) -> bool:
             return True  # pre-pid / garbled marker format: keep protecting
         try:
             os.kill(pid, 0)
-            return True
         except ProcessLookupError:
             continue
         except PermissionError:
-            return True  # alive under another user
+            return True  # alive under another user (can't read its /proc)
+        if _pid_runs_python(pid):
+            return True  # plausibly a real suite, not a recycled pid
     return False
 
 
@@ -106,12 +114,44 @@ def _marker_add_pid(marker: Path, pid: int) -> None:
     duplicate line from a re-resolving pid is harmless (liveness
     filtering happens at READ time in ``_live_root_owner_alive``, where a
     dead co-owner's stale line costs one failed os.kill probe), so the
-    pre-check is best-effort only."""
+    pre-check is best-effort only.
+
+    Growth bound: before appending, lines whose pid is provably dead
+    (ProcessLookupError, or kill-able but not a Python/JVM process — the
+    recycled-pid case) are compacted away via one atomic rewrite-aside.
+    Without it a long-lived shared root accumulates dead-pid lines
+    forever (round-8 ADVICE item 1). The rewrite races a concurrent
+    appender whose line lands between our read and our os.replace — the
+    benign race the append-only design already tolerates: the loser
+    re-resolves its root next process start, and the age sweep still
+    protects any root younger than its idle threshold."""
+    tokens: list[str] = []
     try:
-        if str(pid) in marker.read_text().split():
+        tokens = marker.read_text().split()
+        if str(pid) in tokens:
             return
     except OSError:
         pass
+
+    def _line_alive(tok: str) -> bool:
+        try:
+            other = int(tok)
+        except ValueError:
+            return True  # garbled format: never drop what we can't attribute
+        try:
+            os.kill(other, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return _pid_runs_python(other)
+
+    alive = [t for t in tokens if _line_alive(t)]
+    if len(alive) != len(tokens):
+        tmp = marker.with_name(marker.name + f".tmp-{pid}")
+        tmp.write_text("".join(f"{t}\n" for t in [*alive, str(pid)]))
+        os.replace(tmp, marker)
+        return
     with open(marker, "a") as fh:
         fh.write(f"{pid}\n")
 
@@ -241,8 +281,7 @@ def read_back(spark, path: str, schema):
             f"schema drift at {path}: declared columns {sorted(declared)} "
             f"!= written columns {sorted(written)}"
         )
-    part_file = _first_part_file(path)
-    if part_file is not None:
+    for part_file in _probe_part_files(path):
         # loading the leaf file directly keeps partition-dir columns out:
         # its parent dir is the base path, so the footer fields below are
         # exactly the data columns the writer serialized
@@ -256,14 +295,35 @@ def read_back(spark, path: str, schema):
     return out
 
 
-def _first_part_file(path: str | Path) -> str | None:
-    """First parquet part file under ``path``, or None when the location
-    holds no data files (marker/_SUCCESS-only dirs)."""
+def _probe_part_files(path: str | Path) -> list[str]:
+    """Retype-guard probe set: the lexically-FIRST, lexically-LAST, and
+    most-recently-WRITTEN parquet part files under ``path`` (deduplicated;
+    empty when the location holds no data files, e.g. marker/_SUCCESS-only
+    dirs).
+
+    One footer was not enough: a retype introduced by a LATER
+    schema-evolution batch (the A8 ``sink_schema_evolve`` scenario) lives
+    in a different file than the first-sorted one, and part-file UUIDs
+    make the lexical order independent of write order — so the guard
+    probes both lexical extremes plus the newest-mtime file (the latest
+    batch by construction). Still O(3 footers), still metadata-only; a
+    retype confined to a MIDDLE batch of a 3+-batch append history can
+    evade it, which is the documented cost of not footer-reading every
+    file (a full check is one ``mergeSchema`` read away for forensics).
+    """
+    candidates: list[str] = []
     for dirpath, _dirnames, filenames in os.walk(str(path)):
-        for name in sorted(filenames):
+        for name in filenames:
             if name.endswith(".parquet") and not name.startswith((".", "_")):
-                return os.path.join(dirpath, name)
-    return None
+                candidates.append(os.path.join(dirpath, name))
+    if not candidates:
+        return []
+    probes = {min(candidates), max(candidates)}
+    try:
+        probes.add(max(candidates, key=os.path.getmtime))
+    except OSError:
+        pass  # racing a concurrent rewrite: lexical extremes still probe
+    return sorted(probes)
 
 
 def _scratch_dir(name: str) -> str:

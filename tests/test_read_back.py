@@ -86,3 +86,43 @@ def test_partition_column_type_not_footer_checked(spark, tmp_path):
         .write.partitionBy("part").parquet(target)
     out = read_back(spark, target, "a bigint, part string")
     assert out.count() == 4
+
+
+def test_retype_in_second_written_file_raises(spark, tmp_path):
+    # the round-8 verdict's residual: a retype introduced by a LATER
+    # schema-evolution batch (the A8 scenario) lives in a different part
+    # file than the first-probed one — the guard must still catch it
+    target = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS a").write.parquet(target)
+    spark.range(3).selectExpr("CAST(id AS DOUBLE) AS a") \
+        .write.mode("append").parquet(target)
+    with pytest.raises(ValueError, match="schema drift"):
+        read_back(spark, target, "a bigint")
+
+
+def test_retype_in_newest_lexically_middle_file_raises(spark, tmp_path):
+    # the mtime probe leg: a retyped latest batch whose part file sorts
+    # lexically BETWEEN two older clean files evades both lexical probes
+    # but is the newest file on disk
+    import os
+    import shutil
+    import time
+
+    target = tmp_path / "t"
+    target.mkdir()
+
+    def one_file(name: str, expr: str) -> None:
+        src = tmp_path / f"src_{name}"
+        spark.range(3).selectExpr(expr).coalesce(1).write.parquet(str(src))
+        part = next(p for p in src.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, target / name)
+
+    one_file("part-aaa.parquet", "id AS a")
+    one_file("part-zzz.parquet", "id AS a")
+    one_file("part-mmm.parquet", "CAST(id AS DOUBLE) AS a")  # the retype
+    now = time.time()
+    os.utime(target / "part-aaa.parquet", (now - 100, now - 100))
+    os.utime(target / "part-zzz.parquet", (now - 100, now - 100))
+    os.utime(target / "part-mmm.parquet", (now, now))
+    with pytest.raises(ValueError, match="schema drift"):
+        read_back(spark, str(target), "a bigint")

@@ -119,19 +119,29 @@ def test_marker_append_preserves_other_owners(tmp_path):
     # two processes sharing one MAMBA_SCRATCH_DIR must BOTH end up in the
     # marker — the round-7 single-pid format lost the survivor's
     # protection as soon as the marker-owning process exited first
+    import signal
+
     from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
         _live_root_owner_alive,
         _marker_add_pid,
     )
 
     marker = tmp_path / ".mamba_live_root"
-    dead_pid = os.spawnlp(os.P_NOWAIT, "true", "true")
-    os.waitpid(dead_pid, 0)
-
-    _marker_add_pid(marker, dead_pid)       # first owner (will "crash")
-    _marker_add_pid(marker, os.getpid())    # second owner (us, alive)
-    _marker_add_pid(marker, os.getpid())    # re-resolution: no dup line
-    assert marker.read_text().split() == [str(dead_pid), str(os.getpid())]
+    # a LIVE python co-owner (a plain `sleep` would read as a recycled
+    # pid to the liveness filter — correctly, since mamba suites are
+    # always python processes)
+    sleeper = os.spawnlp(
+        os.P_NOWAIT, "python3", "python3", "-c", "import time; time.sleep(60)"
+    )
+    try:
+        _marker_add_pid(marker, sleeper)        # first owner (alive)
+        _marker_add_pid(marker, os.getpid())    # second owner (us, alive)
+        _marker_add_pid(marker, os.getpid())    # re-resolution: no dup line
+        assert marker.read_text().split() == [str(sleeper), str(os.getpid())]
+        assert _live_root_owner_alive(marker)
+    finally:
+        os.kill(sleeper, signal.SIGKILL)
+        os.waitpid(sleeper, 0)
 
     # first owner gone, second alive: root still protected
     assert _live_root_owner_alive(marker)
@@ -139,9 +149,52 @@ def test_marker_append_preserves_other_owners(tmp_path):
     # all owners gone: protection drops, age sweep applies
     dead2 = os.spawnlp(os.P_NOWAIT, "true", "true")
     os.waitpid(dead2, 0)
-    marker.write_text(f"{dead_pid}\n{dead2}\n")
+    marker.write_text(f"{sleeper}\n{dead2}\n")
     assert not _live_root_owner_alive(marker)
 
     # garbled/legacy content keeps protecting (never reap unattributable)
     marker.write_text("not-a-pid\n")
     assert _live_root_owner_alive(marker)
+
+
+def test_marker_append_compacts_dead_and_recycled_pids(tmp_path):
+    # round-8 ADVICE item 1: a long-lived shared root must not accumulate
+    # dead-pid lines forever, and a RECYCLED pid (alive but not a
+    # python/java process) must neither survive compaction nor keep the
+    # root protected
+    import signal
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _live_root_owner_alive,
+        _marker_add_pid,
+    )
+
+    marker = tmp_path / ".mamba_live_root"
+    dead = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead, 0)
+    # stands in for an unrelated process that re-used a dead owner's pid
+    recycled = os.spawnlp(os.P_NOWAIT, "sleep", "sleep", "60")
+    try:
+        # wait out the fork→exec transition: until exec completes the
+        # child's /proc cmdline still shows the forked python image
+        import time
+
+        for _ in range(200):
+            with open(f"/proc/{recycled}/cmdline", "rb") as fh:
+                if fh.read().startswith(b"sleep"):
+                    break
+            time.sleep(0.01)
+        marker.write_text(f"{dead}\n{recycled}\n")
+        assert not _live_root_owner_alive(marker)
+
+        _marker_add_pid(marker, os.getpid())
+        assert marker.read_text().split() == [str(os.getpid())]
+        assert _live_root_owner_alive(marker)
+
+        # garbled lines are never compacted away (can't attribute them)
+        marker.write_text(f"not-a-pid\n{dead}\n")
+        _marker_add_pid(marker, os.getpid())
+        assert marker.read_text().split() == ["not-a-pid", str(os.getpid())]
+    finally:
+        os.kill(recycled, signal.SIGKILL)
+        os.waitpid(recycled, 0)
