@@ -1049,3 +1049,189 @@ def test_soundfile_real_interop_flac():
     assert out["mfcc"][0] == frame_energies(
         samples.astype(np.float64) / 32768.0, 4
     )
+
+
+def test_av_frames_zero_frame_identified_container_raises(monkeypatch):
+    """An IDENTIFIED video container whose stream decodes to zero frames
+    must raise (data error), not return [] — the caller's seam only fires
+    on None, so an empty list would silently emit no frames for a payload
+    a backend claimed (round-8 ADVICE item 3)."""
+    import sys
+    import types
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _av_frames
+
+    class _Container:
+        streams = types.SimpleNamespace(video=[object()])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video=0):
+            return iter(())  # identified stream, nothing decodable
+
+    av_mod = types.ModuleType("av")
+    err_mod = types.ModuleType("av.error")
+    err_mod.InvalidDataError = type("_InvalidData", (Exception,), {})
+    av_mod.error = err_mod
+    av_mod.open = lambda buf: _Container()
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    monkeypatch.setitem(sys.modules, "av.error", err_mod)
+
+    with pytest.raises(ValueError, match="zero frames"):
+        _av_frames(b"\x00\x00\x00 ftypisom....", max_frames=2)
+
+
+def _sof3_jpeg() -> bytes:
+    """A structurally-valid JPEG whose SOF marker declares lossless
+    sequential (SOF3) — the T.81 process the pure-python codec rejects."""
+    from openmrs_module_mamba_etl_spark.llm.jpeg import encode_jpeg
+
+    data = bytearray(encode_jpeg(8, 8, bytes(192), quality=90))
+    idx = data.find(b"\xff\xc0")
+    assert idx > 0
+    data[idx + 1] = 0xC3
+    return bytes(data)
+
+
+def test_lossless_jpeg_raises_declared_seam_without_capable_pil(monkeypatch):
+    """With no PIL at all, a lossless JPEG must surface as the DECLARED
+    NotImplementedError seam naming the needed backend — not as the pure
+    codec's bare ValueError (round-8 verdict task 6: the one codec path
+    that previously had no adapter slot)."""
+    import builtins
+    import sys
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("stubbed out")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "PIL", raising=False)
+    monkeypatch.delitem(sys.modules, "PIL.Image", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+
+    with pytest.raises(NotImplementedError, match="lossless/arithmetic"):
+        _decode_rgb(_sof3_jpeg())
+
+
+def test_lossless_jpeg_decodes_through_capable_pil_slot(monkeypatch):
+    """The adapter slot works: a (stub) PIL whose libjpeg build carries
+    the lossless process decodes the SOF3 payload through _pil_still_rgb,
+    and an INCAPABLE build (open raises) falls through to the declared
+    seam instead of leaking its own error."""
+    import sys
+    import types
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    sentinel = bytes([1, 2, 3] * 4)  # 2x2 RGB
+
+    class _StubImage:
+        size = (2, 2)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return sentinel
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _StubImage()
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    assert _decode_rgb(_sof3_jpeg()) == (2, 2, sentinel)
+
+    def _incapable_open(buf):
+        raise OSError("decoder jpeg_lossless not available")
+
+    image_mod.open = _incapable_open
+    with pytest.raises(NotImplementedError, match="lossless/arithmetic"):
+        _decode_rgb(_sof3_jpeg())
+
+
+def test_adapters_only_reachable_inside_mapinpandas_batches():
+    """Structural pin (round-8 verdict task 8): every decode adapter
+    (_pil_frames, _av_frames, _pil_still_rgb, the soundfile import) is
+    reachable ONLY from inside the nested per-batch kernels that operators
+    hand to mapInPandas — never from an operator's driver-side body or at
+    module import. Keeps the executor-side contract pinned even in this
+    library-less container: when a real backend lands, its decode work
+    cannot silently move to the driver."""
+    import ast
+    import inspect
+
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+
+    tree = ast.parse(inspect.getsource(mm))
+    top = {
+        n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+    }
+
+    def referenced(node: ast.AST) -> set[str]:
+        out: set[str] = set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Call):
+                f = sub.func
+                if isinstance(f, ast.Name):
+                    out.add(f.id)
+                elif isinstance(f, ast.Attribute):
+                    out.add(f.attr)
+            elif isinstance(sub, ast.Import):
+                out.update(a.name for a in sub.names)
+            elif isinstance(sub, ast.ImportFrom) and sub.module:
+                out.add(sub.module)
+        return out
+
+    # transitive closure: module-level functions that can reach an adapter
+    reach = {"_pil_frames", "_av_frames", "_pil_still_rgb", "soundfile", "av"}
+    changed = True
+    while changed:
+        changed = False
+        for name, node in top.items():
+            if name not in reach and referenced(node) & reach:
+                reach.add(name)
+                changed = True
+    assert "_decode_rgb" in reach  # sanity: the closure actually closed
+
+    # 1. module import runs no adapter-reaching code
+    module_level = [n for n in tree.body if not isinstance(n, ast.FunctionDef)]
+    for stmt in module_level:
+        assert not referenced(stmt) & reach, ast.dump(stmt)[:120]
+
+    # 2. every public operator keeps adapter-reaching calls inside its
+    #    nested kernel functions, and ships those kernels via mapInPandas
+    for name, node in top.items():
+        if name in reach or name.startswith("_"):
+            continue
+        nested = [
+            sub for sub in node.body if isinstance(sub, ast.FunctionDef)
+        ]
+        driver_body = [
+            sub for sub in node.body if not isinstance(sub, ast.FunctionDef)
+        ]
+        driver_refs = set()
+        for stmt in driver_body:
+            driver_refs |= referenced(stmt)
+        illegal = (driver_refs - {"mapInPandas"}) & reach
+        assert not illegal, f"{name} reaches adapters driver-side: {illegal}"
+        if any(referenced(sub) & reach for sub in nested):
+            assert "mapInPandas" in driver_refs, (
+                f"{name} has adapter-reaching kernels but no mapInPandas"
+            )
