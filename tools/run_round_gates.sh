@@ -25,10 +25,25 @@ run() {
     fi
 }
 
+# Lane cross-talk (round-8 ADVICE item 4): all repo-relative runtime
+# state is already pid-scoped by construction — scratch roots are
+# _scratch/run_<pid>, managed warehouse tables carry _<pid> suffixes,
+# streaming checkpoints live under the per-pid scratch, and the JDBC
+# tests use per-query Derby MEMORY databases. The two genuinely shared
+# files a concurrent lane pair could touch are the repo-root derby.log
+# (Derby's error stream) and the JVMs' java.io.tmpdir; each lane gets
+# its own of both via JAVA_TOOL_OPTIONS, which every lane JVM inherits.
+lane_env() {
+    local lane="$1"
+    mkdir -p "$LOGDIR/tmp_$lane"
+    echo "-Dderby.stream.error.file=$LOGDIR/derby_$lane.log -Djava.io.tmpdir=$LOGDIR/tmp_$lane"
+}
+
 # lane A: full suite (includes the sf0.001 parity cases), then the
 # driver-identical gate sim and both determinism sweeps (the SF is a
 # POSITIONAL arg to determinism_sweep.py), then the oracle dtype lint
 lane_a() {
+    export JAVA_TOOL_OPTIONS="$(lane_env a)"
     run pytest_full   python -m pytest tests/ -q
     run gate_sim      python tools/driver_gate_sim.py 277
     run det_sf0_001   python tools/determinism_sweep.py
@@ -39,6 +54,7 @@ lane_a() {
 # lane B: the bench-scale exact-value parity run (the r8-promoted gate
 # that closes the "green at sf0.001 only" class)
 lane_b() {
+    export JAVA_TOOL_OPTIONS="$(lane_env b)"
     run parity_sf0_1  env MAMBA_TEST_SF_DIR=/root/testdata/sf0.1 \
         python -m pytest tests/test_oracle_parity.py -q
 }
@@ -55,13 +71,31 @@ wait "$A" "$B"
 sleep 45
 run bench timeout 560 python bench.py
 
+# Canary-gate the bench leg (round-8 verdict task 4): a run whose start
+# canary exceeds 0.2 is the BUSY arm of every watch band — numerically
+# valid, but not evidence for the round ledger. Downgrade its status to
+# "busy-arm (informational)" so the battery's exit-0 can't launder a
+# busy-arm number into the round's bench proof; the idle-protocol re-run
+# (BENCHNOTES discipline) remains the citable measurement.
+if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
+    canary=$(grep -h '"metric"' "$LOGDIR/bench.log" | tail -1 \
+        | python -c 'import json,sys; print(json.loads(sys.stdin.read())["load_canary_start"])' \
+        2>/dev/null || echo "")
+    if [ -n "$canary" ] && python -c "import sys; sys.exit(0 if float('$canary') > 0.2 else 1)"; then
+        secs=$(awk '{print $2}' "$LOGDIR/bench.status")
+        echo "busy-arm (informational, canary_start=$canary) $secs" > "$LOGDIR/bench.status"
+    fi
+fi
+
 fail=0
 echo "== round gates =="
 for s in "$LOGDIR"/*.status; do
     name=$(basename "$s" .status)
     st=$(cat "$s")
     printf '%-14s %s\n' "$name" "$st"
-    case "$st" in ok*) ;; *) fail=1 ;; esac
+    # busy-arm bench is informational: the gate ran and passed, its
+    # NUMBER just isn't idle-protocol evidence
+    case "$st" in ok*|busy-arm*) ;; *) fail=1 ;; esac
 done
 grep -h '"metric"' "$LOGDIR/bench.log" | tail -1
 exit $fail

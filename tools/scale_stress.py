@@ -34,12 +34,39 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTS = ["documents", "embeddings", "lineitem", "orders", "events"]
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
+#: sf0.1 demo occupancy: 2000 embeddings / 16 IVF cells. The production
+#: arm below holds this PER-CELL occupancy constant as the corpus grows.
+TARGET_CELL_ROWS = 125
+
+
+def _dedup_semantic_prod(spark, d: str):
+    """dedup_semantic at its PRODUCTION operating point (round-8 verdict
+    task 7): τ=0.95 (the documented production default — above the 0.9
+    decorrelation gate, so replicas contribute no cross pairs) and the
+    cell-count knob scaled to hold per-cell occupancy constant
+    (``n_cells = N / TARGET_CELL_ROWS``), which makes the in-cell pair
+    space Σ|cell|² grow LINEARLY with the corpus instead of the demo
+    row's fixed-16-cells K² growth. The registry's `dedup_semantic` demo
+    row is retained unchanged; this arm exists so the stress table shows
+    the scale-safe knob setting alongside the demo artifact."""
+    from openmrs_module_mamba_etl_spark.llm.dedup import semantic_dedup
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+
+    emb = table(spark, d, "embeddings")
+    n_cells = max(16, emb.count() // TARGET_CELL_ROWS)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.95
+    )
+
+
 #: heavy/shuffle-bound queries worth stressing, with the facts they read.
+#: Entries are registry key names, or (label, fn) for parameterized arms.
 STRESSED = [
     "dedup_token_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_semantic",
+    ("dedup_semantic_prod", _dedup_semantic_prod),
     "etl_llm_corpus",
     "agg_group_by",
     "tpch_q9",
@@ -207,8 +234,11 @@ def main() -> int:
     spark.catalog.clearCache()
 
     rows = []
-    for name in STRESSED:
-        fn = registry.QUERIES[name]
+    for entry in STRESSED:
+        if isinstance(entry, str):
+            name, fn = entry, registry.QUERIES[entry]
+        else:
+            name, fn = entry
         rec = {"key": name}
         try:
             for label, d, nrep in (("base", BASE, 2), ("stress", stress_dir, 1)):
