@@ -635,6 +635,8 @@ def semantic_dedup(
     n_cells: int = 16,
     threshold: float = 0.95,
     refine_iters: int = 1,
+    max_sample: int = 65536,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (the cluster-then-dedup recipe
     of Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -652,10 +654,20 @@ def semantic_dedup(
     AQE's skew-join split handles an oversized cell. At 100 TB, write the
     assignment ``partitionBy(cell)`` once and run the per-cell join
     partition-local.
+
+    ``max_sample``/``sample_mod`` forward to :func:`ivf_train` — the
+    FAISS-style training-sample bounds (tens-to-hundreds of points per
+    centroid suffice for a coarse quantizer). The defaults keep the
+    historical behavior; production callers scaling ``n_cells`` with the
+    corpus should cap the sample (e.g. ``50 * n_cells``) so quantizer
+    training cost grows with CELLS, not corpus rows.
     """
     from openmrs_module_mamba_etl_spark.llm.ann import ivf_assign, ivf_train
 
-    centroids = ivf_train(df, id_col, vec_col, n_cells, refine_iters)
+    centroids = ivf_train(
+        df, id_col, vec_col, n_cells, refine_iters,
+        sample_mod=sample_mod, max_sample=max_sample,
+    )
     assigned = ivf_assign(
         _spread(df.select(id_col, vec_col), id_col), vec_col, centroids, "cell"
     )

@@ -54,8 +54,13 @@ def _dedup_semantic_prod(spark, d: str):
 
     emb = table(spark, d, "embeddings")
     n_cells = max(16, emb.count() // TARGET_CELL_ROWS)
+    # FAISS-style sample bound: quantizer training cost follows CELLS,
+    # not corpus rows (50 points per centroid is ample for a coarse
+    # quantizer); without it the full-corpus sort+collect inside
+    # ivf_train dominated the prod arm's 8x wall.
     return semantic_dedup(
-        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.95
+        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.95,
+        max_sample=50 * n_cells,
     )
 
 
@@ -163,6 +168,63 @@ def build_stress_dir(spark, k: int) -> str:
     return out
 
 
+def check_invariants(spark, registry, stress_dir: str) -> bool:
+    """Measured constant-density invariants; True = corpus is sound.
+
+    1. The 0.9-Jaccard pair set must not contain a single cross-replica
+       pair (ids land in different OFFSET blocks): a nonzero count means
+       the perturbation leaked similarity across replicas and every dedup
+       ratio is measuring K² pair-space inflation, not engine scaling.
+    2. The per-replica vector roll must not leave cross-replica NEAR-DUP
+       pairs (cosine ≥ 0.9; base corpus max pairwise cosine ≈ 0.48, so
+       any hit means replicas leaked genuine duplicates). This is
+       deliberately NOT checked at dedup_semantic's demo τ=0.35: that
+       threshold sits inside the random-cosine band of these vectors, so
+       a correctly-decorrelated K× corpus still has ~K² pairs above it at
+       the BASE pair rate (measured at K=8: cross-replica 0.35-pairs ≈
+       0.21% of the 112M cross candidate pairs — the same rate as
+       within-replica pairs). The 0.9 gate is what excludes the artifact.
+
+    Runs AFTER the measurement loop (round 9): the brute-force cosine
+    sweep (~128M pairs at K=8) leaves the shared local-mode JVM with
+    enough heap/GC debris that a big-shuffle query measured afterwards
+    in the same session reads ~3× slower (measured: dedup_token_jaccard
+    at 8× = 17 s on a clean session, 44-47 s after this pre-pass —
+    clearCache does not undo it). Ordering measurements first keeps them
+    clean; a failed invariant still voids the run loudly (error JSON +
+    exit 1) before the summary is trusted.
+    """
+    from pyspark.sql import functions as F
+
+    from openmrs_module_mamba_etl_spark.llm.dedup import embedding_cosine_pairs
+    from openmrs_module_mamba_etl_spark.sources.parquet import table as _table
+
+    pairs = registry.QUERIES["dedup_token_jaccard"](spark, stress_dir)
+    n_cross = pairs.where(
+        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
+    ).count()
+    print(json.dumps({"cross_replica_pairs": n_cross}), flush=True)
+    if n_cross:
+        print(json.dumps({"error": "replica perturbation leaked pairs"}))
+        return False
+    epairs = embedding_cosine_pairs(
+        _table(spark, stress_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        brute_force=True,
+    )
+    n_cross_emb = epairs.where(
+        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
+    ).count()
+    print(json.dumps({"cross_replica_neardup_vecs": n_cross_emb}), flush=True)
+    if n_cross_emb:
+        print(json.dumps({"error": "vector roll leaked near-dup pairs"}))
+        return False
+    spark.catalog.clearCache()
+    return True
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
@@ -180,59 +242,6 @@ def main() -> int:
         flush=True,
     )
 
-    # Measured constant-density invariant: the 0.9-Jaccard pair set must not
-    # contain a single cross-replica pair (ids land in different OFFSET
-    # blocks). A nonzero count means the perturbation leaked similarity
-    # across replicas and every dedup ratio below is measuring K² pair-space
-    # inflation, not engine scaling — fail loudly rather than publish that.
-    from pyspark.sql import functions as F
-
-    pairs = registry.QUERIES["dedup_token_jaccard"](spark, stress_dir)
-    n_cross = pairs.where(
-        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
-    ).count()
-    print(json.dumps({"cross_replica_pairs": n_cross}), flush=True)
-    if n_cross:
-        print(json.dumps({"error": "replica perturbation leaked pairs"}))
-        shutil.rmtree(stress_dir, ignore_errors=True)
-        return 1
-    # Embeddings invariant: the per-replica vector roll must not leave
-    # cross-replica NEAR-DUP pairs (cosine ≥ 0.9; base corpus max pairwise
-    # cosine ≈ 0.48, so any hit means replicas leaked genuine duplicates).
-    # NOTE this is deliberately NOT checked at dedup_semantic's demo
-    # τ=0.35: that threshold sits inside the random-cosine band of these
-    # vectors, so a correctly-decorrelated K× corpus still has ~K² pairs
-    # above it at the BASE pair rate (measured at K=8: cross-replica
-    # 0.35-pairs ≈ 0.21% of the 112M cross candidate pairs — the same
-    # rate as within-replica pairs). dedup_semantic's stress ratio
-    # therefore measures genuine K²/cells output growth of the demo knob,
-    # not a harness artifact; the 0.9 gate is what excludes the artifact.
-    from openmrs_module_mamba_etl_spark.llm.dedup import embedding_cosine_pairs
-    from openmrs_module_mamba_etl_spark.sources.parquet import table as _table
-
-    epairs = embedding_cosine_pairs(
-        _table(spark, stress_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        threshold=0.9,
-        brute_force=True,
-    )
-    n_cross_emb = epairs.where(
-        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
-    ).count()
-    print(json.dumps({"cross_replica_neardup_vecs": n_cross_emb}), flush=True)
-    if n_cross_emb:
-        print(json.dumps({"error": "vector roll leaked near-dup pairs"}))
-        shutil.rmtree(stress_dir, ignore_errors=True)
-        return 1
-
-    # The PPJoin operators persist their tokenized frames (LRU-evictable by
-    # design, unpersisted by long-lived callers): drop the invariant pass's
-    # 8× cache — and each query's below — so a pinned store doesn't squeeze
-    # execution memory and inflate the NEXT measurement's spill time
-    # (first seen as dedup_token_jaccard 18 s → 52 s after the pre-pass).
-    spark.catalog.clearCache()
-
     rows = []
     for entry in STRESSED:
         if isinstance(entry, str):
@@ -241,7 +250,12 @@ def main() -> int:
             name, fn = entry
         rec = {"key": name}
         try:
-            for label, d, nrep in (("base", BASE, 2), ("stress", stress_dir, 1)):
+            # min-of-2 on BOTH arms: the stress arm was single-rep, which
+            # folded Python-worker / PPJoin warm-up into the 8× number
+            # only (measured on dedup_semantic_prod: cold 1.95 s vs warm
+            # 1.33 s at 8×) — ratios must compare matched-warmth walls,
+            # not a warm base against a cold stress
+            for label, d, nrep in (("base", BASE, 2), ("stress", stress_dir, 2)):
                 # also isolate base from stress WITHIN a query: the base
                 # pass's persisted 1x frames must not squeeze memory during
                 # the 8x measurement (same mechanism as the pre-pass note)
@@ -260,6 +274,8 @@ def main() -> int:
         rows.append(rec)
         print(json.dumps(rec), flush=True)
 
+    invariants_ok = check_invariants(spark, registry, stress_dir)
+
     ok = [r for r in rows if "ratio" in r]
     print(
         json.dumps(
@@ -277,7 +293,7 @@ def main() -> int:
         )
     )
     shutil.rmtree(stress_dir, ignore_errors=True)
-    return 0
+    return 0 if invariants_ok else 1
 
 
 if __name__ == "__main__":
