@@ -78,8 +78,10 @@ run bench timeout 560 python bench.py
 # busy-arm number into the round's bench proof; the idle-protocol re-run
 # (BENCHNOTES discipline) remains the citable measurement.
 if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
+    # the JSON line can carry Spark stage-progress junk before the first
+    # '{' (same tty line) — slice from there before parsing
     canary=$(grep -h '"metric"' "$LOGDIR/bench.log" | tail -1 \
-        | python -c 'import json,sys; print(json.loads(sys.stdin.read())["load_canary_start"])' \
+        | python -c 'import json,sys; s=sys.stdin.read(); print(json.loads(s[s.find("{"):])["load_canary_start"])' \
         2>/dev/null || echo "")
     if [ -n "$canary" ] && python -c "import sys; sys.exit(0 if float('$canary') > 0.2 else 1)"; then
         secs=$(awk '{print $2}' "$LOGDIR/bench.status")
