@@ -70,7 +70,8 @@ class MambaPipeline:
 
 
 def materialize(
-    spark: SparkSession, ctx: PipelineContext, target_dir: str
+    spark: SparkSession, ctx: PipelineContext, target_dir: str,
+    versioned: bool = True,
 ) -> dict[str, str]:
     """Write every published table to the analysis store (full refresh).
 
@@ -79,14 +80,24 @@ def materialize(
     ``<target_dir>/<table_name>`` and is re-registered as a view over the
     *written* files, so downstream reports read the materialized store, not
     the live lineage — exactly the reference's pre-materialization contract.
+
+    These ARE the served tables (the report registry and REST surface
+    read the re-registered views), so publishes default to the
+    reader-atomic versioned path — a report query racing a scheduler
+    tick's re-materialization resolves one complete committed snapshot
+    instead of a mid-overwrite directory (a bare ``overwrite`` deletes
+    the directory before rewriting it — both a truncation window and a
+    reader window). ``versioned=False`` keeps each table directly
+    ``spark.read.parquet``-able.
     """
     import os
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import _publish
 
     paths: dict[str, str] = {}
     for name, df in ctx.tables.items():
         path = os.path.join(target_dir, name)
-        df.write.mode("overwrite").parquet(path)
-        stored = spark.read.parquet(path)
+        stored = _publish(spark, df, path, versioned)
         stored.createOrReplaceTempView(name)
         # repoint the context too: later steps that reach a table through
         # ctx.tables must read the materialized files, not re-execute the

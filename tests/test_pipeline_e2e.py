@@ -39,8 +39,14 @@ def test_full_etl_and_report_cycle(spark, sf_dir, tmp_path):
     assert df2.count() > 0
     assert df2.columns == ["user_id", "latest_purchase_value", "segment"]
 
-    # fact table sanity: one row per person with orders, totals positive
-    fact = spark.read.parquet(paths["mamba_fact_order_totals"])
+    # fact table sanity: one row per person with orders, totals positive.
+    # The store publishes through the versioned log (reader-atomic), so
+    # on-disk reads resolve a committed snapshot, not a raw directory.
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    fact = VersionedParquetTable(paths["mamba_fact_order_totals"]).read(spark)
     assert fact.count() == fact.select("person_id").distinct().count()
 
 
