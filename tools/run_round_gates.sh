@@ -71,21 +71,24 @@ wait "$A" "$B"
 sleep 45
 run bench timeout 560 python bench.py
 
-# Canary-gate the bench leg (round-8 verdict task 4): a run whose start
-# canary exceeds 0.2 is the BUSY arm of every watch band — numerically
-# valid, but not evidence for the round ledger. Downgrade its status to
-# "busy-arm (informational)" so the battery's exit-0 can't launder a
-# busy-arm number into the round's bench proof; the idle-protocol re-run
-# (BENCHNOTES discipline) remains the citable measurement.
+# Canary-gate the bench leg (round-8 verdict task 4): a busy-arm run is
+# numerically valid but not evidence for the round ledger. Downgrade its
+# status to "busy-arm (informational)" so the battery's exit-0 can't
+# launder a busy-arm number into the round's bench proof. Thresholds
+# come from the measured arm clusters across r6-r9 runs: START canary
+# (taken right after JVM warm-up) reads 0.306-0.326 on every recorded
+# idle-protocol run and 0.378-0.527 on every busy one, so the cut is
+# 0.35; END canary reads ≤0.148 idle vs ~0.19+ busy, cut 0.2 (this is
+# the "canary ≤ 0.2" the BENCHNOTES watch-band preconditions refer to).
 if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
     # the JSON line can carry Spark stage-progress junk before the first
     # '{' (same tty line) — slice from there before parsing
-    canary=$(grep -h '"metric"' "$LOGDIR/bench.log" | tail -1 \
-        | python -c 'import json,sys; s=sys.stdin.read(); print(json.loads(s[s.find("{"):])["load_canary_start"])' \
+    arms=$(grep -h '"metric"' "$LOGDIR/bench.log" | tail -1 \
+        | python -c 'import json,sys; s=sys.stdin.read(); d=json.loads(s[s.find("{"):]); print(d["load_canary_start"], d["load_canary_end"])' \
         2>/dev/null || echo "")
-    if [ -n "$canary" ] && python -c "import sys; sys.exit(0 if float('$canary') > 0.2 else 1)"; then
+    if [ -n "$arms" ] && python -c "import sys; s,e=map(float,'$arms'.split()); sys.exit(0 if s > 0.35 or e > 0.2 else 1)"; then
         secs=$(awk '{print $2}' "$LOGDIR/bench.status")
-        echo "busy-arm (informational, canary_start=$canary) $secs" > "$LOGDIR/bench.status"
+        echo "busy-arm (informational, canaries=${arms// //}) $secs" > "$LOGDIR/bench.status"
     fi
 fi
 
