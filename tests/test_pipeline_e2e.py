@@ -75,3 +75,75 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         F.countDistinct("o_custkey")
     ).first()[0]
     assert abs(approx - exact) / exact < 0.1  # HLL default rsd ≈ 5%
+
+
+def test_materialize_is_reader_atomic_across_ticks(spark, sf_dir, tmp_path):
+    # a report query racing a scheduler tick's re-materialization must
+    # always resolve one complete committed snapshot of the served table
+    # (round-9: materialize publishes through the versioned log)
+    import threading
+
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    store = str(tmp_path / "served")
+    ctx = run_clinical_pipeline(spark, sf_dir)
+    paths = materialize(spark, ctx, store)
+    fact_path = paths["mamba_fact_order_totals"]
+    expected = VersionedParquetTable(fact_path).read(spark).count()
+    assert expected > 0
+
+    errors: list[BaseException] = []
+    bad: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        vt = VersionedParquetTable(fact_path)
+        while not stop.is_set():
+            try:
+                n = vt.read(spark).count()
+            except BaseException as e:  # noqa: BLE001 — test records all
+                errors.append(e)
+                return
+            if n != expected:  # every tick rebuilds the same fact table
+                bad.append(n)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(3):  # scheduler ticks re-serving the store
+            ctx2 = run_clinical_pipeline(spark, sf_dir)
+            materialize(spark, ctx2, store)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert errors == []
+    assert bad == []
+
+
+def test_stress_harness_measures_before_invariants():
+    # round-9 finding pinned structurally: the brute-force invariant
+    # sweep degrades the shared JVM enough to inflate later big-shuffle
+    # measurements ~3x (SCALE_STRESS.md round-9 section), so main() must
+    # run the measurement loop BEFORE check_invariants — this guard keeps
+    # a well-meaning "validate first" refactor from re-poisoning the
+    # numbers silently
+    import ast
+    import inspect
+
+    from tools import scale_stress
+
+    main_src = ast.parse(inspect.getsource(scale_stress.main))
+    fn = main_src.body[0]
+    measure_line = invariant_line = None
+    for node in ast.walk(fn):
+        if isinstance(node, ast.For) and isinstance(node.target, ast.Name) \
+                and node.target.id == "entry":
+            measure_line = node.lineno
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id == "check_invariants":
+            invariant_line = node.lineno
+    assert measure_line is not None and invariant_line is not None
+    assert measure_line < invariant_line
