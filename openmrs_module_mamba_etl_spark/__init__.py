@@ -29,6 +29,7 @@ _LAZY = {
     "profile_table": "openmrs_module_mamba_etl_spark.operators.profile",
     "merge_upsert": "openmrs_module_mamba_etl_spark.operators.incremental",
     "compact_parquet": "openmrs_module_mamba_etl_spark.operators.incremental",
+    "read_published": "openmrs_module_mamba_etl_spark.operators.incremental",
     "ReportRegistry": "openmrs_module_mamba_etl_spark.plans.reports",
     "hash_split": "openmrs_module_mamba_etl_spark.llm.sampling",
     "stratified_sample": "openmrs_module_mamba_etl_spark.llm.sampling",

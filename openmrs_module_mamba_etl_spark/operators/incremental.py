@@ -66,12 +66,37 @@ def _versioned_table(target_path: str | os.PathLike):
     return VersionedParquetTable(target_path)
 
 
+def read_published(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a published target regardless of its publish layout.
+
+    The one call report/reader code needs: resolves the versioned log's
+    latest committed snapshot when the target was published
+    reader-atomically (the default), or the plain parquet files when it
+    was published with ``versioned=False``. Raises ``FileNotFoundError``
+    when nothing has been published yet."""
+    base = _read_base(spark, target_path)
+    if base is None:
+        raise FileNotFoundError(
+            f"no published table at {target_path} (no committed version, "
+            "no plain parquet files)"
+        )
+    return base
+
+
 def _read_base(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Current committed snapshot of ``target_path``, or None when no
     target exists yet. Layout-driven regardless of the publish mode: a
     versioned log under the path always wins; a plain-parquet legacy
     layout is still readable as the base (it migrates into the log on
-    this tick's versioned publish)."""
+    this tick's versioned publish).
+
+    A pre-existing PARTITIONED legacy table (``key=value`` directories,
+    no top-level part files) is NOT auto-detected: it reads as a first
+    run, so the next tick rebuilds the full snapshot into the log from
+    the source (no data loss — a first-run tick is a complete build) and
+    the old partition directories remain as unreferenced files until
+    removed. Migrating a partitioned layout means reading it explicitly
+    and publishing once via the log."""
     vt = _versioned_table(target_path)
     if vt.latest_version() is not None:
         return vt.read(spark)

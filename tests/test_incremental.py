@@ -294,3 +294,24 @@ def test_versioned_publish_is_reader_atomic(spark, tmp_path):
     assert not t.is_alive()
     assert errors == []
     assert bad_snapshots == []
+
+
+def test_read_published_resolves_either_layout(spark, tmp_path):
+    import pytest
+
+    from openmrs_module_mamba_etl_spark import read_published
+
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, str(tmp_path / "nothing"))
+
+    store = WatermarkStore(tmp_path / "wm_rp.json")
+    src = spark.createDataFrame([(1, "a", 10)], "id long, v string, audit long")
+    vt_target = str(tmp_path / "vt_rp")
+    incremental_refresh_parquet(spark, src, vt_target, ["id"], "audit", store, "v")
+    assert read_published(spark, vt_target).count() == 1
+
+    plain_target = str(tmp_path / "plain_rp")
+    incremental_refresh_parquet(
+        spark, src, plain_target, ["id"], "audit", store, "p", versioned=False
+    )
+    assert read_published(spark, plain_target).count() == 1
