@@ -378,14 +378,13 @@ def compact_parquet(
     vt = _versioned_table(path)
     if vt.latest_version() is not None:
         df = vt.read(spark)
-        live_dirs = {
-            d
-            for v in vt.versions()
-            for d in vt._manifest(v)["dirs"]
-        }
+        # size the rewrite from the LATEST snapshot's directories only —
+        # older retained versions' files are not part of what gets
+        # compacted and would inflate the target file count
+        head_dirs = vt._manifest(vt.latest_version())["dirs"]
         data_files = [
             f
-            for d in live_dirs
+            for d in head_dirs
             for f in (Path(path) / "files" / d).rglob("*.parquet")
             if f.is_file()
         ]

@@ -315,3 +315,30 @@ def test_read_published_resolves_either_layout(spark, tmp_path):
         spark, src, plain_target, ["id"], "audit", store, "p", versioned=False
     )
     assert read_published(spark, plain_target).count() == 1
+
+
+def test_compact_parquet_versioned_target(spark, tmp_path):
+    # a versioned publish target accumulates one data dir per append;
+    # compaction auto-detects the log and commits the rewrite as a new
+    # version (readers keep snapshot isolation), sized from the LATEST
+    # snapshot only
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        compact_parquet,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    target = str(tmp_path / "vtc")
+    vt = VersionedParquetTable(target)
+    for i in range(5):
+        vt.write(spark.range(i * 10, (i + 1) * 10).coalesce(2), mode="append")
+    assert len(vt._manifest(vt.latest_version())["dirs"]) == 5
+
+    n = compact_parquet(spark, target, target_file_mb=128, sort_cols=["id"])
+    assert n == 1  # 50 tiny rows ≪ 128 MB ⇒ one file
+
+    vt2 = VersionedParquetTable(target)
+    assert len(vt2._manifest(vt2.latest_version())["dirs"]) == 1
+    got = sorted(r["id"] for r in vt2.read(spark).collect())
+    assert got == list(range(50))
