@@ -196,7 +196,14 @@ class WatermarkStore:
         state = self._load()
         state[table] = watermark
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.path.write_text(json.dumps(state, indent=2, sort_keys=True))
+        # atomic replace: a crash mid-write must never leave a torn JSON
+        # file — a corrupt store would fail EVERY subsequent tick at
+        # _load, whereas the crash-window semantics of losing one set()
+        # are benign (the publish already landed; the next tick simply
+        # reprocesses the same updates through the idempotent upsert)
+        tmp = self.path.with_name(self.path.name + f".tmp-{os.getpid()}")
+        tmp.write_text(json.dumps(state, indent=2, sort_keys=True))
+        os.replace(tmp, self.path)
 
 
 def changed_since(

@@ -342,3 +342,32 @@ def test_compact_parquet_versioned_target(spark, tmp_path):
     assert len(vt2._manifest(vt2.latest_version())["dirs"]) == 1
     got = sorted(r["id"] for r in vt2.read(spark).collect())
     assert got == list(range(50))
+
+
+def test_watermark_store_write_is_atomic(tmp_path, monkeypatch):
+    # a crash mid-set must never leave a torn JSON store (which would
+    # fail every later tick at load time): the write lands in a tmp file
+    # and promotes via os.replace, so interrupting the serialization
+    # leaves the previous store intact
+    import os as _os
+
+    store = WatermarkStore(tmp_path / "wm.json")
+    store.set("t", "100")
+
+    real_write_text = type(store.path).write_text
+
+    def crashing_write_text(self, *a, **k):
+        if self.name.startswith("wm.json.tmp-"):
+            real_write_text(self, "{torn", **k)  # simulate a partial write
+            raise OSError("crash mid-write")
+        return real_write_text(self, *a, **k)
+
+    monkeypatch.setattr(type(store.path), "write_text", crashing_write_text)
+    try:
+        store.set("t", "200")
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert store.get("t") == "100"  # previous store intact, not torn
+    # tmp debris doesn't shadow the store
+    assert _os.path.exists(store.path)
