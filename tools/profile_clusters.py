@@ -4,7 +4,10 @@ Splits the query's wall into: pair generation (token-Jaccard posting-list
 join), edge symmetrization + checkpoint, and the min-label propagation loop
 (per-round wall). Prints one JSON line per repetition.
 
-Usage: python tools/profile_clusters.py [n_reps]
+Usage: python tools/profile_clusters.py [n_reps] [sf_dir]
+(sf_dir defaults to sf0.1; pass a scale_stress-built directory to
+profile the 8× corpus — the same positional-arg convention as
+determinism_sweep.py)
 """
 
 from __future__ import annotations
@@ -22,7 +25,10 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
+    global SF_DIR
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if len(sys.argv) > 2:
+        SF_DIR = sys.argv[2]
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
