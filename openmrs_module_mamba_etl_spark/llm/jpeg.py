@@ -212,6 +212,17 @@ class _MarkerReached(Exception):
     pass
 
 
+class UnsupportedCodingProcess(ValueError):
+    """T.81 coding process this pure-python codec does not implement
+    (lossless SOF3, arithmetic SOF9+, differential/hierarchical): a
+    capability gap of THIS decoder, not a data error. Callers with an
+    optional-backend adapter slot (``llm/multimodal._decode_rgb``) catch
+    this TYPE to route to their declared seam — a dedicated subclass so a
+    rewording of the message can never silently downgrade the seam back
+    to a bare data error (round-9 ADVICE item 5). Still a ``ValueError``:
+    callers that only distinguish decodable-vs-not keep working."""
+
+
 # --- encoder -------------------------------------------------------------
 
 
@@ -843,7 +854,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     dtype=np.int64,
                 )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
+            raise UnsupportedCodingProcess(
                 f"unsupported JPEG coding process (SOF{marker & 0x0F})"
             )
         elif marker == 0xDD:  # DRI

@@ -107,16 +107,33 @@ def _fake_decode(content: bytes, n_features: int) -> tuple[int, int, list[float]
     return width, height, feats
 
 
+def _pure_codec_covers(content: bytes) -> bool:
+    """True when a pure-python codec in this package claims the container
+    (PNG/GIF/JPEG magic) — for those formats the pure codec, not PIL, is
+    the arbiter of data-error vs missing-capability."""
+    from openmrs_module_mamba_etl_spark.llm import gif as gifc
+    from openmrs_module_mamba_etl_spark.llm import jpeg as jpegc
+    from openmrs_module_mamba_etl_spark.llm import png as pngc
+
+    return (
+        pngc.is_png(content) or gifc.is_gif(content) or jpegc.is_jpeg(content)
+    )
+
+
 def _pil_still_rgb(content: bytes) -> tuple[int, int, bytes] | None:
     """Optional-PIL still-image adapter (the ``_pil_frames`` contract
     applied to single images): (width, height, raw RGB), or None when the
-    payload stays uncovered by THIS build — PIL absent, PIL unable to
-    identify the container, or PIL identifying it but its libjpeg build
-    lacking the coding process (lossless/arithmetic JPEG on stock
-    Pillow). Unlike ``_pil_frames``, decode errors do NOT propagate from
-    here: the pure-python codecs downstream are the arbiter of
-    data-error (their ValueError) vs missing-capability (the declared
-    NotImplementedError seam), so a PIL failure simply falls through."""
+    payload stays uncovered by THIS build. Falling through (None) is
+    reserved for MISSING CAPABILITY: PIL absent, PIL unable to identify
+    the container (``UnidentifiedImageError``), an identified container
+    whose decoder this build lacks (a missing-decoder/unsupported
+    OSError — e.g. lossless JPEG on a stock libjpeg), or any failure on
+    a container the pure-python codecs cover (they are the arbiter of
+    data-error vs capability seam for their own formats). A decode
+    failure on a PIL-identified container with NO pure-python fallback
+    (a corrupt/truncated WebP/BMP/TIFF payload) propagates as the data
+    error it is — swallowing it would misreport corruption as a missing
+    backend with a factually wrong message (round-9 ADVICE item 1)."""
     try:
         import io
 
@@ -124,12 +141,26 @@ def _pil_still_rgb(content: bytes) -> tuple[int, int, bytes] | None:
     except ImportError:
         return None
     try:
+        from PIL import UnidentifiedImageError  # type: ignore
+    except ImportError:  # pre-7.0 Pillow: identification errors are OSError
+        class UnidentifiedImageError(OSError):  # type: ignore
+            pass
+    try:
         with Image.open(io.BytesIO(content)) as im:
             rgb = im.convert("RGB")
             width, height = rgb.size
             return width, height, rgb.tobytes()
-    except Exception:
-        return None
+    except UnidentifiedImageError:
+        return None  # container unknown to THIS PIL build
+    except Exception as e:
+        if _pure_codec_covers(content):
+            return None  # PNG/GIF/JPEG: the pure codec downstream decides
+        msg = str(e).lower()
+        if isinstance(e, OSError) and (
+            ("decoder" in msg and "not" in msg) or "unsupported" in msg
+        ):
+            return None  # identified, but this build lacks the decoder
+        raise  # data error on a PIL-only container: propagate
 
 
 def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
@@ -158,16 +189,16 @@ def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
     if jpegc.is_jpeg(content):
         try:
             return jpegc.decode_jpeg(content)
-        except ValueError as e:
-            if "unsupported JPEG coding process" in str(e):
-                raise NotImplementedError(
-                    "lossless/arithmetic-coded JPEG (T.81 SOF3/SOF9+) "
-                    "needs a PIL whose libjpeg build carries those "
-                    "processes (the adapter slot tries PIL first when "
-                    "importable); the pure-python codec covers baseline "
-                    "+ progressive only"
-                ) from e
-            raise
+        except jpegc.UnsupportedCodingProcess as e:
+            # typed capability signal from the pure codec (not a message
+            # match, which a rewording would silently break — r9 ADVICE 5)
+            raise NotImplementedError(
+                "lossless/arithmetic-coded JPEG (T.81 SOF3/SOF9+) "
+                "needs a PIL whose libjpeg build carries those "
+                "processes (the adapter slot tries PIL first when "
+                "importable); the pure-python codec covers baseline "
+                "+ progressive only"
+            ) from e
     raise NotImplementedError(
         "real decoding of non-PNG/GIF/JPEG media requires PIL/cv2, not "
         "available in this environment (PNG, GIF and baseline/progressive "

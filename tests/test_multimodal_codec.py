@@ -1166,6 +1166,92 @@ def test_lossless_jpeg_decodes_through_capable_pil_slot(monkeypatch):
         _decode_rgb(_sof3_jpeg())
 
 
+def _stub_pil(monkeypatch, open_fn):
+    """Install a minimal stub PIL whose Image.open is ``open_fn``."""
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = open_fn
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    return pil
+
+
+def test_pil_data_error_on_pil_only_format_propagates(monkeypatch):
+    """round-9 ADVICE item 1: with PIL installed, a CORRUPT payload of a
+    PIL-only container (WebP/BMP/TIFF — no pure-python fallback) must
+    surface PIL's data error, not fall through to the capability seam's
+    factually-wrong 'requires PIL, not available' message."""
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    def _truncated_open(buf):
+        raise OSError("image file is truncated (5 bytes not processed)")
+
+    _stub_pil(monkeypatch, _truncated_open)
+    webp_ish = b"RIFF\x10\x00\x00\x00WEBPVP8 garbage"
+    with pytest.raises(OSError, match="truncated"):
+        _decode_rgb(webp_ish)
+
+
+def test_pil_unidentified_still_falls_to_declared_seam(monkeypatch):
+    """With PIL installed but unable to IDENTIFY the container
+    (UnidentifiedImageError — a capability statement, not a data error),
+    an unknown format still reaches the declared NotImplementedError
+    seam exactly as in the PIL-less container."""
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    class _Unidentified(OSError):
+        pass
+
+    def _cannot_identify(buf):
+        raise _Unidentified("cannot identify image file")
+
+    pil = _stub_pil(monkeypatch, _cannot_identify)
+    pil.UnidentifiedImageError = _Unidentified
+    with pytest.raises(NotImplementedError, match="requires PIL/cv2"):
+        _decode_rgb(b"\x00\x00\x00 ftypisom not an image")
+
+
+def test_pil_data_error_on_pure_codec_format_defers_to_pure_codec(
+    monkeypatch,
+):
+    """A PIL failure on a container the pure codecs cover (here: PNG) is
+    NOT a final verdict — the pure codec decodes it (PIL merely loses its
+    first-slot priority), keeping the arbiter contract."""
+    from openmrs_module_mamba_etl_spark.llm import png as pngc
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _decode_rgb
+
+    def _broken_open(buf):
+        raise OSError("broken data stream when reading image file")
+
+    _stub_pil(monkeypatch, _broken_open)
+    rgb = bytes([10, 20, 30] * 4)
+    w, h, raw = _decode_rgb(pngc.encode_png(2, 2, rgb))
+    assert (w, h, raw) == (2, 2, rgb)
+
+
+def test_unsupported_coding_process_is_typed_not_message_matched(
+    monkeypatch,
+):
+    """round-9 ADVICE item 5: the lossless/arithmetic seam keys on the
+    UnsupportedCodingProcess TYPE — a reworded message must not downgrade
+    it back to a bare data error."""
+    from openmrs_module_mamba_etl_spark.llm import jpeg as jpegc
+    from openmrs_module_mamba_etl_spark.llm import multimodal as mm
+
+    assert issubclass(jpegc.UnsupportedCodingProcess, ValueError)
+
+    def _reworded(content):
+        raise jpegc.UnsupportedCodingProcess("completely reworded text")
+
+    monkeypatch.setattr(jpegc, "decode_jpeg", _reworded)
+    with pytest.raises(NotImplementedError, match="lossless/arithmetic"):
+        mm._decode_rgb(_sof3_jpeg())
+
+
 def test_adapters_only_reachable_inside_mapinpandas_batches():
     """Structural pin (round-8 verdict task 8): every decode adapter
     (_pil_frames, _av_frames, _pil_still_rgb, the soundfile import) is
