@@ -81,9 +81,17 @@ def _live_root_owner_alive(marker: Path) -> bool:
     long-lived shared root would otherwise keep the root protected
     forever once any dead owner's pid is RECYCLED by an unrelated
     process — os.kill(pid, 0) alone cannot tell a recycled pid from a
-    live suite (round-8 ADVICE item 1)."""
+    live suite (round-8 ADVICE item 1).
+
+    Reads take a SHARED flock so they serialize against the in-place
+    compaction in ``_marker_add_pid`` — an unlocked read could catch a
+    mid-truncate state whose torn pid line probes as dead."""
+    import fcntl
+
     try:
-        tokens = marker.read_text().split()
+        with open(marker, encoding="utf-8") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+            tokens = fh.read().split()
     except OSError:
         return False  # no marker: not an external root
     if not tokens:
@@ -118,20 +126,16 @@ def _marker_add_pid(marker: Path, pid: int) -> None:
 
     Growth bound: before appending, lines whose pid is provably dead
     (ProcessLookupError, or kill-able but not a Python/JVM process — the
-    recycled-pid case) are compacted away via one atomic rewrite-aside.
-    Without it a long-lived shared root accumulates dead-pid lines
-    forever (round-8 ADVICE item 1). The rewrite races a concurrent
-    appender whose line lands between our read and our os.replace — the
-    benign race the append-only design already tolerates: the loser
-    re-resolves its root next process start, and the age sweep still
-    protects any root younger than its idle threshold."""
-    tokens: list[str] = []
-    try:
-        tokens = marker.read_text().split()
-        if str(pid) in tokens:
-            return
-    except OSError:
-        pass
+    recycled-pid case) are compacted away. Appends AND the compaction run
+    under an exclusive ``fcntl.flock`` on the marker itself (round-9
+    ADVICE item 2): the earlier rewrite-aside + ``os.replace`` compaction
+    re-opened the last-writer-wins window the O_APPEND design exists to
+    close — a concurrent owner's line landing between the read and the
+    replace was dropped, and that LIVE process lost root protection for
+    its whole lifetime. The compaction is an in-place truncate+rewrite of
+    the locked inode (never a replace — flock is per-inode, so swapping
+    the file under a blocked locker would hand it a stale inode)."""
+    import fcntl
 
     def _line_alive(tok: str) -> bool:
         try:
@@ -146,14 +150,22 @@ def _marker_add_pid(marker: Path, pid: int) -> None:
             return True
         return _pid_runs_python(other)
 
-    alive = [t for t in tokens if _line_alive(t)]
-    if len(alive) != len(tokens):
-        tmp = marker.with_name(marker.name + f".tmp-{pid}")
-        tmp.write_text("".join(f"{t}\n" for t in [*alive, str(pid)]))
-        os.replace(tmp, marker)
-        return
-    with open(marker, "a") as fh:
-        fh.write(f"{pid}\n")
+    with open(marker, "a+") as fh:
+        fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        fh.seek(0)
+        tokens = fh.read().split()
+        if str(pid) in tokens:
+            return
+        alive = [t for t in tokens if _line_alive(t)]
+        if len(alive) != len(tokens):
+            fh.seek(0)
+            fh.truncate()
+        # "a" mode: every write lands at current EOF (0 after a truncate)
+        fh.write(
+            "".join(f"{t}\n" for t in [*alive, str(pid)])
+            if len(alive) != len(tokens)
+            else f"{pid}\n"
+        )
 
 
 def _pid_runs_python(pid: int) -> bool:

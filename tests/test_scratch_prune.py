@@ -198,3 +198,59 @@ def test_marker_append_compacts_dead_and_recycled_pids(tmp_path):
     finally:
         os.kill(recycled, signal.SIGKILL)
         os.waitpid(recycled, 0)
+
+def test_marker_compaction_cannot_drop_concurrent_appender(tmp_path):
+    # round-9 ADVICE item 2: the dead-line compaction used to be a
+    # read → rewrite-aside → os.replace, so a concurrent owner's append
+    # landing between the read and the replace was dropped and that LIVE
+    # process lost root protection for its whole lifetime. Appends and
+    # compaction now serialize under an exclusive flock on the marker
+    # inode (in-place truncate+rewrite, never a replace): N concurrent
+    # adders — each also triggering the compaction path via a pre-seeded
+    # dead line — must ALL survive in the final marker.
+    import signal
+    import threading
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _marker_add_pid,
+    )
+
+    marker = tmp_path / ".mamba_live_root"
+    sleepers = [
+        os.spawnlp(
+            os.P_NOWAIT,
+            "python3", "python3", "-c", "import time; time.sleep(120)",
+        )
+        for _ in range(8)
+    ]
+    dead = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead, 0)
+    try:
+        # every adder sees at least one provably-dead line, so every call
+        # takes the compaction (truncate+rewrite) branch, not the append
+        marker.write_text(f"{dead}\n")
+
+        errs: list[BaseException] = []
+
+        def add(pid: int) -> None:
+            try:
+                _marker_add_pid(marker, pid)
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=add, args=(pid,)) for pid in sleepers
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        final = marker.read_text().split()
+        # no live owner dropped, the dead seed compacted away, no dups
+        assert sorted(final) == sorted(str(p) for p in set(sleepers))
+        assert str(dead) not in final
+    finally:
+        for pid in sleepers:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
