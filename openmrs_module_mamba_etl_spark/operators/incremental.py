@@ -111,7 +111,8 @@ def _read_base(spark: SparkSession, target_path: str) -> DataFrame | None:
 
 def _plain_part_files(target_path: str | os.PathLike) -> list[Path]:
     """Top-level legacy parquet part files under a target (the pre-log
-    layout); the log's own data lives under ``files/`` and is excluded."""
+    layout); the log's own data lives under ``_files/`` (or the
+    pre-round-10 ``files/``) and is excluded."""
     p = Path(target_path)
     if not p.is_dir():
         return []
@@ -392,12 +393,23 @@ def compact_parquet(
         data_files = [
             f
             for d in head_dirs
-            for f in (Path(path) / "files" / d).rglob("*.parquet")
+            for f in vt.data_dir(d).rglob("*.parquet")
             if f.is_file()
         ]
     else:
-        df = spark.read.parquet(path)
-        data_files = [f for f in Path(path).rglob("*.parquet") if f.is_file()]
+        # explicit top-level file list, not the recursive directory read:
+        # a crashed first versioned commit leaves a manifest-less staging
+        # dir next to the legacy part files, and a recursive read/size
+        # would count its data — the exact hazard _read_base avoids the
+        # same way (round-9 ADVICE item 4)
+        plain = _plain_part_files(path)
+        if not plain:
+            raise FileNotFoundError(
+                f"no committed version and no plain parquet part files "
+                f"under {path}; nothing to compact"
+            )
+        df = spark.read.parquet(*[str(f) for f in plain])
+        data_files = plain
     total_bytes = sum(f.stat().st_size for f in data_files)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
@@ -413,7 +425,7 @@ def compact_parquet(
             [
                 f
                 for d in m["dirs"]
-                for f in (Path(path) / "files" / d).rglob("*.parquet")
+                for f in vt.data_dir(d).rglob("*.parquet")
                 if f.is_file()
             ]
         )

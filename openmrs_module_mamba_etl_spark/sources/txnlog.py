@@ -3,9 +3,17 @@ atomic commits, snapshot isolation, time travel, and optimistic
 concurrency. The same manifest-log design the lakehouse formats
 (Delta/Iceberg) build on, reduced to what the engine's sinks need:
 
-- a table is ``path/files/v<k>/*.parquet`` data directories plus a
+- a table is ``path/_files/v<k>/*.parquet`` data directories plus a
   ``path/_txn/<k>.json`` manifest per version listing exactly the data
-  directories that version comprises;
+  directories that version comprises (underscore-prefixed on purpose:
+  Spark's default file index ignores ``_*`` paths, so a naive
+  ``spark.read.parquet(path)`` of a versioned table fails loudly with
+  "unable to infer schema" instead of silently recursing into every
+  retained version and returning duplicated snapshots — round-9 ADVICE
+  item 3; :func:`operators.incremental.read_published` is the documented
+  entry point). Tables written by earlier revisions under ``path/files/``
+  stay readable: manifests record bare directory names, and reads resolve
+  each name against the new root first, then the legacy one;
 - readers resolve ONE manifest and read only its directories — a writer
   can never make a reader see a half-committed state, because the
   manifest appears atomically (``os.rename``, POSIX-atomic within a
@@ -39,7 +47,22 @@ class VersionedParquetTable:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
         self._txn = self.path / "_txn"
-        self._files = self.path / "files"
+        self._files = self.path / "_files"
+        self._legacy_files = self.path / "files"  # pre-round-10 layout
+
+    def data_dir(self, d: str) -> Path:
+        """Absolute path of manifest data directory ``d``: the current
+        ``_files/`` root, falling back to the legacy ``files/`` root for
+        directories committed by earlier revisions (manifests store bare
+        names, so mixed-root tables read seamlessly). Directories that do
+        not exist yet always resolve to the current root."""
+        cur = self._files / d
+        if cur.exists():
+            return cur
+        legacy = self._legacy_files / d
+        if legacy.exists():
+            return legacy
+        return cur
 
     # ---- log inspection -------------------------------------------------
 
@@ -197,7 +220,7 @@ class VersionedParquetTable:
             return spark.createDataFrame(
                 [], StructType.fromJson(m["schema"])
             )
-        return spark.read.parquet(*[str(self._files / d) for d in dirs])
+        return spark.read.parquet(*[str(self.data_dir(d)) for d in dirs])
 
     # ---- exactly-once streaming sink ------------------------------------
 
@@ -281,7 +304,7 @@ class VersionedParquetTable:
             df = self.read(spark, v).where(F.lit(False))
             return df, 0, len(m["dirs"])
         df = spark.read.parquet(
-            *[str(self._files / d) for d in keep]
+            *[str(self.data_dir(d)) for d in keep]
         ).where(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df, len(keep), len(m["dirs"])
 
@@ -343,7 +366,7 @@ class VersionedParquetTable:
             # caller never asked to forget — and NULL-only dirs are always
             # "touched" (stats bounds are None), guaranteeing the loss.
             kept = spark.read.parquet(
-                *[str(self._files / d) for d in touched]
+                *[str(self.data_dir(d)) for d in touched]
             ).where(
                 F.col(key_col).isNull() | ~F.col(key_col).isin(*keys)
             )
@@ -417,6 +440,8 @@ class VersionedParquetTable:
             if v not in keep_vs:
                 (self._txn / f"{v:05d}.json").unlink()
         for d in sorted(dropped_refs - referenced):
+            # either root: a dropped version may predate the _files layout
             shutil.rmtree(self._files / d, ignore_errors=True)
+            shutil.rmtree(self._legacy_files / d, ignore_errors=True)
             deleted.append(d)
         return deleted

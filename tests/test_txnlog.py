@@ -153,10 +153,10 @@ def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
     t.write(spark.range(5).toDF("id"), mode="overwrite")
     t.write(spark.range(7).toDF("id"), mode="overwrite")
     # in-flight writer staging for version 3 (head is 2)
-    inflight = t.path / "files" / "v00003-deadbeef"
+    inflight = t.path / "_files" / "v00003-deadbeef"
     spark.range(1).toDF("id").write.parquet(str(inflight))
     # same-slot race loser still mid-write at an already-taken version
-    loser = t.path / "files" / "v00001-feedface"
+    loser = t.path / "_files" / "v00001-feedface"
     spark.range(1).toDF("id").write.parquet(str(loser))
     v0_dirs = {d for d in t._manifest(0)["dirs"]}
     deleted = set(t.vacuum(keep_last=2))
@@ -190,7 +190,7 @@ def test_forget_rewrites_only_touched_dirs(spark, tmp_path):
     t.vacuum(keep_last=1)
     assert t.versions() == [3]
     remaining = {
-        f.name for f in (t.path / "files").iterdir() if f.is_dir()
+        f.name for f in (t.path / "_files").iterdir() if f.is_dir()
     }
     assert remaining == set(dirs_after)
 
@@ -252,3 +252,61 @@ def test_forget_retains_null_key_rows(spark, tmp_path):
         (r["id"], r["payload"]) for r in t.read(spark).collect()
     }
     assert got == {(2, "b"), (None, "n1"), (None, "n2")}
+
+
+def test_naive_directory_read_fails_loudly_not_duplicated(spark, tmp_path):
+    """round-9 ADVICE item 3: version data lives under underscore-prefixed
+    ``_files/`` so Spark's default file index ignores it — an external
+    consumer naively reading the table PATH as parquet gets a loud
+    schema-inference error, never a silent union of every retained
+    version (which duplicated rows with keep_versions >= 2)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(5).toDF("id"), mode="overwrite")
+    t.write(spark.range(5).toDF("id"), mode="overwrite")  # 2 retained
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(str(t.path)).count()
+    # the documented entry point still reads exactly one snapshot
+    assert t.read(spark).count() == 5
+
+
+def test_legacy_files_root_reads_vacuums_and_appends(spark, tmp_path):
+    """A table committed by a pre-round-10 revision (data under
+    ``files/``) must stay fully usable: reads resolve the legacy root,
+    new commits land under ``_files/``, mixed-root versions read
+    seamlessly, and vacuum reclaims dropped dirs from EITHER root."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(3).toDF("id"), stats_cols=["id"])
+    t.write(spark.range(3, 6).toDF("id"), mode="append", stats_cols=["id"])
+    # simulate the old layout: everything under files/, not _files/
+    (t.path / "files").mkdir()
+    for d in (t.path / "_files").iterdir():
+        d.rename(t.path / "files" / d.name)
+    (t.path / "_files").rmdir()
+
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(6))
+    df, read, total = t.read_pruned(spark, "id", 4, 5)
+    assert (read, total) == (1, 2) and df.count() == 2
+
+    # a new append commits into _files/ and unions with legacy dirs
+    t.write(spark.range(6, 8).toDF("id"), mode="append", stats_cols=["id"])
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(8))
+    legacy_dirs = {d.name for d in (t.path / "files").iterdir()}
+    assert any(
+        d.name not in legacy_dirs for d in (t.path / "_files").iterdir()
+    )
+
+    # forget rewrites a touched legacy dir into the new root
+    version, rewritten, total = t.forget(spark, "id", [1])
+    assert rewritten == 1
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(8)) - {1}
+
+    # vacuum to the head only: dropped legacy dirs reclaimed from files/
+    t.vacuum(keep_last=1)
+    head_dirs = set(t._manifest(t.latest_version())["dirs"])
+    on_disk = {d.name for d in (t.path / "files").iterdir()} | {
+        d.name for d in (t.path / "_files").iterdir()
+    }
+    assert on_disk == head_dirs
