@@ -91,22 +91,97 @@ def _read_base(spark: SparkSession, target_path: str) -> DataFrame | None:
     this tick's versioned publish).
 
     A pre-existing PARTITIONED legacy table (``key=value`` directories,
-    no top-level part files) is NOT auto-detected: it reads as a first
-    run, so the next tick rebuilds the full snapshot into the log from
-    the source (no data loss — a first-run tick is a complete build) and
-    the old partition directories remain as unreferenced files until
-    removed. Migrating a partitioned layout means reading it explicitly
-    and publishing once via the log."""
+    no committed log version) cannot be silently treated as a first run —
+    the tick would rebuild the full snapshot from the source (silent full
+    rebuild cost) and leave the old partition directories as orphaned
+    storage (round-9 verdict task 2) — so it REFUSES with a pointed
+    error: run :func:`migrate_partitioned` once, then tick normally."""
     vt = _versioned_table(target_path)
     if vt.latest_version() is not None:
         return vt.read(spark)
+    parts = _partition_dirs(target_path)
+    if parts:
+        raise PartitionedLegacyLayout(
+            f"{target_path} holds a key=value-partitioned plain-parquet "
+            f"layout ({parts[0].name}, ...) with no committed log version. "
+            "Treating it as a first run would silently rebuild the full "
+            "snapshot and orphan the partition directories — run "
+            "migrate_partitioned(spark, target_path) once to publish the "
+            "existing data into the versioned log, then retry."
+        )
     legacy = _plain_part_files(target_path)
     if legacy:
         # explicit file list, not the directory: a crashed first versioned
-        # commit can leave a manifest-less ``files/`` staging dir next to
+        # commit can leave a manifest-less ``_files/`` staging dir next to
         # the legacy part files, and a directory read would recurse into it
         return spark.read.parquet(*[str(f) for f in legacy])
     return None
+
+
+class PartitionedLegacyLayout(RuntimeError):
+    """A pre-log ``key=value``-partitioned target needs a one-call
+    migration (:func:`migrate_partitioned`) before versioned ticks."""
+
+
+def _partition_dirs(target_path: str | os.PathLike) -> list[Path]:
+    """Top-level Hive-style ``key=value`` partition directories of a
+    pre-log layout. The log's own directories (``_txn``, ``_files``, the
+    pre-round-10 ``files``) never contain ``=`` in their names."""
+    p = Path(target_path)
+    if not p.is_dir():
+        return []
+    return sorted(
+        d for d in p.iterdir()
+        if d.is_dir() and "=" in d.name and not d.name.startswith((".", "_"))
+    )
+
+
+def migrate_partitioned(
+    spark: SparkSession, target_path: str, keep_versions: int = 2
+) -> DataFrame:
+    """One-call migration of a pre-log ``key=value``-partitioned plain
+    Parquet target into the versioned log (round-9 verdict task 2).
+
+    Reads the partitioned layout WITH its partition columns (``basePath``
+    + explicit partition-dir list, so a crashed ``_files`` staging dir is
+    never swept in), commits it as version 0 of the log, and removes the
+    old partition directories only AFTER the commit — a crash
+    mid-migration leaves both layouts intact with the log authoritative,
+    exactly like the plain-file migration in :func:`_publish`. The next
+    incremental tick then reads the migrated base and is
+    churn-proportional, not a rebuild.
+
+    Cost: one full read+write of the table, run once. At 100 TB that is
+    a deliberate, visible migration job — the alternative the refusal in
+    :func:`_read_base` prevents was the SAME full rewrite happening
+    silently on every deploy that repointed a tick at a legacy store,
+    plus permanently orphaned partition directories."""
+    import shutil
+
+    vt = _versioned_table(target_path)
+    if vt.latest_version() is not None:
+        raise ValueError(
+            f"{target_path} already has a committed log version "
+            f"({vt.latest_version()}); nothing to migrate"
+        )
+    parts = _partition_dirs(target_path)
+    if not parts:
+        raise FileNotFoundError(
+            f"no key=value partition directories under {target_path}; "
+            "migrate_partitioned only handles the partitioned pre-log "
+            "layout (plain part files migrate automatically on the next "
+            "versioned publish)"
+        )
+    df = (
+        spark.read.option("basePath", str(target_path))
+        .parquet(*[str(d) for d in parts])
+    )
+    vt.write(df, mode="overwrite")
+    vt.vacuum(keep_last=max(1, keep_versions))
+    for d in parts:
+        shutil.rmtree(d, ignore_errors=True)
+    (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
+    return vt.read(spark)
 
 
 def _plain_part_files(target_path: str | os.PathLike) -> list[Path]:

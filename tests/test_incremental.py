@@ -371,3 +371,98 @@ def test_watermark_store_write_is_atomic(tmp_path, monkeypatch):
     assert store.get("t") == "100"  # previous store intact, not torn
     # tmp debris doesn't shadow the store
     assert _os.path.exists(store.path)
+
+
+def test_partitioned_legacy_target_refuses_then_migrates(spark, tmp_path):
+    """round-9 verdict task 2: a pre-log key=value-partitioned target must
+    never silently read as a first run (full rebuild + orphaned partition
+    dirs). The tick refuses with a pointed error; migrate_partitioned
+    publishes the existing data into the log once; the NEXT tick is
+    churn-proportional — proven by a base row the source no longer
+    carries, which a rebuild would drop and the merge must keep."""
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        PartitionedLegacyLayout,
+        migrate_partitioned,
+        read_published,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    target = str(tmp_path / "tgt_part")
+    store = WatermarkStore(tmp_path / "wm_part.json")
+    legacy = spark.createDataFrame(
+        [(1, "a", 100, "x"), (2, "b", 200, "y"), (9, "legacy-only", 150, "x")],
+        "id long, v string, audit long, part string",
+    )
+    legacy.write.partitionBy("part").parquet(target)
+    # simulate the pre-log deployment's watermark state
+    store.set("tp", "200")
+
+    src = spark.createDataFrame(
+        # id=9 no longer in the source; id=2 updated past the watermark
+        [(1, "a", 100, "x"), (2, "B", 300, "y"), (3, "c", 250, "x")],
+        "id long, v string, audit long, part string",
+    )
+
+    # un-migrated: both the tick and the reader refuse, pointing at the fix
+    with pytest.raises(PartitionedLegacyLayout, match="migrate_partitioned"):
+        incremental_refresh_parquet(
+            spark, src, target, ["id"], "audit", store, "tp"
+        )
+    with pytest.raises(PartitionedLegacyLayout):
+        read_published(spark, target)
+
+    migrated = migrate_partitioned(spark, target)
+    assert {tuple(r) for r in migrated.select("id", "v", "audit", "part").collect()} == {
+        (1, "a", 100, "x"),
+        (2, "b", 200, "y"),
+        (9, "legacy-only", 150, "x"),
+    }
+    # old partition dirs removed AFTER the commit; the log is authoritative
+    from pathlib import Path
+
+    assert not [
+        d for d in Path(target).iterdir() if d.is_dir() and "=" in d.name
+    ]
+    assert VersionedParquetTable(target).latest_version() == 0
+
+    out = incremental_refresh_parquet(
+        spark, src, target, ["id"], "audit", store, "tp"
+    )
+    got = {tuple(r) for r in out.select("id", "v", "audit", "part").collect()}
+    # id=9 survives: only a merge of the migrated base can produce it —
+    # a silent rebuild from src would have dropped it
+    assert got == {
+        (1, "a", 100, "x"),
+        (2, "B", 300, "y"),
+        (3, "c", 250, "x"),
+        (9, "legacy-only", 150, "x"),
+    }
+    assert store.get("tp") == "300"
+
+
+def test_migrate_partitioned_guards(spark, tmp_path):
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        migrate_partitioned,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    # already-versioned target: nothing to migrate
+    vt_path = str(tmp_path / "already")
+    VersionedParquetTable(vt_path).write(spark.range(3).toDF("id"))
+    with pytest.raises(ValueError, match="already has a committed"):
+        migrate_partitioned(spark, vt_path)
+
+    # unpartitioned plain layout: migrates automatically on the next
+    # publish, so the helper refuses rather than duplicating that path
+    flat = str(tmp_path / "flat")
+    spark.range(3).toDF("id").write.parquet(flat)
+    with pytest.raises(FileNotFoundError, match="no key=value"):
+        migrate_partitioned(spark, flat)
