@@ -923,3 +923,73 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+@query(
+    "sink_versioned_migrate",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 61 = 0 THEN ROUND(o_totalprice * 2, 2)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def sink_versioned_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-publish lifecycle end-to-end (round-9 verdict task 7): a
+    pre-log ``key=value``-partitioned deployment is migrated into the
+    manifest log with ``migrate_partitioned``, one incremental tick then
+    merges post-migration changes through the default reader-atomic
+    publish, and the final state resolves via ``read_published``. Keys
+    ≡ 0 mod 61 arrive as post-migration updates (audit above the legacy
+    watermark, price doubled); EVERY OTHER row must come from the
+    migrated base — the source re-delivers them below the watermark, so
+    the tick skips them and only a real migration (never a silent
+    rebuild) can produce them. The oracle recomputes the merged end
+    state from the source table."""
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        WatermarkStore,
+        incremental_refresh_parquet,
+        migrate_partitioned,
+        read_published,
+    )
+
+    root = Path(_scratch_dir("sink_versioned_migrate"))
+    target = str(root / "table")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        .withColumn("audit", F.col("o_orderkey"))
+    )
+
+    # the legacy deployment: partitioned plain parquet + a stored watermark
+    legacy = orders.where(F.col("o_orderkey") % 61 != 0)
+    legacy.write.partitionBy("o_orderpriority").parquet(target)
+    store = WatermarkStore(root / "wm.json")
+    store.set(
+        "analysis_orders", legacy.agg(F.max("audit").cast("string")).first()[0]
+    )
+
+    migrate_partitioned(spark, target)
+
+    changed = F.col("o_orderkey") % 61 == 0
+    source = orders.withColumn(
+        "audit",
+        F.when(changed, F.col("audit") + F.lit(10_000_000_000)).otherwise(
+            F.col("audit")
+        ),
+    ).withColumn(
+        "o_totalprice",
+        F.when(changed, F.round(F.col("o_totalprice") * 2, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    incremental_refresh_parquet(
+        spark, source, target, ["o_orderkey"], "audit", store,
+        "analysis_orders",
+    )
+    return read_published(spark, target).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
