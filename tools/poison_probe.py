@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Bounded root-cause probe for the same-session "JVM poisoning" effect
+(round-9 verdict task 3; docs/SCALE_STRESS.md round-9 section).
+
+Measured r9 symptom: after a ~128M-pair brute-force cosine sweep, a
+big-shuffle query (dedup_token_jaccard at 8×) in the SAME local-mode
+session reads ~3× slower — 17 s clean vs 44–47 s post-sweep — and
+``spark.catalog.clearCache()`` does not undo it.
+
+Protocol (one session, one JSON line per step):
+
+1. build the 8× stress corpus (same builder as tools/scale_stress.py);
+2. measure token-jaccard 8× clean (min-of-2, clearCache between reps —
+   the harness protocol);
+3. run the poisoner: the brute-force cosine invariant sweep;
+4. re-measure (the poisoned number);
+5. apply mitigations cumulatively, re-measuring after each:
+   a. clearCache + unpersist every persistent RDD (blocking) — the
+      localCheckpoint-debris hypothesis;
+   b. driver-triggered ``System.gc()`` ×2 — the ContextCleaner
+      hypothesis: Spark cleans shuffle files/broadcast state only when
+      the owning JVM objects are garbage-collected (weak-ref queue), so
+      a heap that never GCs old-gen keeps every dead shuffle registered;
+      ``spark.cleaner.periodicGC.interval`` (default 30min) exists
+      precisely to force this on long-lived sessions.
+
+Diagnostics captured at every step: JVM heap used, persistent-RDD
+count, block-manager memory used, and on-disk shuffle/block file
+count+bytes under this session's blockmgr dirs.
+
+Run: ``python tools/poison_probe.py [K]`` (default 8). ~10 min at K=8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def _block_dirs(spark) -> list[Path]:
+    """This session's block-manager local dirs (shuffle + block files)."""
+    try:
+        dbm = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+        )
+        dirs = dbm.localDirs()
+        return [Path(str(dirs[i])) for i in range(len(dirs))]
+    except Exception:
+        return []
+
+
+def diag(spark) -> dict:
+    out: dict = {}
+    jvm = spark.sparkContext._jvm
+    try:
+        rt = jvm.java.lang.Runtime.getRuntime()
+        out["heap_used_mb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 1e6
+        )
+    except Exception:
+        out["heap_used_mb"] = None
+    try:
+        out["persistent_rdds"] = (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        )
+    except Exception:
+        out["persistent_rdds"] = None
+    try:
+        mem = jvm.org.apache.spark.SparkEnv.get().blockManager().memoryStore()
+        out["memstore_mb"] = round(mem.memoryUsed() / 1e6)
+    except Exception:
+        out["memstore_mb"] = None
+    files = 0
+    size = 0
+    for d in _block_dirs(spark):
+        for f in d.rglob("*"):
+            if f.is_file():
+                files += 1
+                try:
+                    size += f.stat().st_size
+                except OSError:
+                    pass
+    out["block_files"] = files
+    out["block_mb"] = round(size / 1e6)
+    return out
+
+
+def measure(spark, fn, stress_dir: str, reps: int = 2) -> float:
+    """The scale_stress measurement protocol: min-of-N, clearCache first."""
+    best = float("inf")
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        fn(spark, stress_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 2)
+
+
+def unpersist_all(spark) -> int:
+    """Blocking-unpersist every persistent RDD (incl. localCheckpoints)."""
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.iterator()
+        rdds = []
+        while it.hasNext():
+            rdds.append(it.next()._2())
+        for r in rdds:
+            r.unpersist(True)
+            n += 1
+    except Exception as exc:
+        print(json.dumps({"unpersist_error": str(exc)[:120]}), flush=True)
+    return n
+
+
+def main() -> int:
+    from openmrs_module_mamba_etl_spark import registry
+    from openmrs_module_mamba_etl_spark.llm.dedup import embedding_cosine_pairs
+    from openmrs_module_mamba_etl_spark.session import get_spark
+    from openmrs_module_mamba_etl_spark.sources.parquet import table
+    from tools.scale_stress import build_stress_dir
+
+    registry.load_all()
+    spark = get_spark(app_name="poison-probe")
+    step = lambda name, **kw: print(  # noqa: E731 — one-liner logger
+        json.dumps({"step": name, **kw, **diag(spark)}), flush=True
+    )
+
+    t0 = time.monotonic()
+    stress_dir = build_stress_dir(spark, K)
+    step("built", k=K, sec=round(time.monotonic() - t0, 1))
+
+    jac = registry.QUERIES["dedup_token_jaccard"]
+    clean = measure(spark, jac, stress_dir)
+    step("clean_measure", token_jaccard_sec=clean)
+
+    # ---- the poisoner: brute-force cosine sweep (~128M pairs at K=8) ----
+    t0 = time.monotonic()
+    n = embedding_cosine_pairs(
+        table(spark, stress_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        brute_force=True,
+    ).count()
+    step("poison_sweep", pairs_ge_090=n, sec=round(time.monotonic() - t0, 1))
+
+    poisoned = measure(spark, jac, stress_dir)
+    step("poisoned_measure", token_jaccard_sec=poisoned)
+
+    # ---- mitigation a: clearCache + unpersist-all --------------------------
+    spark.catalog.clearCache()
+    n_unp = unpersist_all(spark)
+    after_unpersist = measure(spark, jac, stress_dir)
+    step(
+        "after_clearcache_unpersist",
+        unpersisted=n_unp,
+        token_jaccard_sec=after_unpersist,
+    )
+
+    # ---- mitigation b: driver-triggered full GC (the periodicGC path) -----
+    jvm = spark.sparkContext._jvm
+    for _ in range(2):
+        jvm.System.gc()
+        time.sleep(2)  # let ContextCleaner drain its weak-ref queue
+    after_gc = measure(spark, jac, stress_dir)
+    step("after_system_gc", token_jaccard_sec=after_gc)
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "k": K,
+                    "clean": clean,
+                    "poisoned": poisoned,
+                    "after_clearcache_unpersist": after_unpersist,
+                    "after_system_gc": after_gc,
+                    "poison_ratio": round(poisoned / clean, 2),
+                    "gc_restores": after_gc < clean * 1.3,
+                }
+            }
+        ),
+        flush=True,
+    )
+    import shutil
+
+    shutil.rmtree(stress_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,7 +45,7 @@ lane_env() {
 lane_a() {
     export JAVA_TOOL_OPTIONS="$(lane_env a)"
     run pytest_full   python -m pytest tests/ -q
-    run gate_sim      python tools/driver_gate_sim.py 277
+    run gate_sim      python tools/driver_gate_sim.py 278
     run det_sf0_001   python tools/determinism_sweep.py
     run det_sf0_01    python tools/determinism_sweep.py /root/testdata/sf0.01
     run preflight     python tools/oracle_preflight.py
