@@ -968,11 +968,14 @@ def sink_versioned_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy = orders.where(F.col("o_orderkey") % 61 != 0)
     legacy.write.partitionBy("o_orderpriority").parquet(target)
     store = WatermarkStore(root / "wm.json")
-    store.set(
-        "analysis_orders", legacy.agg(F.max("audit").cast("string")).first()[0]
-    )
-
-    migrate_partitioned(spark, target)
+    legacy_wm = legacy.agg(F.max("audit").cast("string")).first()[0]
+    if legacy_wm is not None:
+        store.set("analysis_orders", legacy_wm)
+        migrate_partitioned(spark, target)
+    # else: an EMPTY legacy deployment writes no key=value partition dirs
+    # (Spark emits only _SUCCESS), so there is nothing to migrate and no
+    # watermark to seed — the tick below is then a plain first run, which
+    # keeps this key total on the empty-corpus sweep.
 
     changed = F.col("o_orderkey") % 61 == 0
     source = orders.withColumn(
