@@ -107,16 +107,20 @@ def measure(spark, fn, stress_dir: str, reps: int = 2) -> float:
 
 
 def unpersist_all(spark) -> int:
-    """Blocking-unpersist every persistent RDD (incl. localCheckpoints)."""
+    """Blocking-unpersist every persistent RDD (incl. localCheckpoints).
+
+    Goes through the JavaSparkContext's ``getPersistentRDDs`` (a
+    ``java.util.Map``) — the scala ``Map.iterator()`` path used first
+    returned an empty iterator through py4j and silently unpersisted
+    nothing."""
     n = 0
     try:
-        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
-        it = jmap.iterator()
-        rdds = []
-        while it.hasNext():
-            rdds.append(it.next()._2())
-        for r in rdds:
-            r.unpersist(True)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        print(
+            json.dumps({"persistent_rdd_map_size": jmap.size()}), flush=True
+        )
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(True)
             n += 1
     except Exception as exc:
         print(json.dumps({"unpersist_error": str(exc)[:120]}), flush=True)
@@ -144,16 +148,59 @@ def main() -> int:
     clean = measure(spark, jac, stress_dir)
     step("clean_measure", token_jaccard_sec=clean)
 
-    # ---- the poisoner: brute-force cosine sweep (~128M pairs at K=8) ----
+    # ---- the poisoner: replicate the r9 conditions faithfully ----------
+    # The r9 symptom arose in the PRE-fix scale_stress order: the full
+    # 11-query measurement loop, THEN check_invariants (the PPJoin
+    # token-jaccard pair count + the brute-force cosine sweep), THEN a
+    # re-measure. A cosine-only sweep (first probe revision) measured
+    # ratio 0.94 — no poisoning — so the heavy-loop + invariant
+    # combination is the poisoner under test here.
+    from tools.scale_stress import STRESSED
+
     t0 = time.monotonic()
-    n = embedding_cosine_pairs(
-        table(spark, stress_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        threshold=0.9,
-        brute_force=True,
+    for entry in STRESSED:
+        qname, fn = (
+            (entry, registry.QUERIES[entry])
+            if isinstance(entry, str)
+            else entry
+        )
+        try:
+            spark.catalog.clearCache()
+            fn(spark, stress_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(
+                json.dumps({"loop_error": qname, "err": str(exc)[:100]}),
+                flush=True,
+            )
+    step("heavy_loop", sec=round(time.monotonic() - t0, 1))
+
+    t0 = time.monotonic()
+    from pyspark.sql import functions as F
+    from tools.scale_stress import OFFSET
+
+    pairs = jac(spark, stress_dir)
+    n_cross = pairs.where(
+        F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}")
     ).count()
-    step("poison_sweep", pairs_ge_090=n, sec=round(time.monotonic() - t0, 1))
+    n = (
+        embedding_cosine_pairs(
+            table(spark, stress_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            threshold=0.9,
+            brute_force=True,
+        )
+        .where(F.expr(f"id_a div {OFFSET}") != F.expr(f"id_b div {OFFSET}"))
+        .count()
+    )
+    step(
+        "poison_sweep",
+        cross_pairs=n_cross,
+        neardup_vecs=n,
+        sec=round(time.monotonic() - t0, 1),
+    )
 
     poisoned = measure(spark, jac, stress_dir)
     step("poisoned_measure", token_jaccard_sec=poisoned)
