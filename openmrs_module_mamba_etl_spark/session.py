@@ -34,6 +34,17 @@ DEFAULT_CONF: dict[str, str] = {
     # At 100 TB this is sized per-cluster; locally keep partitions ≈ cores so
     # small-SF shuffles don't fragment into thousands of empty tasks.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Shuffle/broadcast cleanup is GC-DRIVEN (ContextCleaner holds weak
+    # refs; dead shuffles stay registered until the owning JVM objects are
+    # collected). A long-lived session running many heavies accumulates
+    # block-manager debris that inflates later big-shuffle queries —
+    # measured by tools/poison_probe.py at 8×: token-jaccard 17.8 s clean
+    # → 20.4 s after the full stress loop + invariant sweep, restored to
+    # 17.9 s by two driver-triggered System.gc() calls (memstore 534→147
+    # MB, block files 864→216). Lowering the periodic-GC interval from
+    # the 30 min default makes long sessions self-heal; short sessions
+    # (tests, bench ≈ 4 min) never reach the timer, so it costs nothing.
+    "spark.cleaner.periodicGC.interval": "5min",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
