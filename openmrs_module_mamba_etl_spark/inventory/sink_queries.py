@@ -85,15 +85,25 @@ def _live_root_owner_alive(marker: Path) -> bool:
 
     Reads take a SHARED flock so they serialize against the in-place
     compaction in ``_marker_add_pid`` — an unlocked read could catch a
-    mid-truncate state whose torn pid line probes as dead."""
+    mid-truncate state whose torn pid line probes as dead. Only a
+    FAILED OPEN means "no marker"; a flock/read failure on an existing
+    marker (ENOLCK on lock-less network filesystems, EIO) keeps the
+    root protected — never reap what we can't attribute."""
     import fcntl
 
     try:
-        with open(marker, encoding="utf-8") as fh:
-            fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
-            tokens = fh.read().split()
+        fh = open(marker, encoding="utf-8")
     except OSError:
         return False  # no marker: not an external root
+    try:
+        with fh:
+            try:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+            except OSError:
+                pass  # lock-less fs: unserialized read beats reaping
+            tokens = fh.read().split()
+    except OSError:
+        return True  # marker exists but is unreadable: keep protecting
     if not tokens:
         return True  # empty marker: keep protecting (can't attribute)
     for tok in tokens:
@@ -151,21 +161,26 @@ def _marker_add_pid(marker: Path, pid: int) -> None:
         return _pid_runs_python(other)
 
     with open(marker, "a+") as fh:
-        fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        try:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        except OSError:
+            # lock-less filesystem (ENOLCK on NFS without a lock daemon):
+            # fall back to the original O_APPEND one-liner and SKIP the
+            # compaction — growth-unbounded beats crashing at startup or
+            # racing an unserialized truncate
+            fh.write(f"{pid}\n")
+            return
         fh.seek(0)
         tokens = fh.read().split()
         if str(pid) in tokens:
             return
+        # under LOCK_EX (readers take LOCK_SH) the rewrite can't be
+        # observed torn, so one unconditional truncate+rewrite replaces
+        # the old append-vs-compact branching
         alive = [t for t in tokens if _line_alive(t)]
-        if len(alive) != len(tokens):
-            fh.seek(0)
-            fh.truncate()
-        # "a" mode: every write lands at current EOF (0 after a truncate)
-        fh.write(
-            "".join(f"{t}\n" for t in [*alive, str(pid)])
-            if len(alive) != len(tokens)
-            else f"{pid}\n"
-        )
+        fh.seek(0)
+        fh.truncate()
+        fh.write("".join(f"{t}\n" for t in [*alive, str(pid)]))
 
 
 def _pid_runs_python(pid: int) -> bool:

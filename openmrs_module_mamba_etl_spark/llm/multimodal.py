@@ -142,9 +142,8 @@ def _pil_still_rgb(content: bytes) -> tuple[int, int, bytes] | None:
         return None
     try:
         from PIL import UnidentifiedImageError  # type: ignore
-    except ImportError:  # pre-7.0 Pillow: identification errors are OSError
-        class UnidentifiedImageError(OSError):  # type: ignore
-            pass
+    except ImportError:  # pre-7.0 Pillow has no dedicated class; the
+        UnidentifiedImageError = ()  # message check below covers it
     try:
         with Image.open(io.BytesIO(content)) as im:
             rgb = im.convert("RGB")
@@ -156,10 +155,21 @@ def _pil_still_rgb(content: bytes) -> tuple[int, int, bytes] | None:
         if _pure_codec_covers(content):
             return None  # PNG/GIF/JPEG: the pure codec downstream decides
         msg = str(e).lower()
+        if isinstance(e, OSError) and "cannot identify image file" in msg:
+            # pre-7.0 Pillow raises plain OSError for unidentified
+            # containers (no UnidentifiedImageError class to catch)
+            return None
         if isinstance(e, OSError) and (
-            ("decoder" in msg and "not" in msg) or "unsupported" in msg
+            ("decoder" in msg and "not available" in msg)
+            or "support not installed" in msg
         ):
-            return None  # identified, but this build lacks the decoder
+            # identified, but THIS BUILD lacks the decoder (e.g.
+            # "decoder jpeg2k not available", "webp support not
+            # installed"). Deliberately narrower than any "unsupported"
+            # substring: messages like "Unsupported BMP compression" are
+            # DATA errors on an identified container and must propagate
+            # as such, not be misreported as a missing backend
+            return None
         raise  # data error on a PIL-only container: propagate
 
 

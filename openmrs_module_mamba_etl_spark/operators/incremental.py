@@ -155,16 +155,25 @@ def migrate_partitioned(
     a deliberate, visible migration job — the alternative the refusal in
     :func:`_read_base` prevents was the SAME full rewrite happening
     silently on every deploy that repointed a tick at a legacy store,
-    plus permanently orphaned partition directories."""
-    import shutil
+    plus permanently orphaned partition directories.
 
+    A crash between the commit and the partition-dir cleanup is NOT a
+    stuck state: re-running finishes the cleanup without rewriting (the
+    log stays authoritative), and every later versioned ``_publish``
+    also sweeps leftover pre-log partition dirs post-commit — the same
+    self-heal the plain-file migration path has always had."""
     vt = _versioned_table(target_path)
+    parts = _partition_dirs(target_path)
     if vt.latest_version() is not None:
+        if parts:
+            # committed log + leftover partition dirs = a migration that
+            # crashed between commit and cleanup; finish the cleanup
+            _remove_partition_dirs(target_path, parts)
+            return vt.read(spark)
         raise ValueError(
             f"{target_path} already has a committed log version "
             f"({vt.latest_version()}); nothing to migrate"
         )
-    parts = _partition_dirs(target_path)
     if not parts:
         raise FileNotFoundError(
             f"no key=value partition directories under {target_path}; "
@@ -172,16 +181,39 @@ def migrate_partitioned(
             "layout (plain part files migrate automatically on the next "
             "versioned publish)"
         )
+    stray = _plain_part_files(target_path)
+    if stray:
+        # a mixed layout (top-level part files NEXT TO partition dirs) is
+        # not something Spark writes; migrating only the partition dirs
+        # would let the post-commit sweep delete the stray files unread —
+        # refuse and make the operator decide what they are
+        raise RuntimeError(
+            f"{target_path} mixes top-level parquet part files "
+            f"({stray[0].name}, ...) with key=value partition dirs; "
+            "refusing to migrate — move the stray files aside (or into "
+            "a partition) first, then re-run migrate_partitioned"
+        )
     df = (
         spark.read.option("basePath", str(target_path))
         .parquet(*[str(d) for d in parts])
     )
-    vt.write(df, mode="overwrite")
-    vt.vacuum(keep_last=max(1, keep_versions))
+    return _publish(
+        spark, df, target_path, versioned=True, keep_versions=keep_versions
+    )
+
+
+def _remove_partition_dirs(
+    target_path: str | os.PathLike, parts: list[Path]
+) -> None:
+    """Post-commit cleanup of a pre-log partitioned layout (shared by
+    :func:`migrate_partitioned` and the versioned :func:`_publish`
+    self-heal)."""
+    import shutil
+
     for d in parts:
         shutil.rmtree(d, ignore_errors=True)
-    (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
-    return vt.read(spark)
+    if parts:
+        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
 
 
 def _plain_part_files(target_path: str | os.PathLike) -> list[Path]:
@@ -229,7 +261,10 @@ def _publish(
         vt.vacuum(keep_last=max(1, keep_versions))
         for legacy in _plain_part_files(target_path):
             legacy.unlink(missing_ok=True)
-        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
+        # pre-log partition dirs surviving next to a committed log are a
+        # migration whose post-commit cleanup crashed; the log is
+        # authoritative, so every later publish finishes the sweep
+        _remove_partition_dirs(target_path, _partition_dirs(target_path))
         return vt.read(spark)
     staging = f"{target_path}.staging"
     merged.write.mode("overwrite").parquet(staging)
@@ -479,6 +514,16 @@ def compact_parquet(
         # same way (round-9 ADVICE item 4)
         plain = _plain_part_files(path)
         if not plain:
+            parts = _partition_dirs(path)
+            if parts:
+                # same refusal _read_base gives a tick: the data is a
+                # pre-log partitioned layout, not an empty table
+                raise PartitionedLegacyLayout(
+                    f"{path} holds a key=value-partitioned pre-log "
+                    f"layout ({parts[0].name}, ...) — run "
+                    "migrate_partitioned(spark, path) once, then "
+                    "compact_parquet compacts the versioned table"
+                )
             raise FileNotFoundError(
                 f"no committed version and no plain parquet part files "
                 f"under {path}; nothing to compact"

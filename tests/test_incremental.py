@@ -466,3 +466,86 @@ def test_migrate_partitioned_guards(spark, tmp_path):
     spark.range(3).toDF("id").write.parquet(flat)
     with pytest.raises(FileNotFoundError, match="no key=value"):
         migrate_partitioned(spark, flat)
+
+
+def test_migrate_partitioned_crash_window_self_heals(spark, tmp_path):
+    """Round-10 review: a crash between the log commit and the
+    partition-dir cleanup must not strand the legacy copy forever.
+    Re-running migrate_partitioned finishes the cleanup without a
+    rewrite, and an ordinary versioned publish sweeps leftovers too."""
+    from pathlib import Path
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        migrate_partitioned,
+        read_published,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    def crashed_state(name):
+        # the post-crash layout: v0 committed, partition dirs still there
+        target = str(tmp_path / name)
+        legacy = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, part string"
+        )
+        legacy.write.partitionBy("part").parquet(target)
+        VersionedParquetTable(target).write(legacy)
+        assert [d for d in Path(target).iterdir() if "=" in d.name]
+        return target, legacy
+
+    # path 1: re-running the migration finishes the cleanup, no rewrite
+    t1, legacy = crashed_state("crashed1")
+    out = migrate_partitioned(spark, t1)
+    assert not [d for d in Path(t1).iterdir() if "=" in d.name]
+    assert VersionedParquetTable(t1).latest_version() == 0  # no new commit
+    assert out.count() == 2
+
+    # path 2: the next versioned publish self-heals without any migrate call
+    t2, legacy = crashed_state("crashed2")
+    from openmrs_module_mamba_etl_spark.operators.incremental import _publish
+
+    _publish(spark, legacy, t2, versioned=True)
+    assert not [d for d in Path(t2).iterdir() if "=" in d.name]
+    assert read_published(spark, t2).count() == 2
+
+
+def test_migrate_partitioned_mixed_layout_refuses(spark, tmp_path):
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        migrate_partitioned,
+    )
+
+    target = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(1, "x")], "id long, part string"
+    ).write.partitionBy("part").parquet(target)
+    # a stray top-level part file next to the partition dirs
+    spark.range(1).toDF("id").write.parquet(str(tmp_path / "strayfile"))
+    import shutil
+    from pathlib import Path
+
+    stray = next(Path(tmp_path / "strayfile").glob("part-*.parquet"))
+    shutil.copy(stray, Path(target) / stray.name)
+    with pytest.raises(RuntimeError, match="refusing to migrate"):
+        migrate_partitioned(spark, target)
+    # nothing was deleted by the refusal
+    assert (Path(target) / stray.name).exists()
+    assert [d for d in Path(target).iterdir() if "=" in d.name]
+
+
+def test_compact_parquet_names_the_partitioned_fix(spark, tmp_path):
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        PartitionedLegacyLayout,
+        compact_parquet,
+    )
+
+    target = str(tmp_path / "part_compact")
+    spark.createDataFrame(
+        [(1, "x")], "id long, part string"
+    ).write.partitionBy("part").parquet(target)
+    with pytest.raises(PartitionedLegacyLayout, match="migrate_partitioned"):
+        compact_parquet(spark, target)

@@ -1321,3 +1321,85 @@ def test_adapters_only_reachable_inside_mapinpandas_batches():
             assert "mapInPandas" in driver_refs, (
                 f"{name} has adapter-reaching kernels but no mapInPandas"
             )
+
+
+# ---- round-10 review fixes: PIL failure classification ---------------------
+# The adapter's fall-through contract is tested against CONTROLLED fake PIL
+# builds injected into sys.modules, so the classification holds (and stays
+# covered) in this PIL-less container.
+
+_BMP_PAYLOAD = b"BM" + b"\x00" * 32  # a container no pure codec covers
+
+
+def _fake_pil(monkeypatch, open_raises, with_unidentified_cls=True):
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+
+    class _Image:
+        @staticmethod
+        def open(_fh):
+            raise open_raises
+
+    pil.Image = _Image
+    if with_unidentified_cls:
+        class UnidentifiedImageError(Exception):
+            pass
+
+        pil.UnidentifiedImageError = UnidentifiedImageError
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    return pil
+
+
+def test_pre70_pillow_unidentified_falls_through(monkeypatch):
+    """Pre-7.0 Pillow has no UnidentifiedImageError class and raises plain
+    OSError('cannot identify image file ...') — that is MISSING CAPABILITY
+    (container unknown to this build), so the adapter must fall through to
+    the seam, not surface a spurious data error."""
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _pil_still_rgb
+
+    _fake_pil(
+        monkeypatch,
+        OSError("cannot identify image file <_io.BytesIO object>"),
+        with_unidentified_cls=False,
+    )
+    assert _pil_still_rgb(_BMP_PAYLOAD) is None
+
+
+def test_corrupt_pil_only_container_propagates_as_data_error(monkeypatch):
+    """'Unsupported BMP compression' is a DATA error on an identified
+    container — the 'unsupported' word must not reclassify it as a missing
+    backend (round-9 ADVICE item 1, tightened by the round-10 review)."""
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _pil_still_rgb
+
+    _fake_pil(monkeypatch, OSError("Unsupported BMP compression (5)"))
+    with pytest.raises(OSError, match="Unsupported BMP compression"):
+        _pil_still_rgb(_BMP_PAYLOAD)
+
+
+def test_build_missing_decoder_falls_through(monkeypatch):
+    """'decoder jpeg2k not available' / 'WEBP support not installed' mean
+    THIS BUILD lacks the decoder — genuine capability fall-through."""
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _pil_still_rgb
+
+    _fake_pil(monkeypatch, OSError("decoder jpeg2k not available"))
+    assert _pil_still_rgb(_BMP_PAYLOAD) is None
+    _fake_pil(monkeypatch, OSError("WEBP support not installed"))
+    assert _pil_still_rgb(_BMP_PAYLOAD) is None
+
+
+def test_modern_pil_unidentified_class_falls_through(monkeypatch):
+    from openmrs_module_mamba_etl_spark.llm.multimodal import _pil_still_rgb
+
+    pil = _fake_pil(monkeypatch, None)
+
+    class _Image:
+        @staticmethod
+        def open(_fh):
+            raise pil.UnidentifiedImageError("cannot identify image file")
+
+    pil.Image = _Image
+    assert _pil_still_rgb(_BMP_PAYLOAD) is None

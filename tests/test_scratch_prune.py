@@ -254,3 +254,47 @@ def test_marker_compaction_cannot_drop_concurrent_appender(tmp_path):
         for pid in sleepers:
             os.kill(pid, signal.SIGKILL)
             os.waitpid(pid, 0)
+
+
+def test_marker_survives_lockless_filesystem(monkeypatch, tmp_path):
+    """Round-10 review: on a filesystem without flock support (ENOLCK —
+    NFS with no lock daemon), appends must degrade to the plain O_APPEND
+    one-liner instead of crashing startup, and reads must keep the root
+    PROTECTED instead of misreading the lock failure as 'no marker'."""
+    import errno
+    import fcntl
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _live_root_owner_alive,
+        _marker_add_pid,
+    )
+
+    def no_flock(*_a, **_k):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+
+    marker = tmp_path / ".mamba_live_root"
+    _marker_add_pid(marker, os.getpid())  # must not raise
+    _marker_add_pid(marker, os.getpid())  # append-only fallback: dup OK
+    assert str(os.getpid()) in marker.read_text().split()
+    # live own pid recorded => protected, even though flock fails
+    assert _live_root_owner_alive(marker) is True
+    # and a genuinely missing marker still reads as 'not an external root'
+    assert _live_root_owner_alive(tmp_path / "absent") is False
+
+
+def test_marker_unconditional_rewrite_under_lock(tmp_path):
+    """The locked path always compacts: dead pids vanish on the next add
+    even when nothing else changed."""
+    import os
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _marker_add_pid,
+    )
+
+    marker = tmp_path / ".mamba_live_root"
+    marker.write_text("999999999\n")  # provably-dead (pid > pid_max)
+    _marker_add_pid(marker, os.getpid())
+    assert marker.read_text().split() == [str(os.getpid())]
