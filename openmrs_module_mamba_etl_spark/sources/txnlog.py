@@ -436,12 +436,19 @@ class VersionedParquetTable:
             dirs = self._manifest(v)["dirs"]
             (referenced if v in keep_vs else dropped_refs).update(dirs)
         deleted = []
-        for v in vs:
-            if v not in keep_vs:
-                (self._txn / f"{v:05d}.json").unlink()
+        # data dirs BEFORE manifests: a crash between the two loops then
+        # leaves dangling dropped MANIFESTS (whose dirs the next vacuum
+        # re-derives and re-deletes — self-healing), not unreferenced data
+        # dirs, which this method refuses to touch by design and which
+        # would therefore leak forever. The rmtrees are ignore_errors and
+        # the unlinks missing_ok, so a re-run over a half-finished (or
+        # concurrently finishing) vacuum completes cleanly.
         for d in sorted(dropped_refs - referenced):
             # either root: a dropped version may predate the _files layout
             shutil.rmtree(self._files / d, ignore_errors=True)
             shutil.rmtree(self._legacy_files / d, ignore_errors=True)
             deleted.append(d)
+        for v in vs:
+            if v not in keep_vs:
+                (self._txn / f"{v:05d}.json").unlink(missing_ok=True)
         return deleted

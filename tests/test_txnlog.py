@@ -310,3 +310,33 @@ def test_legacy_files_root_reads_vacuums_and_appends(spark, tmp_path):
         d.name for d in (t.path / "_files").iterdir()
     }
     assert on_disk == head_dirs
+
+
+def test_vacuum_crash_state_self_heals(spark, tmp_path):
+    """Round-10 review: vacuum deletes data dirs BEFORE manifests, so the
+    only possible crash state is a dangling dropped MANIFEST — which the
+    next vacuum re-derives and drops — never an unreferenced data dir,
+    which vacuum refuses to touch by design and which would leak forever."""
+    import shutil
+
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    vt = VersionedParquetTable(tmp_path / "t")
+    for n in (1, 2, 3):
+        vt.write(spark.range(n).toDF("id"), mode="overwrite")
+    assert vt.versions() == [0, 1, 2]
+
+    # simulate the mid-vacuum crash: v0's data dir deleted, manifest left
+    v0_dirs = vt._manifest(0)["dirs"]
+    for d in v0_dirs:
+        shutil.rmtree(vt.data_dir(d), ignore_errors=True)
+
+    # the next vacuum completes cleanly and drops the dangling manifest
+    vt.vacuum(keep_last=2)
+    assert vt.versions() == [1, 2]
+    assert vt.read(spark).count() == 3  # head snapshot untouched
+
+    # re-running over an already-clean log is a no-op, not an error
+    assert vt.vacuum(keep_last=2) == []
