@@ -86,15 +86,21 @@ def _live_root_owner_alive(marker: Path) -> bool:
     Reads take a SHARED flock so they serialize against the in-place
     compaction in ``_marker_add_pid`` — an unlocked read could catch a
     mid-truncate state whose torn pid line probes as dead. Only a
-    FAILED OPEN means "no marker"; a flock/read failure on an existing
-    marker (ENOLCK on lock-less network filesystems, EIO) keeps the
-    root protected — never reap what we can't attribute."""
+    MISSING marker (ENOENT) means "not an external root"; any other
+    open failure — EACCES on another user's umask-077 marker on a
+    shared scratch root, EIO — means the marker EXISTS but is
+    unattributable, and unattributable must keep protecting (the same
+    rule the pid probe applies via its PermissionError branch), as must
+    a flock/read failure on an opened marker (ENOLCK on lock-less
+    network filesystems, EIO)."""
     import fcntl
 
     try:
         fh = open(marker, encoding="utf-8")
-    except OSError:
+    except FileNotFoundError:
         return False  # no marker: not an external root
+    except OSError:
+        return True  # marker exists but can't be opened: keep protecting
     try:
         with fh:
             try:

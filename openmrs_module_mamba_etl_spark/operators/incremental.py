@@ -198,18 +198,52 @@ def migrate_partitioned(
         .parquet(*[str(d) for d in parts])
     )
     return _publish(
-        spark, df, target_path, versioned=True, keep_versions=keep_versions
+        spark,
+        df,
+        target_path,
+        versioned=True,
+        keep_versions=keep_versions,
+        expected_partition_sweep=True,
     )
 
 
 def _remove_partition_dirs(
-    target_path: str | os.PathLike, parts: list[Path]
+    target_path: str | os.PathLike, parts: list[Path], announce: bool = True
 ) -> None:
     """Post-commit cleanup of a pre-log partitioned layout (shared by
     :func:`migrate_partitioned` and the versioned :func:`_publish`
-    self-heal)."""
-    import shutil
+    self-heal).
 
+    Unless ``announce=False`` (the one caller where the sweep is the
+    migration's own documented contract — :func:`migrate_partitioned`'s
+    post-commit cleanup of the dirs it just republished), the sweep is
+    announced via ``warnings.warn`` naming every
+    directory removed (round-10 ADVICE item 2): the self-heal ASSUMES
+    coexisting partition dirs are leftovers of a migration that crashed
+    between commit and cleanup, but if an operator independently created
+    a versioned log at a path still holding an UNMIGRATED partitioned
+    dataset, that assumption silently destroys data — the warning makes
+    the non-crash coexistence visible in logs/CI before anyone relies on
+    the swept path, while keeping the crash-window self-heal unattended."""
+    import shutil
+    import warnings
+
+    if not parts:
+        return
+    if not announce:
+        for d in parts:
+            shutil.rmtree(d, ignore_errors=True)
+        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
+        return
+    warnings.warn(
+        f"removing pre-log partition directories under {target_path} "
+        f"superseded by the committed versioned log: "
+        f"{', '.join(d.name for d in parts)} — if these were NOT "
+        "leftovers of a crashed migrate_partitioned run, restore them "
+        "from the source and investigate how a versioned log was "
+        "committed alongside unmigrated data",
+        stacklevel=3,
+    )
     for d in parts:
         shutil.rmtree(d, ignore_errors=True)
     if parts:
@@ -238,6 +272,7 @@ def _publish(
     target_path: str,
     versioned: bool,
     keep_versions: int = 2,
+    expected_partition_sweep: bool = False,
 ) -> DataFrame:
     """Publish ``merged`` as the new committed snapshot of ``target_path``.
 
@@ -263,8 +298,14 @@ def _publish(
             legacy.unlink(missing_ok=True)
         # pre-log partition dirs surviving next to a committed log are a
         # migration whose post-commit cleanup crashed; the log is
-        # authoritative, so every later publish finishes the sweep
-        _remove_partition_dirs(target_path, _partition_dirs(target_path))
+        # authoritative, so every later publish finishes the sweep —
+        # announced unless this IS the migration's own documented cleanup
+        # (expected_partition_sweep, set only by migrate_partitioned)
+        _remove_partition_dirs(
+            target_path,
+            _partition_dirs(target_path),
+            announce=not expected_partition_sweep,
+        )
         return vt.read(spark)
     staging = f"{target_path}.staging"
     merged.write.mode("overwrite").parquet(staging)

@@ -415,7 +415,14 @@ def test_partitioned_legacy_target_refuses_then_migrates(spark, tmp_path):
     with pytest.raises(PartitionedLegacyLayout):
         read_published(spark, target)
 
-    migrated = migrate_partitioned(spark, target)
+    import warnings
+
+    # the NORMAL migration sweeps its own dirs silently — the coexistence
+    # warning (round-10 ADVICE item 2) is for the self-heal paths only
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        migrated = migrate_partitioned(spark, target)
+    assert not any("pre-log partition" in str(w.message) for w in caught)
     assert {tuple(r) for r in migrated.select("id", "v", "audit", "part").collect()} == {
         (1, "a", 100, "x"),
         (2, "b", 200, "y"),
@@ -494,9 +501,18 @@ def test_migrate_partitioned_crash_window_self_heals(spark, tmp_path):
         assert [d for d in Path(target).iterdir() if "=" in d.name]
         return target, legacy
 
-    # path 1: re-running the migration finishes the cleanup, no rewrite
+    import warnings
+
+    # path 1: re-running the migration finishes the cleanup, no rewrite —
+    # and the sweep is ANNOUNCED, naming the removed dirs (round-10
+    # ADVICE item 2: a non-crash coexistence must be visible, because the
+    # self-heal would destroy an independently-created unmigrated layout)
     t1, legacy = crashed_state("crashed1")
-    out = migrate_partitioned(spark, t1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = migrate_partitioned(spark, t1)
+    msgs = [str(w.message) for w in caught]
+    assert any("part=x" in m and "part=y" in m for m in msgs), msgs
     assert not [d for d in Path(t1).iterdir() if "=" in d.name]
     assert VersionedParquetTable(t1).latest_version() == 0  # no new commit
     assert out.count() == 2
@@ -505,9 +521,20 @@ def test_migrate_partitioned_crash_window_self_heals(spark, tmp_path):
     t2, legacy = crashed_state("crashed2")
     from openmrs_module_mamba_etl_spark.operators.incremental import _publish
 
-    _publish(spark, legacy, t2, versioned=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _publish(spark, legacy, t2, versioned=True)
+    assert any("pre-log partition" in str(w.message) for w in caught)
     assert not [d for d in Path(t2).iterdir() if "=" in d.name]
     assert read_published(spark, t2).count() == 2
+
+    # and an ordinary versioned publish with NO leftover partition dirs
+    # must stay silent — the warning is for the coexistence case only
+    t3 = str(tmp_path / "clean")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _publish(spark, legacy.drop("part"), t3, versioned=True)
+    assert not any("pre-log partition" in str(w.message) for w in caught)
 
 
 def test_migrate_partitioned_mixed_layout_refuses(spark, tmp_path):

@@ -276,13 +276,52 @@ def test_marker_survives_lockless_filesystem(monkeypatch, tmp_path):
     monkeypatch.setattr(fcntl, "flock", no_flock)
 
     marker = tmp_path / ".mamba_live_root"
+    # pre-existing lines from another owner — one live, one provably dead
+    marker.write_text("1\n999999999\n")
     _marker_add_pid(marker, os.getpid())  # must not raise
     _marker_add_pid(marker, os.getpid())  # append-only fallback: dup OK
-    assert str(os.getpid()) in marker.read_text().split()
+    tokens = marker.read_text().split()
+    assert str(os.getpid()) in tokens
+    # no marker loss: the other owner's live line survives the fallback,
+    # and even the DEAD line survives — compaction is a locked
+    # truncate+rewrite, so without the lock it must be skipped entirely
+    # (an unserialized truncate could tear a concurrent owner's append)
+    assert "1" in tokens and "999999999" in tokens
     # live own pid recorded => protected, even though flock fails
     assert _live_root_owner_alive(marker) is True
     # and a genuinely missing marker still reads as 'not an external root'
     assert _live_root_owner_alive(tmp_path / "absent") is False
+
+
+def test_unopenable_marker_keeps_protecting(monkeypatch, tmp_path):
+    """Round-10 ADVICE item 1: an open() failure on an EXISTING marker
+    (EACCES on another user's umask-077 marker on a shared scratch root,
+    EIO) means the root is unattributable, not absent — only ENOENT may
+    read as 'not an external root'."""
+    import builtins
+    import errno
+
+    from openmrs_module_mamba_etl_spark.inventory.sink_queries import (
+        _live_root_owner_alive,
+    )
+
+    marker = tmp_path / ".mamba_live_root"
+    marker.write_text("999999999\n")  # dead owner — would reap if readable
+
+    real_open = builtins.open
+
+    def eacces_open(path, *a, **k):
+        if str(path) == str(marker):
+            raise PermissionError(errno.EACCES, "Permission denied", str(path))
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", eacces_open)
+    assert _live_root_owner_alive(marker) is True, (
+        "unopenable existing marker must keep the root protected"
+    )
+    monkeypatch.undo()
+    # sanity: the same marker, readable, attributes to a dead pid => reap
+    assert _live_root_owner_alive(marker) is False
 
 
 def test_marker_unconditional_rewrite_under_lock(tmp_path):
