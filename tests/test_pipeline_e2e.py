@@ -123,6 +123,115 @@ def test_materialize_is_reader_atomic_across_ticks(spark, sf_dir, tmp_path):
     assert bad == []
 
 
+def test_scheduled_ticks_survive_midlife_migration(spark, tmp_path):
+    """Round-10 verdict task 5: a SCHEDULED incremental pipeline whose
+    target started life as a pre-log key=value-partitioned deployment
+    composes with `migrate_partitioned` transparently — the first tick
+    refuses (nothing destroyed), one migration call mid-life publishes
+    the legacy data as v0, and subsequent scheduler ticks resume
+    churn-proportional merges, ending at parity with a full rebuild of
+    the same source history into a fresh target."""
+    import pytest
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        PartitionedLegacyLayout,
+        WatermarkStore,
+        incremental_refresh_parquet,
+        migrate_partitioned,
+        read_published,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    schema = "id long, v string, audit long, part string"
+    base = [(1, "a", 100, "x"), (2, "b", 100, "y"), (9, "legacy", 100, "x")]
+    # per-tick source snapshots: tick 1 inserts id=3, tick 2 updates id=1;
+    # id=9 vanishes from the source after deployment (retired upstream) —
+    # only a MERGE of the migrated base can keep producing it, so its
+    # survival is the anti-rebuild witness
+    snap1 = [(1, "a", 100, "x"), (2, "b", 100, "y"), (3, "c", 200, "x")]
+    snap2 = [(1, "A", 300, "x"), (2, "b", 100, "y"), (3, "c", 200, "x")]
+
+    target = str(tmp_path / "store" / "fact")
+    store = WatermarkStore(tmp_path / "wm.json")
+    # the pre-log deployment: partitioned plain parquet + a live watermark
+    spark.createDataFrame(base, schema).write.partitionBy("part").parquet(
+        target
+    )
+    store.set("fact", "100")
+
+    batches = iter([snap1, snap1, snap2])
+
+    def run_once(_incremental: bool) -> None:
+        # incremental_refresh_parquet decides full-vs-merge from the
+        # watermark itself, like the reference's incremental SPs
+        incremental_refresh_parquet(
+            spark,
+            spark.createDataFrame(next(batches), schema),
+            target,
+            ["id"],
+            "audit",
+            store,
+            "fact",
+        )
+
+    sched = EtlScheduler(run_once, interval_seconds=0)
+    # deploy tick against the unmigrated store: refuse, destroy nothing
+    with pytest.raises(PartitionedLegacyLayout, match="migrate_partitioned"):
+        sched.run(max_ticks=1)
+    assert [d for d in Path(target).iterdir() if "=" in d.name]
+
+    # the operator's one mid-life migration call; v0 = the legacy data
+    migrate_partitioned(spark, target)
+    assert VersionedParquetTable(target).latest_version() == 0
+
+    # the SAME scheduler object resumes; two ticks drain snap1 (the batch
+    # the refused tick consumed is re-delivered first) and snap2
+    batches = iter([snap1, snap2])
+    sched.run(max_ticks=2)
+
+    got = {
+        tuple(r)
+        for r in read_published(spark, target)
+        .select("id", "v", "audit", "part")
+        .collect()
+    }
+    assert got == {
+        (1, "A", 300, "x"),
+        (2, "b", 100, "y"),
+        (3, "c", 200, "x"),
+        (9, "legacy", 100, "x"),  # merge-only row: a rebuild drops it
+    }
+    assert store.get("fact") == "300"
+    # churn-proportional: exactly one committed version per post-migration
+    # tick on top of the migration's v0 — no hidden full republishes
+    assert VersionedParquetTable(target).latest_version() == 2
+
+    # parity with a full rebuild: replay the same source history into a
+    # fresh target from scratch — the migrated-then-ticked store must be
+    # indistinguishable from one that never had a legacy-layout past
+    fresh = str(tmp_path / "rebuild" / "fact")
+    fstore = WatermarkStore(tmp_path / "wm_rebuild.json")
+    for snap in ([base], [snap1], [snap2]):
+        incremental_refresh_parquet(
+            spark,
+            spark.createDataFrame(snap[0], schema),
+            fresh,
+            ["id"],
+            "audit",
+            fstore,
+            "fact",
+        )
+    rebuilt = {
+        tuple(r)
+        for r in read_published(spark, fresh)
+        .select("id", "v", "audit", "part")
+        .collect()
+    }
+    assert got == rebuilt
+
+
 def test_stress_harness_measures_before_invariants():
     # round-9 finding pinned structurally: the brute-force invariant
     # sweep degrades the shared JVM enough to inflate later big-shuffle
