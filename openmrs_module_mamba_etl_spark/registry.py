@@ -143,6 +143,15 @@ def _green_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
             if v.startswith("green")}
 
 
+def _signal_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
+    """key → round of its latest driver signal of ANY label — the
+    staleness metric for the certified tier, where clean
+    rows-only-by-design keys rotate alongside hash-greens (their
+    rows-only signal ages exactly like a green one does)."""
+    sig = driver_signals() if sig is None else sig
+    return {k: _signal_round(v) for k, v in sig.items()}
+
+
 def load_all() -> None:
     global _loaded
     if _loaded:
@@ -164,17 +173,21 @@ def load_all() -> None:
         window_queries,
     )
 
-    # Deterministic per-round rotation, four tiers (alphabetical within
-    # each): (0) keys whose last driver signal is red, or was rows-only but
-    # have SINCE gained an oracle — a stale failure / unexercised oracle is
-    # worse than no signal, so they re-sample first; (1) keys the driver has
-    # never sampled; (2) already-hash-green keys; (3) rows-only-BY-DESIGN
-    # keys (sampled, still no oracle) dead last — re-sampling them burns a
-    # rotation slot for a signal their ``*_portable`` twins already exceed
-    # (round-5 verdict task 5: they displaced never-sampled oracled keys
-    # for five rounds).  As greens accumulate in CORRECTNESS files across
-    # rounds, the unverified frontier advances automatically until every
-    # oracled key has earned a hash-green row.
+    # Deterministic per-round rotation, three tiers: (0) keys whose last
+    # driver signal is red, or was rows-only but have SINCE gained an
+    # oracle — a stale failure / unexercised oracle is worse than no
+    # signal, so they re-sample first; (1) keys the driver has never
+    # sampled; (2) the certified tier — hash-green keys AND clean
+    # rows-only-by-design keys together, staleness-ordered (oldest signal
+    # first). Rows-only keys originally deferred to a dead-last tier
+    # (round-5 verdict task 5: they were displacing never-sampled oracled
+    # keys) — but tier 1 already outranks tier 2, so once the
+    # never-sampled frontier emptied, permanent deferral only meant their
+    # signals aged forever (observed: 7 keys pinned at r5 while every
+    # green rotated on a ~6-round cycle; round-10 verdict task 1 demands
+    # no signal older than one tier per round). Rotating them by signal
+    # age costs ≤7 of 50 slots per cycle and re-proves the rows/schema
+    # contract their ``*_portable`` twins can't witness.
     sig = driver_signals()  # parse the CORRECTNESS files exactly once
     verified, sampled, crashed = _driver_history(sig)
 
@@ -184,8 +197,8 @@ def load_all() -> None:
         if k not in sampled:
             return 1
         # sampled, not green: red / newly-oracled keys re-sample first;
-        # only CLEAN rows-only-by-design keys defer to the back.
-        return 0 if (k in ORACLE or k in crashed) else 3
+        # CLEAN rows-only-by-design keys rotate with the certified tier.
+        return 0 if (k in ORACLE or k in crashed) else 2
 
     # Within the never-sampled tier, round-robin across name-prefix families
     # (sql_*, stream_*, tpch_*, window_*, ...) instead of pure alphabetical:
@@ -200,19 +213,19 @@ def load_all() -> None:
         rank[k] = fam_pos.get(fam, 0)
         fam_pos[fam] = rank[k] + 1
 
-    # Within the green tier, oldest-certified first: a key last hash-green
+    # Within the certified tier, oldest signal first: a key last certified
     # in round 1 has five rounds of code churn between its proof and today,
     # so the rotation's leftover slots re-certify the stalest signal instead
     # of re-sampling whatever sorts alphabetically (round-6 verdict task 2 —
     # r1/r2-era relational greens had never been re-checked by the driver).
-    green_round = _green_rounds(sig)
+    signal_round = _signal_rounds(sig)
 
     def sort_key(k: str):
         t = tier(k)
         if t == 1:
             return (t, rank[k], k)
         if t == 2:
-            return (t, green_round.get(k, -1), k)
+            return (t, signal_round.get(k, -1), k)
         return (t, 0, k)
 
     ordered = sorted(QUERIES, key=sort_key)

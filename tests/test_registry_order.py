@@ -18,20 +18,20 @@ def test_tier_order_matches_correctness_history():
             return 2
         if k not in sampled:
             return 1
-        return 0 if (k in registry.ORACLE or k in crashed) else 3
+        # clean rows-only-by-design keys rotate inside the certified tier
+        return 0 if (k in registry.ORACLE or k in crashed) else 2
 
     tiers = [tier(k) for k in keys]
     assert tiers == sorted(tiers), "tiers must be monotonically nondecreasing"
-    # alphabetical within tiers 0/3 (neutral order, no cherry-picking)
-    for t in (0, 3):
-        group = [k for k in keys if tier(k) == t]
-        assert group == sorted(group)
-    # tier 2 (greens) is staleness-ordered: oldest driver green first, so
-    # leftover rotation slots re-certify the signal that has aged the most;
-    # alphabetical tie-break within a round.
-    green_round = registry._green_rounds()
+    # alphabetical within tier 0 (neutral order, no cherry-picking)
+    group = [k for k in keys if tier(k) == 0]
+    assert group == sorted(group)
+    # tier 2 (greens + clean rows-only) is staleness-ordered: oldest driver
+    # signal first, so leftover rotation slots re-certify the signal that
+    # has aged the most; alphabetical tie-break within a round.
+    signal_round = registry._signal_rounds()
     g2 = [k for k in keys if tier(k) == 2]
-    assert g2 == sorted(g2, key=lambda k: (green_round.get(k, -1), k))
+    assert g2 == sorted(g2, key=lambda k: (signal_round.get(k, -1), k))
     # tier 1 (never-sampled) interleaves name-prefix families round-robin so
     # a slot-budgeted driver walk covers every family proportionally: keys
     # are ordered by (position within own family, name) — and within any one
@@ -151,7 +151,8 @@ def test_history_rows_only_does_not_demote(tmp_path, monkeypatch):
 def test_history_crashed_rows_only_key_flags_crashed(tmp_path, monkeypatch):
     # a rows-only key (no oracle) that RAISED is a red, not a benign
     # rows-only pass — it must appear in crashed so the rotation puts it
-    # in tier 0 (re-sample first) instead of tier 3 (dead last)
+    # in tier 0 (re-sample first) instead of the certified tier's
+    # staleness queue
     import openmrs_module_mamba_etl_spark.registry as regmod
 
     monkeypatch.setattr(
