@@ -230,24 +230,23 @@ def _remove_partition_dirs(
 
     if not parts:
         return
-    if not announce:
-        for d in parts:
-            shutil.rmtree(d, ignore_errors=True)
-        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
-        return
-    warnings.warn(
-        f"removing pre-log partition directories under {target_path} "
-        f"superseded by the committed versioned log: "
-        f"{', '.join(d.name for d in parts)} — if these were NOT "
-        "leftovers of a crashed migrate_partitioned run, restore them "
-        "from the source and investigate how a versioned log was "
-        "committed alongside unmigrated data",
-        stacklevel=3,
-    )
+    if announce:
+        # stacklevel=2 names the engine call site (migrate_partitioned's
+        # crash-window finish or _publish's self-heal) — stable enough to
+        # grep, and the message itself carries the operator-relevant
+        # facts (path + every directory swept)
+        warnings.warn(
+            f"removing pre-log partition directories under {target_path} "
+            f"superseded by the committed versioned log: "
+            f"{', '.join(d.name for d in parts)} — if these were NOT "
+            "leftovers of a crashed migrate_partitioned run, restore them "
+            "from the source and investigate how a versioned log was "
+            "committed alongside unmigrated data",
+            stacklevel=2,
+        )
     for d in parts:
         shutil.rmtree(d, ignore_errors=True)
-    if parts:
-        (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
+    (Path(target_path) / "_SUCCESS").unlink(missing_ok=True)
 
 
 def _plain_part_files(target_path: str | os.PathLike) -> list[Path]:

@@ -136,13 +136,6 @@ def _driver_history(
     return verified, sampled, crashed
 
 
-def _green_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
-    """key → round of its latest driver hash-green, for staleness ordering."""
-    sig = driver_signals() if sig is None else sig
-    return {k: _signal_round(v) for k, v in sig.items()
-            if v.startswith("green")}
-
-
 def _signal_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
     """key → round of its latest driver signal of ANY label — the
     staleness metric for the certified tier, where clean

@@ -204,9 +204,10 @@ def test_history_unclassified_shape_is_sampled_not_red(tmp_path, monkeypatch):
     assert c == set()
 
 
-def test_green_rounds_staleness_map(tmp_path, monkeypatch):
-    # _green_rounds reports the LATEST green round per key, so the rotation
-    # re-certifies oldest-certified greens first
+def test_signal_rounds_staleness_map(tmp_path, monkeypatch):
+    # _signal_rounds reports the LATEST signal round per key — green OR
+    # clean rows-only — so the rotation re-certifies the stalest signal
+    # first regardless of label
     import openmrs_module_mamba_etl_spark.registry as regmod
 
     monkeypatch.setattr(
@@ -216,6 +217,9 @@ def test_green_rounds_staleness_map(tmp_path, monkeypatch):
         json.dumps({"old": {"hash_match": True}, "refresh": {"hash_match": True}})
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text(
-        json.dumps({"refresh": {"hash_match": True}})
+        json.dumps({
+            "refresh": {"hash_match": True},
+            "rowsonly": {"rows_match": True, "err": "no_oracle"},
+        })
     )
-    assert regmod._green_rounds() == {"old": 1, "refresh": 3}
+    assert regmod._signal_rounds() == {"old": 1, "refresh": 3, "rowsonly": 3}

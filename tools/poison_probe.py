@@ -52,10 +52,24 @@ from pathlib import Path
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-_args = [a for a in sys.argv[1:] if not a.startswith("--")]
-K = int(_args[0]) if _args else 8
-TIMER_ONLY = "--timer-only" in sys.argv
-TIMER_SEC = int(_args[1]) if TIMER_ONLY and len(_args) > 1 else 60
+import argparse
+
+_parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+_parser.add_argument("k", nargs="?", type=int, default=8)
+_parser.add_argument(
+    "--timer-only",
+    nargs="?",
+    const=60,
+    type=int,
+    default=None,
+    metavar="INTERVAL_SEC",
+    help="verify the shipped periodic-GC mitigation with no explicit "
+    "mitigation: lower the timer to INTERVAL_SEC (default 60) and wait",
+)
+_cli = _parser.parse_args()
+K = _cli.k
+TIMER_ONLY = _cli.timer_only is not None
+TIMER_SEC = _cli.timer_only if TIMER_ONLY else 60
 
 
 def _block_dirs(spark) -> list[Path]:
@@ -228,10 +242,11 @@ def main() -> int:
         # ContextCleaner's periodicGCService fires System.gc() every
         # TIMER_SEC from session start; waiting 1 period + slack after the
         # poisoned measure guarantees at least one tick lands in between.
-        deadline = time.monotonic() + TIMER_SEC + 30
+        wait_start = time.monotonic()
+        deadline = wait_start + TIMER_SEC + 30
         while time.monotonic() < deadline:
             time.sleep(15)
-            step("timer_wait", waited_sec=round(deadline - time.monotonic()))
+            step("timer_wait", waited_sec=round(time.monotonic() - wait_start))
         after_timer = measure(spark, jac, stress_dir)
         step("after_timer_only", token_jaccard_sec=after_timer)
         print(
