@@ -344,17 +344,35 @@ class WatermarkStore:
         return self._load().get(table)
 
     def set(self, table: str, watermark: str) -> None:
-        state = self._load()
-        state[table] = watermark
+        import fcntl
+
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        # atomic replace: a crash mid-write must never leave a torn JSON
-        # file — a corrupt store would fail EVERY subsequent tick at
-        # _load, whereas the crash-window semantics of losing one set()
-        # are benign (the publish already landed; the next tick simply
-        # reprocesses the same updates through the idempotent upsert)
-        tmp = self.path.with_name(self.path.name + f".tmp-{os.getpid()}")
-        tmp.write_text(json.dumps(state, indent=2, sort_keys=True))
-        os.replace(tmp, self.path)
+        # The read-modify-write serializes under an exclusive flock on a
+        # SIDECAR lockfile: two pipelines sharing one store but ticking
+        # DIFFERENT tables would otherwise race the rewrite and one
+        # could drop the other's entry (last-writer-wins — the same
+        # failure family as the live-root marker, round 9). The lock
+        # must be a sidecar, not the store itself: flock is per-inode
+        # and the atomic-replace below swaps the inode, so a waiter
+        # locking the store file would acquire a stale inode. A
+        # lock-less filesystem (ENOLCK) degrades to the unserialized
+        # write, whose worst case is documented-benign below.
+        with open(self.path.with_name(self.path.name + ".lock"), "w") as lk:
+            try:
+                fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+            except OSError:
+                pass  # lock-less fs: lost update ⇒ benign re-merge
+            state = self._load()
+            state[table] = watermark
+            # atomic replace: a crash mid-write must never leave a torn
+            # JSON file — a corrupt store would fail EVERY subsequent
+            # tick at _load, whereas the crash-window semantics of
+            # losing one set() are benign (the publish already landed;
+            # the next tick simply reprocesses the same updates through
+            # the idempotent upsert)
+            tmp = self.path.with_name(self.path.name + f".tmp-{os.getpid()}")
+            tmp.write_text(json.dumps(state, indent=2, sort_keys=True))
+            os.replace(tmp, self.path)
 
 
 def changed_since(

@@ -85,15 +85,27 @@ class VersionedParquetTable:
         with open(self._txn / f"{version:05d}.json", encoding="utf-8") as fh:
             return json.load(fh)
 
+    def _retained_manifests(self) -> list[tuple[int, dict]]:
+        """(version, manifest) for every version still on disk at read
+        time. Tolerates the versions()-glob → manifest-open race against
+        a concurrent vacuum: an old manifest unlinked in between simply
+        drops out of the listing (exactly as if the glob had run a moment
+        later) instead of raising FileNotFoundError out of a log scan —
+        which for :meth:`committed_batch_ids` would crash a streaming
+        sink mid-batch over a version it never needed."""
+        out = []
+        for v in self.versions():
+            try:
+                out.append((v, self._manifest(v)))
+            except FileNotFoundError:
+                continue  # vacuumed between glob and open
+        return out
+
     def history(self) -> list[dict]:
         """One row per version: version, op, #data dirs."""
         return [
-            {
-                "version": v,
-                "op": self._manifest(v)["op"],
-                "n_dirs": len(self._manifest(v)["dirs"]),
-            }
-            for v in self.versions()
+            {"version": v, "op": m["op"], "n_dirs": len(m["dirs"])}
+            for v, m in self._retained_manifests()
         ]
 
     # ---- write path -----------------------------------------------------
@@ -227,7 +239,7 @@ class VersionedParquetTable:
     def committed_batch_ids(self) -> set[int]:
         return {
             m["batch_id"]
-            for m in (self._manifest(v) for v in self.versions())
+            for _, m in self._retained_manifests()
             if "batch_id" in m
         }
 
@@ -244,6 +256,12 @@ class VersionedParquetTable:
         the stream crashed. The check re-runs inside the optimistic retry
         loop's head re-read, closing the race between two deliveries of
         the same batch.
+
+        Vacuum bounds this memory to the RETAINED versions — safe, because
+        the engine only ever re-delivers the last un-checkpointed batch,
+        whose commit (if any) is at or near the head and never vacuumed;
+        a batch old enough to have been vacuumed away is also old enough
+        to be in the stream's checkpoint, so it is never re-offered.
         """
         if batch_id in self.committed_batch_ids():
             return None

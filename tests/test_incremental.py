@@ -40,6 +40,45 @@ def test_watermark_store(tmp_path):
     assert store.get("t") == "2024-01-01 00:00:00"
 
 
+def test_watermark_store_concurrent_sets_no_lost_updates(tmp_path):
+    """Two pipelines sharing one store but ticking DIFFERENT tables must
+    not drop each other's entries: set() serializes its read-modify-write
+    under a sidecar flock (the store file itself can't carry the lock —
+    the atomic replace swaps its inode under any waiter)."""
+    import threading
+
+    store = WatermarkStore(tmp_path / "wm.json")
+    tables = [f"t{i}" for i in range(8)]
+
+    def writer(t: str) -> None:
+        for v in range(25):
+            store.set(t, str(v))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in tables]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for t in tables:
+        assert store.get(t) == "24", f"{t} lost its final watermark"
+
+
+def test_watermark_store_survives_lockless_filesystem(tmp_path, monkeypatch):
+    """ENOLCK (NFS without a lock daemon) degrades to the unserialized
+    write — documented-benign lost-update window — instead of crashing
+    the tick."""
+    import errno
+    import fcntl
+
+    def no_flock(*_a, **_k):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+    store = WatermarkStore(tmp_path / "wm.json")
+    store.set("t", "7")
+    assert store.get("t") == "7"
+
+
 def test_changed_since(spark):
     df = spark.createDataFrame([(1, 10), (2, 20)], "id long, ts long")
     assert changed_since(df, "ts", None).count() == 2

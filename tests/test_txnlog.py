@@ -340,3 +340,32 @@ def test_vacuum_crash_state_self_heals(spark, tmp_path):
 
     # re-running over an already-clean log is a no-op, not an error
     assert vt.vacuum(keep_last=2) == []
+
+
+def test_log_scans_tolerate_concurrent_vacuum(spark, tmp_path, monkeypatch):
+    """Round-11 review: committed_batch_ids()/history() glob versions()
+    then open each manifest — a concurrent vacuum unlinking an OLD
+    manifest between the two must drop it from the listing (as if the
+    glob ran a moment later), not crash a streaming sink's duplicate
+    check with FileNotFoundError over a version it never needed."""
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.append_batch(spark.range(1).toDF("id"), batch_id=0)
+    vt.append_batch(spark.range(2).toDF("id"), batch_id=1)
+    vt.append_batch(spark.range(3).toDF("id"), batch_id=2)
+
+    real_manifest = VersionedParquetTable._manifest
+
+    def racy_manifest(self, version):
+        if version == 0:  # vacuumed between the glob and this open
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real_manifest(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    assert vt.committed_batch_ids() == {1, 2}
+    assert [h["version"] for h in vt.history()] == [1, 2]
+    # a re-delivery of a RETAINED batch still no-ops under the race
+    assert vt.append_batch(spark.range(2).toDF("id"), batch_id=2) is None
