@@ -220,7 +220,16 @@ class VersionedParquetTable:
             raise FileNotFoundError(
                 f"version {v} not in log (have {self.versions()})"
             )
-        m = self._manifest(v)
+        try:
+            m = self._manifest(v)
+        except FileNotFoundError:
+            # versions()-glob → manifest-open TOCTOU vs a concurrent
+            # vacuum: the version existed at the membership check but was
+            # retired before the open. Surface the same descriptive error
+            # an up-front miss gets, not a raw open() ENOENT.
+            raise FileNotFoundError(
+                f"version {v} not in log (have {self.versions()})"
+            ) from None
         dirs = m["dirs"]
         if not dirs:
             # every dir pruned/forgotten away: an empty snapshot, not an
@@ -446,13 +455,19 @@ class VersionedParquetTable:
         would fail that writer with an error its optimistic-retry loop
         cannot absorb, so such orphans are left alone (an age-based
         orphan sweep belongs to a maintenance window, not here)."""
-        vs = self.versions()
+        # _retained_manifests() tolerates the versions()-glob → open race
+        # against a CONCURRENT vacuum (two post-commit vacuums from racing
+        # _publish calls are a supported scenario): a manifest unlinked in
+        # between is already-dropped — its dirs were the other vacuum's to
+        # delete — so it simply falls out of the scan instead of raising
+        # FileNotFoundError out of a publish tick.
+        scanned = self._retained_manifests()
+        vs = [v for v, _ in scanned]
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
         dropped_refs: set[str] = set()
-        for v in vs:
-            dirs = self._manifest(v)["dirs"]
-            (referenced if v in keep_vs else dropped_refs).update(dirs)
+        for v, m in scanned:
+            (referenced if v in keep_vs else dropped_refs).update(m["dirs"])
         deleted = []
         # data dirs BEFORE manifests: a crash between the two loops then
         # leaves dangling dropped MANIFESTS (whose dirs the next vacuum

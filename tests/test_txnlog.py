@@ -369,3 +369,54 @@ def test_log_scans_tolerate_concurrent_vacuum(spark, tmp_path, monkeypatch):
     assert [h["version"] for h in vt.history()] == [1, 2]
     # a re-delivery of a RETAINED batch still no-ops under the race
     assert vt.append_batch(spark.range(2).toDF("id"), batch_id=2) is None
+
+
+def test_vacuum_tolerates_concurrent_vacuum(spark, tmp_path, monkeypatch):
+    """Round-12 review: vacuum() itself scans manifests over a fresh
+    versions() glob, so two concurrent post-commit vacuums (two racing
+    _publish ticks on one table — a supported scenario) could hit the
+    same glob-to-open race history() already tolerates. A manifest that
+    vanishes mid-scan is already-dropped — its dirs were the other
+    vacuum's to delete — so this vacuum must complete, not raise."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    for n in (1, 2, 3, 4):
+        vt.write(spark.range(n).toDF("id"))
+
+    real_manifest = VersionedParquetTable._manifest
+
+    def racy_manifest(self, version):
+        if version == 0:  # the other vacuum unlinked it between glob+open
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real_manifest(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    deleted = vt.vacuum(keep_last=2)
+    monkeypatch.undo()
+    # v1 was scanned and dropped; v0's dirs were the racing vacuum's job
+    assert any(d.startswith("v00001") or "00001" in d for d in deleted) or deleted
+    # retained head still reads back exactly
+    assert vt.read(spark).count() == 4
+    assert vt.read(spark, vt.versions()[-2]).count() == 3
+
+
+def test_read_explicit_version_vacuumed_mid_read(spark, tmp_path, monkeypatch):
+    """Round-12 review: read(version=old) checks membership via
+    versions() then opens the manifest; a vacuum landing in between must
+    surface the same descriptive 'version ... not in log' error an
+    up-front miss gets — not a raw open() FileNotFoundError."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(spark.range(1).toDF("id"))
+    vt.write(spark.range(2).toDF("id"))
+
+    real_manifest = VersionedParquetTable._manifest
+
+    def racy_manifest(self, version):
+        if version == 0:  # vacuumed between the membership check and open
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real_manifest(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    with pytest.raises(FileNotFoundError, match="version 0 not in log"):
+        vt.read(spark, 0)
+    # the head is unaffected by the race
+    assert vt.read(spark).count() == 2
