@@ -136,6 +136,30 @@ def _driver_history(
     return verified, sampled, crashed
 
 
+def rotation_tiers(sig: dict[str, str] | None = None) -> dict[str, int]:
+    """key → rotation tier for every registered key, the single source of
+    truth shared by :func:`load_all`'s ordering and the docs/OPERATORS.md
+    generator (so the doc can never disagree with the rotation it
+    documents): **0** = re-sample first (latest signal red, or sampled
+    without a green verdict while the key HAS an oracle — a stale failure
+    / unexercised oracle is worse than no signal); **1** = never sampled;
+    **2** = certified (hash-green, or clean rows-only-by-design), which
+    drains oldest-signal-first."""
+    sig = driver_signals() if sig is None else sig
+    verified, sampled, crashed = _driver_history(sig)
+    tiers: dict[str, int] = {}
+    for k in QUERIES:
+        if k in verified:
+            tiers[k] = 2
+        elif k not in sampled:
+            tiers[k] = 1
+        else:
+            # sampled, not green: red / newly-oracled keys re-sample first;
+            # CLEAN rows-only-by-design keys rotate with the certified tier.
+            tiers[k] = 0 if (k in ORACLE or k in crashed) else 2
+    return tiers
+
+
 def _signal_rounds(sig: dict[str, str] | None = None) -> dict[str, int]:
     """key → round of its latest driver signal of ANY label — the
     staleness metric for the certified tier, where clean
@@ -182,16 +206,10 @@ def load_all() -> None:
     # age costs ≤7 of 50 slots per cycle and re-proves the rows/schema
     # contract their ``*_portable`` twins can't witness.
     sig = driver_signals()  # parse the CORRECTNESS files exactly once
-    verified, sampled, crashed = _driver_history(sig)
+    tiers = rotation_tiers(sig)
 
     def tier(k: str) -> int:
-        if k in verified:
-            return 2
-        if k not in sampled:
-            return 1
-        # sampled, not green: red / newly-oracled keys re-sample first;
-        # CLEAN rows-only-by-design keys rotate with the certified tier.
-        return 0 if (k in ORACLE or k in crashed) else 2
+        return tiers[k]
 
     # Within the never-sampled tier, round-robin across name-prefix families
     # (sql_*, stream_*, tpch_*, window_*, ...) instead of pure alphabetical:

@@ -223,3 +223,27 @@ def test_signal_rounds_staleness_map(tmp_path, monkeypatch):
         })
     )
     assert regmod._signal_rounds() == {"old": 1, "refresh": 3, "rowsonly": 3}
+
+
+def test_rotation_tiers_matches_ordering_tiering():
+    """rotation_tiers() is the shared tier source for load_all() ordering
+    AND docs/OPERATORS.md (round-12 review: the doc's staleness histogram
+    previously re-derived tiers and binned re-sample-first keys into the
+    certified round cohorts). Pin it to the same tier definition the
+    ordering test above uses."""
+    registry.load_all()
+    sig = registry.driver_signals()
+    verified, sampled, crashed = registry._driver_history(sig)
+    tiers = registry.rotation_tiers(sig)
+    assert set(tiers) == set(registry.QUERIES)
+    for k, t in tiers.items():
+        if k in verified:
+            expect = 2
+        elif k not in sampled:
+            expect = 1
+        else:
+            expect = 0 if (k in registry.ORACLE or k in crashed) else 2
+        assert t == expect, k
+    # and the registry dict order is nondecreasing in these tiers
+    order = [tiers[k] for k in registry.QUERIES]
+    assert order == sorted(order)
