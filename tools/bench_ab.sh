@@ -1,0 +1,91 @@
+#!/usr/bin/env bash
+# Same-box bench A/B — the box-vs-diff adjudication protocol, automated.
+#
+# Two rounds running (r10, r11), every driver bench reading was busy-arm
+# (start canary > 0.35) and the old-tree control had to be assembled by
+# hand: worktree-checkout the last round's tree, alternate HEAD/control
+# benches on THIS box, and compare spreads. One shared band ⇒ box, not
+# diff. This script is that protocol as one command (round-11 verdict
+# task 3); run_round_gates.sh invokes it automatically when the bench
+# leg's start canary exceeds the 0.35 idle gate.
+#
+# Usage: tools/bench_ab.sh <git-ref> [n_pairs]
+#   <git-ref>  control tree (e.g. the previous round's snapshot commit)
+#   [n_pairs]  HEAD/control alternations, default 2 (4 bench runs total)
+#
+# Emits a per-run table (arm, wall seconds, canaries) plus per-arm
+# min/max and a verdict line:
+#   AB_VERDICT: no-code-regression   HEAD min <= control min * 1.10
+#   AB_VERDICT: head-slower          otherwise (investigate the diff)
+# Exit 0 in both cases (the verdict is evidence, not a gate); nonzero
+# only if a bench run itself fails.
+set -u
+cd "$(dirname "$0")/.."
+
+REF="${1:?usage: tools/bench_ab.sh <git-ref> [n_pairs]}"
+PAIRS="${2:-2}"
+WT="/tmp/bench_ab_control_$$"
+
+git rev-parse --verify --quiet "$REF^{commit}" >/dev/null || {
+    echo "bench_ab: unknown ref '$REF'" >&2; exit 2; }
+
+cleanup() {
+    git worktree remove --force "$WT" >/dev/null 2>&1 || true
+    rm -rf "$WT"
+}
+trap cleanup EXIT
+git worktree add --detach "$WT" "$REF" >/dev/null 2>&1 || {
+    echo "bench_ab: worktree add failed for $REF" >&2; exit 2; }
+
+# one bench run in $1 (tree dir); appends "arm wall start end" to $2
+run_one() {
+    local dir="$1" arm="$2" out="$3"
+    local line
+    line=$( (cd "$dir" && timeout 560 python bench.py 2>/dev/null) \
+            | grep '"metric"' | tail -1) || true
+    if [ -z "$line" ]; then
+        echo "bench_ab: bench run failed in $dir ($arm)" >&2
+        return 1
+    fi
+    python - "$arm" "$out" <<EOF
+import json, sys
+s = '''$line'''
+d = json.loads(s[s.find("{"):])
+with open(sys.argv[2], "a") as fh:
+    fh.write(f'{sys.argv[1]} {d["value"]} {d["load_canary_start"]} {d["load_canary_end"]}\n')
+EOF
+}
+
+RESULTS=$(mktemp)
+fail=0
+for i in $(seq 1 "$PAIRS"); do
+    # alternate so slow drift within the session hits both arms equally
+    run_one "$PWD" head    "$RESULTS" || fail=1
+    run_one "$WT"  control "$RESULTS" || fail=1
+done
+
+echo "== bench A/B: HEAD vs $REF ($PAIRS pairs, alternating) =="
+printf '%-8s %-8s %-7s %-7s\n' arm wall start end
+awk '{printf "%-8s %-8s %-7s %-7s\n", $1, $2, $3, $4}' "$RESULTS"
+
+python - "$RESULTS" <<'EOF'
+import sys
+rows = [l.split() for l in open(sys.argv[1]) if l.strip()]
+arms = {}
+for arm, wall, s, e in rows:
+    arms.setdefault(arm, []).append(float(wall))
+for arm in ("head", "control"):
+    vs = arms.get(arm, [])
+    if vs:
+        print(f"{arm}: min {min(vs):.3f}  max {max(vs):.3f}  n {len(vs)}")
+h, c = arms.get("head", []), arms.get("control", [])
+if h and c:
+    if min(h) <= min(c) * 1.10:
+        print("AB_VERDICT: no-code-regression "
+              f"(HEAD min {min(h):.3f} <= control min {min(c):.3f} * 1.10)")
+    else:
+        print("AB_VERDICT: head-slower "
+              f"(HEAD min {min(h):.3f} > control min {min(c):.3f} * 1.10)")
+EOF
+rm -f "$RESULTS"
+exit $fail

@@ -49,6 +49,11 @@ lane_a() {
     run det_sf0_001   python tools/determinism_sweep.py
     run det_sf0_01    python tools/determinism_sweep.py /root/testdata/sf0.01
     run preflight     python tools/oracle_preflight.py
+    # regenerate the operator index in-battery (round-11 verdict task 2)
+    # so docs/OPERATORS.md can never lag the CORRECTNESS history it
+    # documents; the working-tree update still needs a commit, which the
+    # end-of-battery ledger commit picks up.
+    run operators_md  python tools/gen_operators_md.py
 }
 
 # lane B: the bench-scale exact-value parity run (the r8-promoted gate
@@ -89,6 +94,21 @@ if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
     if [ -n "$arms" ] && python -c "import sys; s,e=map(float,'$arms'.split()); sys.exit(0 if s > 0.35 or e > 0.2 else 1)"; then
         secs=$(awk '{print $2}' "$LOGDIR/bench.status")
         echo "busy-arm (informational, canaries=${arms// //}) $secs" > "$LOGDIR/bench.status"
+        # Busy-arm reading: run the same-box old-tree A/B control
+        # automatically (round-11 verdict task 3 — two rounds running,
+        # the builder hand-assembled this table). Control ref: env
+        # override, else the previous round's verdict-snapshot commit.
+        if [ "${BENCH_AB_SKIP:-0}" != "1" ]; then
+            ref="${BENCH_AB_REF:-$(git log --grep='^round [0-9]*: verdict' -1 --format=%H 2>/dev/null)}"
+            if [ -n "$ref" ]; then
+                if run bench_ab bash tools/bench_ab.sh "$ref" "${BENCH_AB_PAIRS:-2}"; then :; fi
+                v=$(grep -h '^AB_VERDICT' "$LOGDIR/bench_ab.log" | tail -1)
+                st=$(cat "$LOGDIR/bench_ab.status")
+                # the A/B is evidence, not a gate: always informational,
+                # with the verdict (or the run failure) in the status line
+                echo "info ${v:-A/B-run-${st%% *}} ${st#* }" > "$LOGDIR/bench_ab.status"
+            fi
+        fi
     fi
 fi
 
@@ -98,9 +118,9 @@ for s in "$LOGDIR"/*.status; do
     name=$(basename "$s" .status)
     st=$(cat "$s")
     printf '%-14s %s\n' "$name" "$st"
-    # busy-arm bench is informational: the gate ran and passed, its
-    # NUMBER just isn't idle-protocol evidence
-    case "$st" in ok*|busy-arm*) ;; *) fail=1 ;; esac
+    # busy-arm bench and the A/B control are informational: the gate ran,
+    # its NUMBER just isn't idle-protocol evidence / isn't a pass-fail
+    case "$st" in ok*|busy-arm*|info*) ;; *) fail=1 ;; esac
 done
 grep -h '"metric"' "$LOGDIR/bench.log" | tail -1
 exit $fail
