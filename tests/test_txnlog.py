@@ -389,11 +389,18 @@ def test_vacuum_tolerates_concurrent_vacuum(spark, tmp_path, monkeypatch):
             raise FileNotFoundError(self._txn / f"{version:05d}.json")
         return real_manifest(self, version)
 
+    # capture each version's dir set before the race is injected
+    dirs = {v: set(vt._manifest(v)["dirs"]) for v in vt.versions()}
+    retained = dirs[2] | dirs[3]
+
     monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
     deleted = vt.vacuum(keep_last=2)
     monkeypatch.undo()
-    # v1 was scanned and dropped; v0's dirs were the racing vacuum's job
-    assert any(d.startswith("v00001") or "00001" in d for d in deleted) or deleted
+    # exactly v1's unshared dirs go: v1 was scanned and dropped, while
+    # v0's dirs were the RACING vacuum's job (its manifest vanished
+    # mid-scan) — this vacuum must not double-delete them
+    assert set(deleted) == dirs[1] - retained
+    assert not (set(deleted) & dirs[0])
     # retained head still reads back exactly
     assert vt.read(spark).count() == 4
     assert vt.read(spark, vt.versions()[-2]).count() == 3

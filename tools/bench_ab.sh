@@ -40,20 +40,29 @@ git worktree add --detach "$WT" "$REF" >/dev/null 2>&1 || {
 # one bench run in $1 (tree dir); appends "arm wall start end" to $2
 run_one() {
     local dir="$1" arm="$2" out="$3"
-    local line
-    line=$( (cd "$dir" && timeout 560 python bench.py 2>/dev/null) \
+    local line vals err
+    err=$(mktemp)
+    line=$( (cd "$dir" && timeout 560 python bench.py 2>"$err") \
             | grep '"metric"' | tail -1) || true
     if [ -z "$line" ]; then
-        echo "bench_ab: bench run failed in $dir ($arm)" >&2
+        echo "bench_ab: bench run failed in $dir ($arm); stderr tail:" >&2
+        tail -20 "$err" >&2
+        rm -f "$err"
         return 1
     fi
-    python - "$arm" "$out" <<EOF
+    rm -f "$err"
+    # parse via stdin (never splice $line into source: the metric line can
+    # carry tty junk before the '{', including shell/Python metachars)
+    vals=$(printf '%s' "$line" | python -c '
 import json, sys
-s = '''$line'''
+s = sys.stdin.read()
 d = json.loads(s[s.find("{"):])
-with open(sys.argv[2], "a") as fh:
-    fh.write(f'{sys.argv[1]} {d["value"]} {d["load_canary_start"]} {d["load_canary_end"]}\n')
-EOF
+print(d["value"], d["load_canary_start"], d["load_canary_end"])
+') || {
+        echo "bench_ab: unparsable metric line from $dir ($arm)" >&2
+        return 1
+    }
+    echo "$arm $vals" >> "$out"
 }
 
 RESULTS=$(mktemp)

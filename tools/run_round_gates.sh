@@ -99,14 +99,19 @@ if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
         # the builder hand-assembled this table). Control ref: env
         # override, else the previous round's verdict-snapshot commit.
         if [ "${BENCH_AB_SKIP:-0}" != "1" ]; then
-            ref="${BENCH_AB_REF:-$(git log --grep='^round [0-9]*: verdict' -1 --format=%H 2>/dev/null)}"
+            # control = the most recent round-verdict snapshot that is not
+            # HEAD itself (a battery run directly on the verdict commit
+            # would otherwise A/B the tree against itself — vacuous)
+            ref="${BENCH_AB_REF:-$(git log --grep='^round [0-9]*: verdict' -2 --format=%H 2>/dev/null | grep -v "^$(git rev-parse HEAD)$" | head -1)}"
             if [ -n "$ref" ]; then
-                if run bench_ab bash tools/bench_ab.sh "$ref" "${BENCH_AB_PAIRS:-2}"; then :; fi
+                run bench_ab bash tools/bench_ab.sh "$ref" "${BENCH_AB_PAIRS:-2}"
                 v=$(grep -h '^AB_VERDICT' "$LOGDIR/bench_ab.log" | tail -1)
                 st=$(cat "$LOGDIR/bench_ab.status")
-                # the A/B is evidence, not a gate: always informational,
-                # with the verdict (or the run failure) in the status line
-                echo "info ${v:-A/B-run-${st%% *}} ${st#* }" > "$LOGDIR/bench_ab.status"
+                # the A/B is evidence, not a gate: always informational —
+                # but keep the run outcome visible, so a verdict computed
+                # from fewer arms than requested (one run failed/timed
+                # out) can't read as a clean table in the ledger
+                echo "info [run=${st%% *}] ${v:-no-AB_VERDICT-line} ${st#* }" > "$LOGDIR/bench_ab.status"
             fi
         fi
     fi
