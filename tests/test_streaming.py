@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -194,6 +196,47 @@ def test_etl_scheduler_ticks():
     # redo the full build — lifetime state says it already ran
     sched.run(max_ticks=2)
     assert seen == [False, True, True, True, True]
+
+
+def test_etl_scheduler_on_error_continue_keeps_cadence():
+    """Reference parity (mamba_main.sql:11-14): MySQL fires each scheduled
+    event independently — one failing CALL doesn't cancel future events.
+    on_error='continue' must log-and-keep-ticking, and a FAILED tick must
+    not count toward full-vs-incremental state: if the initial full build
+    dies midway, the retry is full again, not incremental over half-built
+    state."""
+    seen = []
+
+    def run_once(inc):
+        seen.append(inc)
+        if len(seen) in (1, 3):  # first (full) tick and one later tick fail
+            raise RuntimeError(f"transient failure on call {len(seen)}")
+
+    sched = EtlScheduler(
+        run_once, interval_seconds=0, incremental=True, on_error="continue"
+    )
+    sched.run(max_ticks=5)
+    # call 1 full (failed) -> call 2 full again (retry of the full build),
+    # calls 3-5 incremental (ticks>0 after call 2 succeeded), call 3's
+    # failure doesn't demote later ticks back to full
+    assert seen == [False, False, True, True, True]
+    assert sched.ticks == 3  # successful ticks only
+    assert sched.failures == 2
+    assert isinstance(sched.last_error, RuntimeError)
+    assert "call 3" in str(sched.last_error)
+
+
+def test_etl_scheduler_default_raises_fail_fast():
+    def run_once(inc):
+        raise RuntimeError("boom")
+
+    sched = EtlScheduler(run_once, interval_seconds=0)
+    with pytest.raises(RuntimeError, match="boom"):
+        sched.run(max_ticks=3)
+    assert sched.ticks == 0
+
+    with pytest.raises(ValueError, match="on_error"):
+        EtlScheduler(run_once, on_error="retry")
 
 
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
