@@ -174,7 +174,18 @@ class VersionedParquetTable:
 
             dirs = [data_dir]
             if mode == "append" and head is not None:
-                prev = self._manifest(head)
+                try:
+                    prev = self._manifest(head)
+                except FileNotFoundError:
+                    # head was superseded AND vacuumed between the
+                    # latest_version() glob and this open (a newer commit
+                    # plus its post-commit vacuum landed in between) —
+                    # the same glob-to-open race the log scans tolerate.
+                    # Retry against the new head; the staged data dir is
+                    # reused on the next attempt's manifest only if that
+                    # attempt wins, so drop it like a lost os.link race.
+                    shutil.rmtree(self._files / data_dir, ignore_errors=True)
+                    continue
                 dirs = prev["dirs"] + dirs
                 stats = {**prev.get("stats", {}), **stats}
             manifest = {
@@ -314,7 +325,15 @@ class VersionedParquetTable:
         if head is None:
             raise FileNotFoundError(f"no committed version under {self.path}")
         v = head if version is None else version
-        m = self._manifest(v)
+        try:
+            m = self._manifest(v)
+        except FileNotFoundError:
+            # vacuumed between the head glob and the open (or the caller
+            # named a version that never existed): the same descriptive
+            # error read() raises, not a raw open() ENOENT
+            raise FileNotFoundError(
+                f"version {v} not in log (have {self.versions()})"
+            ) from None
         stats = m.get("stats", {})
         keep = []
         for d in m["dirs"]:
@@ -371,9 +390,15 @@ class VersionedParquetTable:
                 raise FileNotFoundError(
                     f"no committed version under {self.path}"
                 )
+            try:
+                m = self._manifest(head)
+            except FileNotFoundError:
+                # head superseded and vacuumed between the glob and the
+                # open (concurrent commit + post-commit vacuum): retry
+                # against the new head, like a lost version-slot race
+                continue
             if not keys:  # nothing to erase — and isin() rejects 0 args
-                return head, 0, len(self._manifest(head)["dirs"])
-            m = self._manifest(head)
+                return head, 0, len(m["dirs"])
             stats = m.get("stats", {})
             touched, untouched = [], []
             for d in m["dirs"]:

@@ -427,3 +427,72 @@ def test_read_explicit_version_vacuumed_mid_read(spark, tmp_path, monkeypatch):
         vt.read(spark, 0)
     # the head is unaffected by the race
     assert vt.read(spark).count() == 2
+
+
+def test_append_retries_when_head_vacuumed_mid_commit(spark, tmp_path, monkeypatch):
+    """Round-12 sweep: the append path opens the head manifest after the
+    latest_version() glob; a concurrent commit + post-commit vacuum can
+    retire that head in between. The optimistic retry loop must absorb
+    the vanished manifest like a lost version-slot race — and drop the
+    abandoned staging dir — not leak FileNotFoundError out of write()."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(spark.range(2).toDF("id"))
+
+    real_manifest = VersionedParquetTable._manifest
+    calls = {"n": 0}
+
+    def racy_manifest(self, version):
+        calls["n"] += 1
+        if calls["n"] == 1:  # head vacuumed between glob and first open
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real_manifest(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    v = vt.write(spark.range(3).toDF("id"), mode="append")
+    monkeypatch.undo()
+    assert v == 1
+    assert vt.read(spark).count() == 5
+    # the first attempt's staging dir was dropped: only v0's dir and the
+    # winning attempt's dir remain
+    data_dirs = [d for d in (tmp_path / "t" / "_files").iterdir() if d.is_dir()]
+    assert len(data_dirs) == 2
+
+
+def test_read_pruned_explicit_version_vacuumed_mid_read(spark, tmp_path, monkeypatch):
+    """read_pruned() must surface the same descriptive 'version N not in
+    log' error read() raises when the manifest vanishes under it."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(spark.range(4).toDF("id"), stats_cols=["id"])
+
+    def racy_manifest(self, version):
+        raise FileNotFoundError(self._txn / f"{version:05d}.json")
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    with pytest.raises(FileNotFoundError, match="version 0 not in log"):
+        vt.read_pruned(spark, "id", 0, 2)
+
+
+def test_forget_retries_when_head_vacuumed_mid_commit(spark, tmp_path, monkeypatch):
+    """forget()'s retry loop must also absorb a head manifest vacuumed
+    between its glob and open, retrying against the re-read head."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(
+        spark.range(5).toDF("id").withColumn("k", F.col("id")),
+        stats_cols=["k"],
+    )
+
+    real_manifest = VersionedParquetTable._manifest
+    calls = {"n": 0}
+
+    def racy_manifest(self, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real_manifest(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy_manifest)
+    v, touched, total = vt.forget(spark, "k", [2])
+    monkeypatch.undo()
+    assert v == 1
+    rows = {r["k"] for r in vt.read(spark).collect()}
+    assert rows == {0, 1, 3, 4}
