@@ -18,11 +18,11 @@ import logging
 import time
 from typing import Callable
 
-logger = logging.getLogger(__name__)
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+
+logger = logging.getLogger(__name__)
 
 
 class EtlScheduler:

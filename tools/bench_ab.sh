@@ -37,6 +37,24 @@ trap cleanup EXIT
 git worktree add --detach "$WT" "$REF" >/dev/null 2>&1 || {
     echo "bench_ab: worktree add failed for $REF" >&2; exit 2; }
 
+# The 'head' arm benches the WORKING TREE (in the battery that is the
+# tree about to be committed — the thing we actually want adjudicated),
+# which only equals the HEAD commit when the tree is clean. Annotate
+# loudly when it isn't, so a dirty-tree A/B can't be read as
+# HEAD-vs-control in the ledger (round-12 ADVICE item 3).
+head_arm_desc() {
+    if [ -n "$(git status --porcelain --untracked-files=no 2>/dev/null)" ]; then
+        echo "WORKING TREE (dirty; not commit $(git rev-parse --short HEAD))"
+    else
+        echo "HEAD ($(git rev-parse --short HEAD))"
+    fi
+}
+HEAD_ARM_DESC="$(head_arm_desc)"
+case "$HEAD_ARM_DESC" in "WORKING TREE"*)
+    echo "bench_ab: WARNING: working tree has uncommitted changes —" \
+         "the 'head' arm benches the working tree, not the HEAD commit" >&2
+esac
+
 # one bench run in $1 (tree dir); appends "arm wall start end" to $2
 run_one() {
     local dir="$1" arm="$2" out="$3"
@@ -73,7 +91,7 @@ for i in $(seq 1 "$PAIRS"); do
     run_one "$WT"  control "$RESULTS" || fail=1
 done
 
-echo "== bench A/B: HEAD vs $REF ($PAIRS pairs, alternating) =="
+echo "== bench A/B: $HEAD_ARM_DESC vs $REF ($PAIRS pairs, alternating) =="
 printf '%-8s %-8s %-7s %-7s\n' arm wall start end
 awk '{printf "%-8s %-8s %-7s %-7s\n", $1, $2, $3, $4}' "$RESULTS"
 

@@ -15,6 +15,22 @@ LOGDIR="${GATE_LOG_DIR:-/tmp/round_gates}"
 mkdir -p "$LOGDIR"
 rm -f "$LOGDIR"/*.status
 
+# Classify a bench_ab leg for the gate loop (round-12 ADVICE item 2).
+# $1 = raw bench_ab run status ("ok 123s" / "FAIL 123s"), $2 = AB_VERDICT
+# line (may be empty). The VERDICT is evidence, not a gate (head-slower
+# on a busy box is expected noise) — but the RUN must work: a bench_ab
+# whose runs fail/time out would otherwise silently stop producing the
+# control evidence the protocol depends on. run ok ⇒ informational
+# (info*, passes); run failed ⇒ WARN-ab-run-failed (fails the battery).
+ab_status_line() {
+    local st="$1" v="$2"
+    if [ "${st%% *}" = "ok" ]; then
+        echo "info [run=ok] ${v:-no-AB_VERDICT-line} ${st#* }"
+    else
+        echo "WARN-ab-run-failed [run=${st%% *}] ${v:-no-AB_VERDICT-line} ${st#* }"
+    fi
+}
+
 run() {
     local name="$1"; shift
     local t0=$SECONDS
@@ -107,11 +123,7 @@ if grep -q '^ok' "$LOGDIR/bench.status" 2>/dev/null; then
                 run bench_ab bash tools/bench_ab.sh "$ref" "${BENCH_AB_PAIRS:-2}"
                 v=$(grep -h '^AB_VERDICT' "$LOGDIR/bench_ab.log" | tail -1)
                 st=$(cat "$LOGDIR/bench_ab.status")
-                # the A/B is evidence, not a gate: always informational —
-                # but keep the run outcome visible, so a verdict computed
-                # from fewer arms than requested (one run failed/timed
-                # out) can't read as a clean table in the ledger
-                echo "info [run=${st%% *}] ${v:-no-AB_VERDICT-line} ${st#* }" > "$LOGDIR/bench_ab.status"
+                ab_status_line "$st" "$v" > "$LOGDIR/bench_ab.status"
             fi
         fi
     fi
