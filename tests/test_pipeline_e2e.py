@@ -256,3 +256,51 @@ def test_stress_harness_measures_before_invariants():
             invariant_line = node.lineno
     assert measure_line is not None and invariant_line is not None
     assert measure_line < invariant_line
+
+
+def test_scheduler_on_error_continue_survives_transient_tick_failure(
+    spark, sf_dir, tmp_path
+):
+    """Round-12 verdict task 6: the reference-faithful resilience path
+    composed with REAL sinks, not just the unit-level counter test. MySQL
+    fires each scheduled event independently — one failing
+    sp_mamba_etl_schedule CALL doesn't cancel future events (reference:
+    api/src/main/resources/mamba/mamba_main.sql:11-14) — so a mid-life
+    tick whose source is transiently unreadable must be absorbed
+    (on_error="continue"), leave the served store intact, and the NEXT
+    tick must complete incrementally (the failed tick must not count
+    toward full-vs-incremental state)."""
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    store = str(tmp_path / "store")
+    runs: list[bool] = []
+    tick_no = {"n": 0}
+
+    def run_once(incremental: bool) -> None:
+        tick_no["n"] += 1
+        if tick_no["n"] == 2:  # mid-life transient failure: source gone
+            src = str(tmp_path / "no_such_source_dir")
+        else:
+            src = sf_dir
+        ctx = run_clinical_pipeline(spark, src, incremental=incremental)
+        materialize(spark, ctx, store)
+        runs.append(incremental)
+
+    sched = EtlScheduler(
+        run_once, interval_seconds=0, incremental=True, on_error="continue"
+    )
+    sched.run(max_ticks=3)
+
+    # tick 1 full, tick 2 failed (absorbed), tick 3 incremental
+    assert runs == [False, True]
+    assert sched.ticks == 2 and sched.failures == 1
+    assert sched.last_error is not None
+    # the served store survived the failed tick and the incremental
+    # tick re-published: head snapshot is complete and consistent
+    fact = VersionedParquetTable(
+        str(Path(store) / "mamba_fact_order_totals")
+    ).read(spark)
+    assert fact.count() == fact.select("person_id").distinct().count()
+    assert fact.count() > 0
