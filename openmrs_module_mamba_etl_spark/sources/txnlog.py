@@ -16,12 +16,17 @@ concurrency. The same manifest-log design the lakehouse formats
   each name against the new root first, then the legacy one;
 - readers resolve ONE manifest and read only its directories — a writer
   can never make a reader see a half-committed state, because the
-  manifest appears atomically (``os.rename``, POSIX-atomic within a
-  filesystem) only after its data is fully written;
-- writers commit optimistically: stage data, then try to rename the
-  manifest for version k; if k was taken by a concurrent writer, re-read
-  the head and retry at k+1 (append semantics compose; overwrite simply
-  supersedes);
+  manifest appears atomically (``os.link`` of the fully-written temp
+  file, POSIX-atomic within a filesystem) only after its data is fully
+  written;
+- writers commit optimistically: stage data, then claim version k's slot
+  (a permanent hardlink under ``_txn/slots/`` — see
+  :meth:`VersionedParquetTable._claim_and_publish`) and publish the
+  manifest; if k was taken by a concurrent writer, re-read the head and
+  retry at k+1 (append semantics compose; overwrite simply supersedes).
+  Slots are never vacuumed, so a retired version number can never be
+  claimed again (no stale-snapshot resurrection), and the slot file
+  doubles as a write-ahead record that heals crashed commits;
 - ``vacuum`` deletes data directories no retained manifest references.
 
 Relation to the simpler sinks: ``operators/incremental.py`` staging-swap
@@ -49,6 +54,9 @@ class VersionedParquetTable:
         self._txn = self.path / "_txn"
         self._files = self.path / "_files"
         self._legacy_files = self.path / "files"  # pre-round-10 layout
+        # permanent version-slot claims (hardlinks to each version's
+        # manifest, never vacuumed) — see _claim_and_publish
+        self._slots = self._txn / "slots"
 
     def data_dir(self, d: str) -> Path:
         """Absolute path of manifest data directory ``d``: the current
@@ -109,6 +117,54 @@ class VersionedParquetTable:
         ]
 
     # ---- write path -----------------------------------------------------
+
+    def _claim_and_publish(self, tmp: Path, version: int) -> bool:
+        """Atomically claim ``version``'s slot and publish its manifest.
+
+        The round-13 interleaving soak exposed a *slot resurrection* race
+        in the old single-link protocol (claim == the manifest file
+        itself): once vacuum unlinked an old manifest, its version slot
+        became claimable again, so a writer stalled across several
+        concurrent commits plus a vacuum could re-create version k BELOW
+        the live head — a stale snapshot referencing vacuumed data dirs.
+
+        The claim is therefore a hardlink into ``_txn/slots/<k>`` —
+        written once, NEVER vacuumed, so a slot can never be claimed
+        twice across the table's whole lifetime (Delta's log-retention
+        window solves the same race by time; a permanent O(bytes)
+        tombstone per version is cheaper than a clock assumption). The
+        slot file IS the manifest (hardlink to the fully-written tmp),
+        which makes the claim double as a write-ahead record: a writer
+        that crashes between claim and publish leaves a hole that any
+        later writer heals by completing the publish from the slot file
+        (:meth:`_heal_hole`) — same-inode links make heal/publish
+        idempotent. Returns False if the slot was already claimed (lost
+        the race; caller retries against the re-read head).
+        """
+        self._slots.mkdir(parents=True, exist_ok=True)
+        slot = self._slots / f"{version:05d}"
+        try:
+            os.link(tmp, slot)
+        except FileExistsError:
+            return False
+        try:
+            os.link(slot, self._txn / f"{version:05d}.json")
+        except FileExistsError:
+            pass  # a concurrent healer published for us — same inode
+        return True
+
+    def _heal_hole(self, version: int) -> None:
+        """Complete a crashed (or mid-publish) writer's commit: slot
+        claimed but manifest not yet published. The slot file carries the
+        full manifest, staged strictly after its data, so publishing it
+        is always safe; FileNotFoundError means there is no hole."""
+        slot = self._slots / f"{version:05d}"
+        target = self._txn / f"{version:05d}.json"
+        if slot.exists() and not target.exists():
+            try:
+                os.link(slot, target)
+            except (FileExistsError, FileNotFoundError):
+                pass
 
     def write(
         self,
@@ -203,13 +259,12 @@ class VersionedParquetTable:
 
             tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
             tmp.write_text(json.dumps(manifest, indent=2))
-            target = self._txn / f"{version:05d}.json"
-            try:
-                # atomic claim of the version slot: link fails if it exists
-                os.link(tmp, target)
-            except FileExistsError:
+            if not self._claim_and_publish(tmp, version):
                 tmp.unlink()
                 shutil.rmtree(self._files / data_dir, ignore_errors=True)
+                # the claimant may have crashed pre-publish: heal the
+                # hole so the retry sees the new head, not a stuck slot
+                self._heal_hole(version)
                 continue  # lost the race — retry against the new head
             tmp.unlink()
             return version
@@ -417,23 +472,37 @@ class VersionedParquetTable:
             # NULL (not true) for NULL keys, silently erasing rows the
             # caller never asked to forget — and NULL-only dirs are always
             # "touched" (stats bounds are None), guaranteeing the loss.
-            kept = spark.read.parquet(
-                *[str(self.data_dir(d)) for d in touched]
-            ).where(
-                F.col(key_col).isNull() | ~F.col(key_col).isin(*keys)
-            )
             data_dir = f"v{version:05d}-{uuid.uuid4().hex[:8]}"
-            kept.write.mode("overwrite").parquet(
-                str(self._files / data_dir)
-            )
-            stats_cols = sorted(
-                {c for s in stats.values() for c in s}
-            ) or [key_col]
-            row = spark.read.parquet(str(self._files / data_dir)).agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
-                *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
-            ).first()
+            try:
+                kept = spark.read.parquet(
+                    *[str(self.data_dir(d)) for d in touched]
+                ).where(
+                    F.col(key_col).isNull() | ~F.col(key_col).isin(*keys)
+                )
+                kept.write.mode("overwrite").parquet(
+                    str(self._files / data_dir)
+                )
+                stats_cols = sorted(
+                    {c for s in stats.values() for c in s}
+                ) or [key_col]
+                row = spark.read.parquet(str(self._files / data_dir)).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+                ).first()
+            except Exception:
+                # Round-13 soak find: the rewrite materializes from the
+                # head manifest's data dirs, and a concurrent commit +
+                # vacuum can retire that head — deleting dirs mid-scan
+                # (FAILED_READ_FILE). If the head we derived from is no
+                # longer retained, this is that race: drop the partial
+                # staging and retry against the new head, exactly like a
+                # lost version-slot claim. A failure with the head still
+                # live is real (corruption/IO) and must surface.
+                shutil.rmtree(self._files / data_dir, ignore_errors=True)
+                if head not in self.versions():
+                    continue
+                raise
             new_dirs = list(untouched)
             new_stats = {d: stats[d] for d in untouched if d in stats}
             if row["n"] > 0:
@@ -453,12 +522,10 @@ class VersionedParquetTable:
             }
             tmp = self._txn / f".{version:05d}.json.tmp-{data_dir}"
             tmp.write_text(json.dumps(manifest, indent=2))
-            target = self._txn / f"{version:05d}.json"
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
+            if not self._claim_and_publish(tmp, version):
                 tmp.unlink()
                 shutil.rmtree(self._files / data_dir, ignore_errors=True)
+                self._heal_hole(version)
                 continue  # concurrent commit — re-derive against new head
             tmp.unlink()
             return version, len(touched), len(m["dirs"])
@@ -479,7 +546,16 @@ class VersionedParquetTable:
         retry — or crash garbage; deleting it under a running write
         would fail that writer with an error its optimistic-retry loop
         cannot absorb, so such orphans are left alone (an age-based
-        orphan sweep belongs to a maintenance window, not here)."""
+        orphan sweep belongs to a maintenance window, not here).
+
+        ``keep_last`` must be >= 1: version-slot claims under
+        ``_txn/slots/`` are permanent by design (they are what makes a
+        vacuumed slot un-resurrectable), so emptying the LOG entirely
+        with vacuum(0) would leave every slot claimed and the next write
+        healing a dangling version 0 — deleting a whole table is the
+        caller's ``rmtree``, not a vacuum."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         # _retained_manifests() tolerates the versions()-glob → open race
         # against a CONCURRENT vacuum (two post-commit vacuums from racing
         # _publish calls are a supported scenario): a manifest unlinked in

@@ -496,3 +496,222 @@ def test_forget_retries_when_head_vacuumed_mid_commit(spark, tmp_path, monkeypat
     assert v == 1
     rows = {r["k"] for r in vt.read(spark).collect()}
     assert rows == {0, 1, 3, 4}
+
+
+def test_randomized_interleaving_soak(spark, tmp_path):
+    """Round-12 verdict task 2: close the TOCTOU race class WHOLESALE.
+
+    Rounds 11-12 found five glob-to-open races one targeted review at a
+    time (head vacuumed mid-append, mid-forget, mid-read, concurrent
+    vacuums, log scans). Instead of chasing the class site by site, this
+    soak runs every public op concurrently against ONE table — appends,
+    overwrites, exactly-once batch appends (with re-deliveries), pruned
+    and plain reads, history/batch-id scans, forgets, and continuous
+    vacuums — under randomized interleaving, and asserts:
+
+    - no RAW ENOENT ever escapes (``FileNotFoundError`` with ``errno``
+      set, i.e. an unguarded ``open()``/``rmtree`` path) — only the
+      documented descriptive errors are acceptable, and only from reads
+      whose version a concurrent vacuum actually retired;
+    - every writer completes (optimistic retries absorb all races);
+    - the final log is consistent: head readable, every retained
+      manifest's dirs on disk, no leaked staging manifests, re-delivered
+      batch ids deduplicated.
+
+    Reference behavior guarded: concurrent scheduled runs — the
+    reference's event scheduler has no run-exclusion either
+    (reference: api/src/main/resources/mamba/mamba_main.sql:11-14).
+    """
+    import random
+    import threading
+
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(
+        spark.range(10).toDF("id").withColumn("k", F.col("id") % 5),
+        stats_cols=["k"],
+    )
+
+    stop = threading.Event()
+    failures: list[str] = []
+    flock = threading.Lock()
+
+    def fail(who, exc):
+        with flock:
+            failures.append(f"{who}: {type(exc).__name__}: {exc}")
+
+    def classify_read_exc(who, exc, version_read):
+        """Descriptive FNF for a since-retired version is the documented
+        contract; anything else (raw ENOENT above all) is a bug."""
+        if isinstance(exc, FileNotFoundError):
+            if getattr(exc, "errno", None) is not None:
+                fail(who, exc)  # raw open()/ENOENT escaped a log scan
+            return  # descriptive error: documented for vacuumed versions
+        msg = str(exc)
+        retired = version_read is not None and version_read not in vt.versions()
+        if retired and ("PATH_NOT_FOUND" in msg or "does not exist" in msg):
+            return  # snapshot vacuumed mid-materialization: lakehouse contract
+        fail(who, exc)
+
+    def appender(seed):
+        rng = random.Random(seed)
+        def run():
+            try:
+                for i in range(6):
+                    mode = "append" if rng.random() < 0.8 else "overwrite"
+                    n = rng.randint(3, 12)
+                    df = spark.range(n).toDF("id").withColumn(
+                        "k", F.col("id") % 5
+                    )
+                    vt.write(df, mode=mode, stats_cols=["k"])
+            except Exception as e:  # noqa: BLE001 — soak classifier
+                fail(f"appender{seed}", e)
+        return run
+
+    def batcher():
+        try:
+            for b in range(8):
+                vt.append_batch(
+                    spark.range(4).toDF("id").withColumn("k", F.lit(b % 5)),
+                    batch_id=b % 5,  # ids 0-4, 5-7 are re-deliveries
+                    stats_cols=["k"],
+                )
+        except Exception as e:  # noqa: BLE001
+            fail("batcher", e)
+
+    def vacuumer():
+        rng = random.Random(99)
+        while not stop.is_set():
+            try:
+                vt.vacuum(keep_last=rng.choice([1, 2, 3]))
+            except Exception as e:  # noqa: BLE001
+                fail("vacuumer", e)
+                return
+
+    def reader():
+        rng = random.Random(7)
+        while not stop.is_set():
+            v = None
+            try:
+                op = rng.randrange(4)
+                if op == 0:
+                    v = vt.latest_version()
+                    if v is not None:
+                        vt.read(spark, v).count()
+                elif op == 1:
+                    v = vt.latest_version()
+                    if v is not None:
+                        df, _, _ = vt.read_pruned(spark, "k", 1, 3, version=v)
+                        df.count()
+                elif op == 2:
+                    vt.history()
+                else:
+                    vt.committed_batch_ids()
+            except Exception as e:  # noqa: BLE001
+                classify_read_exc("reader", e, v)
+
+    def forgetter():
+        rng = random.Random(13)
+        try:
+            for _ in range(4):
+                vt.forget(spark, "k", [rng.randrange(5)])
+        except Exception as e:  # noqa: BLE001
+            fail("forgetter", e)
+
+    writers = [
+        threading.Thread(target=appender(1)),
+        threading.Thread(target=appender(2)),
+        threading.Thread(target=batcher),
+        threading.Thread(target=forgetter),
+    ]
+    aux = [threading.Thread(target=vacuumer), threading.Thread(target=reader)]
+    for t in writers + aux:
+        t.start()
+    for t in writers:
+        t.join(timeout=300)
+    stop.set()
+    for t in aux:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in writers + aux), "soak thread hung"
+    assert failures == [], "\n".join(failures)
+
+    # final-state consistency: head readable with the right schema...
+    head_df = vt.read(spark)
+    assert set(head_df.columns) == {"id", "k"}
+    head_df.count()
+    # ...every retained manifest's dirs actually on disk...
+    for v, m in vt._retained_manifests():
+        for d in m["dirs"]:
+            assert vt.data_dir(d).exists(), f"v{v} references missing dir {d}"
+    # ...no leaked staging manifests (losers unlink their tmp files)...
+    assert list(vt._txn.glob(".*.tmp-*")) == []
+    # ...and re-delivered batch ids deduplicated (subset: old batch
+    # versions may legitimately have been vacuumed away)
+    assert vt.committed_batch_ids() <= {0, 1, 2, 3, 4}
+
+
+def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    """Slots are permanent, so vacuum(0) (empty the log entirely) would
+    leave every slot claimed and the next write healing a dangling v0 —
+    whole-table deletion is rmtree, not vacuum."""
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(spark.range(1).toDF("id"))
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        vt.vacuum(keep_last=0)
+
+
+def test_vacuumed_slot_cannot_be_reclaimed(spark, tmp_path):
+    """Round-13 soak-adjacent fix: under the old protocol (claim == the
+    manifest file itself) vacuum unlinking an old manifest RE-OPENED its
+    version slot, so a writer stalled across several concurrent commits
+    plus a vacuum could resurrect version k below the live head — a
+    stale snapshot referencing vacuumed data dirs. Slots are permanent:
+    a retired version number is never claimable again."""
+    import json as _json
+
+    vt = VersionedParquetTable(tmp_path / "t")
+    for n in (1, 2, 3, 4):
+        vt.write(spark.range(n).toDF("id"))
+    vt.vacuum(keep_last=1)
+    assert vt.versions() == [3]
+
+    # the stalled writer's final act: claim+publish at a vacuumed slot
+    tmp = vt._txn / ".00001.json.tmp-zzz"
+    tmp.write_text(_json.dumps({"version": 1, "op": "append", "dirs": []}))
+    assert vt._claim_and_publish(tmp, 1) is False  # slot stays claimed
+    tmp.unlink()
+    assert vt.versions() == [3]  # no stale version re-appeared
+    assert vt.read(spark).count() == 4
+
+
+def test_crashed_commit_healed_by_next_writer(spark, tmp_path):
+    """A writer that crashes between slot claim and manifest publish
+    leaves a hole; the slot file IS the manifest (write-ahead record),
+    so the next writer completes the publish and commits above it."""
+    import json as _json
+    import os as _os
+
+    vt = VersionedParquetTable(tmp_path / "t")
+    vt.write(spark.range(2).toDF("id"))
+
+    # simulate the crash: stage v1's data + claim its slot, never publish
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(
+        str(vt._files / "v00001-crash"))
+    manifest = {
+        "version": 1, "op": "append",
+        "dirs": vt._manifest(0)["dirs"] + ["v00001-crash"],
+        "stats": {},
+        "schema": vt.read(spark).schema.jsonValue(),
+    }
+    tmp = vt._txn / ".00001.json.tmp-crash"
+    tmp.write_text(_json.dumps(manifest))
+    vt._slots.mkdir(parents=True, exist_ok=True)
+    _os.link(tmp, vt._slots / "00001")
+    tmp.unlink()
+    assert vt.versions() == [0]  # the crashed commit is invisible...
+
+    v = vt.write(spark.range(4).toDF("id"), mode="append")
+    # ...until the next writer heals it and commits strictly above it
+    assert v == 2
+    assert vt.versions() == [0, 1, 2]
+    assert vt.read(spark, 1).count() == 5   # healed commit reads back
+    assert vt.read(spark).count() == 9      # and the append chained on it
