@@ -155,16 +155,44 @@ class VersionedParquetTable:
 
     def _heal_hole(self, version: int) -> None:
         """Complete a crashed (or mid-publish) writer's commit: slot
-        claimed but manifest not yet published. The slot file carries the
-        full manifest, staged strictly after its data, so publishing it
-        is always safe; FileNotFoundError means there is no hole."""
+        claimed but manifest not yet published.
+
+        Heal ONLY a hole at the log's TIP — slot-without-manifest with no
+        higher slot (round-13 self-review). A VACUUMED version is also
+        slot-without-manifest, and its slot file still carries the old
+        manifest, so an unguarded link would republish a retired version
+        below the live head — the resurrection the slot protocol exists
+        to prevent. The tip test separates the two cases exactly: vacuum
+        retires v only when a newer live manifest (hence a higher slot)
+        exists, while no writer can ever claim ABOVE a genuine hole (a
+        head-read cannot see the unpublished v, so the next claim target
+        is v itself, which is taken). The residual check-then-link window
+        would need two full commits plus a vacuum — each O(100 ms) of
+        parquet I/O — to land between two adjacent syscalls; the same
+        order-of-magnitude argument behind Delta's retention window,
+        with structure instead of a clock.
+        """
         slot = self._slots / f"{version:05d}"
         target = self._txn / f"{version:05d}.json"
-        if slot.exists() and not target.exists():
-            try:
-                os.link(slot, target)
-            except (FileExistsError, FileNotFoundError):
-                pass
+        if not slot.exists() or target.exists():
+            return
+        try:
+            max_slot = max(
+                (
+                    int(p.name)
+                    for p in self._slots.iterdir()
+                    if p.name.isdigit()
+                ),
+                default=version,
+            )
+        except FileNotFoundError:
+            return
+        if max_slot > version:
+            return  # retired (vacuumed) slot, not a tip hole
+        try:
+            os.link(slot, target)
+        except (FileExistsError, FileNotFoundError):
+            pass
 
     def write(
         self,
@@ -343,7 +371,13 @@ class VersionedParquetTable:
         # the race between two concurrent deliveries of the SAME batch is
         # closed by the version-slot claim: both stage, one wins the slot;
         # the loser re-reads the head, sees the batch_id, and aborts here.
-        for _ in range(3):
+        # Each lost race to an OTHER batch re-runs the dedup check then
+        # retries — contention is not an error (the round-13 interleaving
+        # soak drove 4 concurrent writers past the old 3-attempt budget),
+        # so the budget matches write()'s optimistic-retry default; only
+        # genuine livelock surfaces.
+        max_retries = 20
+        for _ in range(max_retries):
             try:
                 return self._commit(
                     df,
@@ -356,7 +390,8 @@ class VersionedParquetTable:
                 if batch_id in self.committed_batch_ids():
                     return None
         raise RuntimeError(
-            f"batch {batch_id}: lost 3 version races to OTHER batches"
+            f"batch {batch_id}: lost {max_retries} version races to "
+            "OTHER batches"
         )
 
     def read_pruned(
@@ -564,7 +599,7 @@ class VersionedParquetTable:
         # FileNotFoundError out of a publish tick.
         scanned = self._retained_manifests()
         vs = [v for v, _ in scanned]
-        keep_vs = vs[-keep_last:] if keep_last > 0 else []
+        keep_vs = vs[-keep_last:]
         referenced: set[str] = set()
         dropped_refs: set[str] = set()
         for v, m in scanned:

@@ -168,3 +168,68 @@ def test_scripts_parse():
     for p in ("tools/run_round_gates.sh", "tools/bench_ab.sh"):
         r = _bash(f"bash -n {p}")
         assert r.returncode == 0, r.stderr
+
+
+def _extract_ab_summary_py() -> str:
+    """The python heredoc inside bench_ab.sh that prints the per-arm
+    spreads, the AB_VERDICT line, and the best-arm per-query JSON."""
+    src = open(os.path.join(REPO, "tools", "bench_ab.sh")).read()
+    m = re.search(r'^python - "\$RESULTS" <<\'EOF\'\n(.*?)^EOF$', src, re.S | re.M)
+    assert m, "summary heredoc not found in bench_ab.sh"
+    return m.group(1)
+
+
+def test_ab_summary_emits_best_arm_queries(tmp_path):
+    """Round-13 gap: a busy round whose only band-comparable reading is
+    an A/B arm had totals but no watch-query evidence. The summary must
+    surface each arm's BEST run's per-query timings, machine-parsable."""
+    import json
+
+    results = tmp_path / "results"
+    results.write_text(
+        "head 9.0 0.5 0.1\ncontrol 8.5 0.4 0.1\n"
+        "head 8.2 0.35 0.1\ncontrol 10.0 0.45 0.2\n"
+    )
+    (tmp_path / "results.run3.head.json").write_text(
+        '{"metric":"x","value":8.2,"load_canary_start":0.35,'
+        '"load_canary_end":0.1,"queries":{"q1":1.5}}'
+    )
+    (tmp_path / "results.run2.control.json").write_text(
+        # tty junk before the '{' must be tolerated, like the caller does
+        'junk{"metric":"x","value":8.5,"load_canary_start":0.4,'
+        '"load_canary_end":0.1,"queries":{"q1":1.7}}'
+    )
+    r = subprocess.run(
+        [sys.executable, "-", str(results)],
+        input=_extract_ab_summary_py(),
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    assert "AB_VERDICT: no-code-regression" in out
+    best_head = json.loads(
+        [l for l in out.splitlines() if l.startswith("AB_BEST_HEAD: ")][0]
+        .split(": ", 1)[1]
+    )
+    assert best_head == {
+        "wall": 8.2, "canaries": [0.35, 0.1], "queries": {"q1": 1.5}
+    }
+    best_ctl = json.loads(
+        [l for l in out.splitlines() if l.startswith("AB_BEST_CONTROL: ")][0]
+        .split(": ", 1)[1]
+    )
+    assert best_ctl["queries"] == {"q1": 1.7}
+
+
+def test_ab_summary_tolerates_missing_query_stash(tmp_path):
+    # a run whose JSON stash vanished must not crash the verdict
+    results = tmp_path / "results"
+    results.write_text("head 9.0 0.5 0.1\ncontrol 8.5 0.4 0.1\n")
+    r = subprocess.run(
+        [sys.executable, "-", str(results)],
+        input=_extract_ab_summary_py(),
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "AB_VERDICT" in r.stdout
+    assert "AB_BEST_" not in r.stdout

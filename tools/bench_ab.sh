@@ -81,6 +81,11 @@ print(d["value"], d["load_canary_start"], d["load_canary_end"])
         return 1
     }
     echo "$arm $vals" >> "$out"
+    # stash the full metric JSON per run so the summary can surface the
+    # BEST arm's per-query timings — without this, a busy round whose
+    # only band-comparable reading comes from the A/B has totals but no
+    # watch-query evidence (the round-13 gap)
+    printf '%s' "$line" > "$out.run$(wc -l < "$out").$arm.json"
 }
 
 RESULTS=$(mktemp)
@@ -96,16 +101,19 @@ printf '%-8s %-8s %-7s %-7s\n' arm wall start end
 awk '{printf "%-8s %-8s %-7s %-7s\n", $1, $2, $3, $4}' "$RESULTS"
 
 python - "$RESULTS" <<'EOF'
+import json
 import sys
+
 rows = [l.split() for l in open(sys.argv[1]) if l.strip()]
 arms = {}
-for arm, wall, s, e in rows:
-    arms.setdefault(arm, []).append(float(wall))
+for i, (arm, wall, s, e) in enumerate(rows, start=1):
+    arms.setdefault(arm, []).append((float(wall), i))
 for arm in ("head", "control"):
-    vs = arms.get(arm, [])
+    vs = [w for w, _ in arms.get(arm, [])]
     if vs:
         print(f"{arm}: min {min(vs):.3f}  max {max(vs):.3f}  n {len(vs)}")
-h, c = arms.get("head", []), arms.get("control", [])
+h = [w for w, _ in arms.get("head", [])]
+c = [w for w, _ in arms.get("control", [])]
 if h and c:
     if min(h) <= min(c) * 1.10:
         print("AB_VERDICT: no-code-regression "
@@ -113,6 +121,22 @@ if h and c:
     else:
         print("AB_VERDICT: head-slower "
               f"(HEAD min {min(h):.3f} > control min {min(c):.3f} * 1.10)")
+# per-query timings of each arm's BEST run, machine-parsable: the only
+# band-comparable watch-query evidence a busy round may have
+for arm in ("head", "control"):
+    if not arms.get(arm):
+        continue
+    wall, idx = min(arms[arm])
+    try:
+        raw = open(f"{sys.argv[1]}.run{idx}.{arm}.json").read()
+        d = json.loads(raw[raw.find("{"):])
+    except (OSError, ValueError):
+        continue
+    print(f"AB_BEST_{arm.upper()}: " + json.dumps({
+        "wall": d.get("value"),
+        "canaries": [d.get("load_canary_start"), d.get("load_canary_end")],
+        "queries": d.get("queries", {}),
+    }, sort_keys=True))
 EOF
-rm -f "$RESULTS"
+rm -f "$RESULTS" "$RESULTS".run*.json
 exit $fail
