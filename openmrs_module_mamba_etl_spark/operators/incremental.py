@@ -552,18 +552,95 @@ def compact_parquet(
     import math
 
     vt = _versioned_table(path)
+
+    def _count_files(manifest: dict) -> int:
+        return len(
+            [
+                f
+                for d in manifest["dirs"]
+                for f in vt.data_dir(d).rglob("*.parquet")
+                if f.is_file()
+            ]
+        )
+
     if vt.latest_version() is not None:
-        df = vt.read(spark)
-        # size the rewrite from the LATEST snapshot's directories only —
-        # older retained versions' files are not part of what gets
-        # compacted and would inflate the target file count
-        head_dirs = vt._manifest(vt.latest_version())["dirs"]
-        data_files = [
-            f
-            for d in head_dirs
-            for f in vt.data_dir(d).rglob("*.parquet")
-            if f.is_file()
-        ]
+        # Guarded against concurrent publish ticks (round-13: the same
+        # glob-to-open TOCTOU class the txnlog soak closed one layer
+        # down): the head manifest is resolved ONCE with a retry — a
+        # head retired between the latest_version() glob and the open
+        # (concurrent publish + post-publish vacuum) restarts the
+        # attempt against the new head instead of leaking a raw
+        # FileNotFoundError out of a maintenance op — and the rewrite
+        # sizes, reads, and commits from that SAME manifest.
+        for _ in range(20):
+            head = vt.latest_version()
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed version under {path} (log emptied "
+                    "mid-compaction)"
+                )
+            try:
+                m_head = vt._manifest(head)
+            except FileNotFoundError:
+                continue  # head retired between glob and open — retry
+            # size the rewrite from the LATEST snapshot's directories
+            # only — older retained versions' files are not part of what
+            # gets compacted and would inflate the target file count
+            head_dirs = m_head["dirs"]
+            data_files = [
+                f
+                for d in head_dirs
+                for f in vt.data_dir(d).rglob("*.parquet")
+                if f.is_file()
+            ]
+            total_bytes = sum(f.stat().st_size for f in data_files)
+            n_files = max(
+                1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024))
+            )
+            try:
+                if head_dirs:
+                    df = spark.read.parquet(
+                        *[str(vt.data_dir(d)) for d in head_dirs]
+                    )
+                else:
+                    df = vt.read(spark, head)  # empty snapshot: schema
+                compacted = df.repartition(n_files)
+                if sort_cols:
+                    compacted = compacted.sortWithinPartitions(*sort_cols)
+                v = vt.write(compacted, mode="overwrite")
+            except FileNotFoundError:
+                continue  # head vacuumed before the read resolved
+            except Exception:
+                # the rewrite materializes from the head's data dirs; a
+                # concurrent publish + vacuum deleting them mid-scan is
+                # the retirement race (retry) — anything else is real
+                if head in vt.versions():
+                    raise
+                continue
+            vt.vacuum(keep_last=2)
+            try:
+                return _count_files(vt._manifest(v))
+            except FileNotFoundError:
+                # our compacted version was superseded AND vacuumed by a
+                # concurrent publish before the count: report the files
+                # of the snapshot that superseded it (the truthful
+                # "files now"), with the same head-retry tolerance
+                for _ in range(20):
+                    h = vt.latest_version()
+                    if h is None:
+                        return 0
+                    try:
+                        return _count_files(vt._manifest(h))
+                    except FileNotFoundError:
+                        continue
+                raise RuntimeError(
+                    f"could not resolve a head manifest under {path} "
+                    "after 20 attempts (concurrent publishes)"
+                ) from None
+        raise RuntimeError(
+            f"could not compact {path} after 20 attempts against "
+            "concurrent publishes"
+        )
     else:
         # explicit top-level file list, not the recursive directory read:
         # a crashed first versioned commit leaves a manifest-less staging
@@ -595,18 +672,6 @@ def compact_parquet(
     if sort_cols:
         compacted = compacted.sortWithinPartitions(*sort_cols)
 
-    if vt.latest_version() is not None:
-        v = vt.write(compacted, mode="overwrite")
-        vt.vacuum(keep_last=2)
-        m = vt._manifest(v)
-        return len(
-            [
-                f
-                for d in m["dirs"]
-                for f in vt.data_dir(d).rglob("*.parquet")
-                if f.is_file()
-            ]
-        )
     staging = f"{path}.compacting"
     compacted.write.mode("overwrite").parquet(staging)
     _swap_dir(staging, path)

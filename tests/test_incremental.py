@@ -615,3 +615,187 @@ def test_compact_parquet_names_the_partitioned_fix(spark, tmp_path):
     ).write.partitionBy("part").parquet(target)
     with pytest.raises(PartitionedLegacyLayout, match="migrate_partitioned"):
         compact_parquet(spark, target)
+
+
+def test_publish_tick_interleaving_soak(spark, tmp_path):
+    """Round-13: the txnlog interleaving soak's contract, one layer up —
+    the PIPELINE publish surface. Concurrent scheduler ticks (`_publish`
+    overwrites with keep_versions down to 1), in-place compactions
+    (`compact_parquet`, which the soak-class review found leaking raw
+    FileNotFoundError from two unguarded `_manifest()` opens when a
+    concurrent publish + vacuum retires the head mid-compaction), and
+    continuous `read_published` readers against ONE target. Contract:
+    no raw ENOENT ever escapes, every publisher and compactor completes,
+    and the final target is a complete committed snapshot. Reference
+    behavior guarded: concurrent scheduled runs — the reference's event
+    scheduler has no run-exclusion (mamba_main.sql:11-14) and compaction
+    is exactly the maintenance op a second tick would race."""
+    import random
+    import threading
+
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        _publish,
+        _versioned_table,
+        compact_parquet,
+        read_published,
+    )
+
+    target = str(tmp_path / "served")
+    vt = _versioned_table(target)
+    _publish(
+        spark,
+        spark.range(20).toDF("id").withColumn("v", F.lit(0)),
+        target,
+        versioned=True,
+        keep_versions=2,
+    )
+
+    stop = threading.Event()
+    failures: list[str] = []
+    flock = threading.Lock()
+
+    def fail(who, exc):
+        with flock:
+            failures.append(f"{who}: {type(exc).__name__}: {exc}")
+
+    def publisher(seed):
+        rng = random.Random(seed)
+        def run():
+            try:
+                for i in range(6):
+                    df = spark.range(rng.randint(5, 40)).toDF(
+                        "id"
+                    ).withColumn("v", F.lit(seed * 100 + i))
+                    _publish(
+                        spark, df, target, versioned=True,
+                        keep_versions=rng.choice([1, 2]),
+                    )
+            except Exception as e:  # noqa: BLE001 — soak classifier
+                fail(f"publisher{seed}", e)
+        return run
+
+    def compactor():
+        try:
+            for _ in range(4):
+                n = compact_parquet(spark, target, target_file_mb=1)
+                assert n >= 0
+        except Exception as e:  # noqa: BLE001
+            fail("compactor", e)
+
+    def reader():
+        while not stop.is_set():
+            v0 = vt.latest_version()
+            try:
+                read_published(spark, target).count()
+            except FileNotFoundError as e:
+                if getattr(e, "errno", None) is not None:
+                    fail("reader", e)  # raw ENOENT escaped
+            except Exception as e:  # noqa: BLE001
+                # keep_versions=1 overwrites mean a latest-snapshot read
+                # can race its own retirement (lakehouse contract) — but
+                # only if the head actually moved under the read
+                if v0 is not None and (
+                    vt.latest_version() != v0 or v0 not in vt.versions()
+                ):
+                    continue
+                fail("reader", e)
+
+    writers = [
+        threading.Thread(target=publisher(1)),
+        threading.Thread(target=publisher(2)),
+        threading.Thread(target=compactor),
+    ]
+    aux = [threading.Thread(target=reader)]
+    for t in writers + aux:
+        t.start()
+    for t in writers:
+        t.join(timeout=300)
+    stop.set()
+    for t in aux:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in writers + aux), "soak thread hung"
+    assert failures == [], "\n".join(failures)
+
+    # final consistency: one complete committed snapshot with the right
+    # schema, every retained manifest's dirs on disk, no staging leaks
+    out = read_published(spark, target)
+    assert set(out.columns) == {"id", "v"}
+    assert out.count() > 0
+    for v, m in vt._retained_manifests():
+        for d in m["dirs"]:
+            assert vt.data_dir(d).exists(), f"v{v} references missing {d}"
+    assert list(vt._txn.glob(".*.tmp-*")) == []
+
+
+def test_compact_retries_when_head_vacuumed_mid_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """compact_parquet resolves the head manifest after the
+    latest_version() glob; a concurrent publish + post-publish vacuum
+    retiring the head in between must restart the attempt against the
+    new head — not leak a raw FileNotFoundError out of a maintenance op
+    (round-13, the txnlog TOCTOU class one layer up)."""
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        _publish,
+        compact_parquet,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    target = str(tmp_path / "t")
+    _publish(
+        spark, spark.range(30).toDF("id"), target,
+        versioned=True, keep_versions=2,
+    )
+
+    real = VersionedParquetTable._manifest
+    calls = {"n": 0}
+
+    def racy(self, version):
+        calls["n"] += 1
+        if calls["n"] == 1:  # head vacuumed between glob and open
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy)
+    n = compact_parquet(spark, target, target_file_mb=1)
+    monkeypatch.undo()
+    assert n >= 1
+    assert calls["n"] >= 2  # the retry actually happened
+
+
+def test_compact_count_falls_back_when_own_version_superseded(
+    spark, tmp_path, monkeypatch
+):
+    """If the compacted version is superseded AND vacuumed before the
+    post-write file count, compact_parquet reports the superseding
+    snapshot's files instead of raising."""
+    from openmrs_module_mamba_etl_spark.operators.incremental import (
+        _publish,
+        compact_parquet,
+    )
+    from openmrs_module_mamba_etl_spark.sources.txnlog import (
+        VersionedParquetTable,
+    )
+
+    target = str(tmp_path / "t")
+    _publish(
+        spark, spark.range(30).toDF("id"), target,
+        versioned=True, keep_versions=2,
+    )
+
+    real = VersionedParquetTable._manifest
+    calls = {"n": 0}
+
+    def racy(self, version):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-write count of OUR version
+            raise FileNotFoundError(self._txn / f"{version:05d}.json")
+        return real(self, version)
+
+    monkeypatch.setattr(VersionedParquetTable, "_manifest", racy)
+    n = compact_parquet(spark, target, target_file_mb=1)
+    monkeypatch.undo()
+    assert n >= 1
+    assert calls["n"] >= 3  # head-manifest fallback ran
