@@ -3204,9 +3204,13 @@ def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probe_df = spark.createDataFrame(probes, "qid long, cell int")
 
-    assigned = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).withColumn("cell", nearest_cell(F.col("embedding"), centroids))
+    from openmrs_module_mamba_etl_spark.functions.partitioning import (
+        spread_to_cores,
+    )
+
+    assigned = spread_to_cores(emb).withColumn(
+        "cell", nearest_cell(F.col("embedding"), centroids)
+    )
 
     brute = knn_join(
         emb.where(F.col("vec_id") < 5), emb, "vec_id", "vec_id",

@@ -14,7 +14,37 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from openmrs_module_mamba_etl_spark.functions.similarity import cosine
+from openmrs_module_mamba_etl_spark.functions.partitioning import (
+    spread_to_cores,
+)
+from openmrs_module_mamba_etl_spark.functions.similarity import (
+    bind,
+    cosine,
+    dot,
+    norm,
+)
+
+
+def _cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
+    """``cosine(vec, lit(query_vec))`` with the query's norm folded
+    driver-side.
+
+    ``norm(lit(q))`` is a higher-order-function fold — NOT constant-folded
+    by Catalyst (HOFs are non-foldable), so the expression form re-ran an
+    O(dim) interpreted fold per ROW for a vector known at plan time. The
+    Python loop below replays the fold exactly (same 0.0 seed, same
+    left-to-right ``acc + x*x`` order, IEEE doubles end to end, correctly
+    rounded sqrt), so the emitted values are bit-identical; per-row cost
+    drops from three O(dim) folds (dot, norm(vec), norm(q)) to two.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    nq = float(np.sqrt(acc))
+    d = dot(vec, q)
+    n = norm(vec) * F.lit(nq)
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
@@ -76,16 +106,15 @@ def brute_force_topk(
 
     Deterministic tiebreak on id so results are stable under reordering.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     # Single-file inputs arrive as one partition; spread so the (interpreted
     # higher-order-function) scoring runs on all cores. At real scale the
     # split count already exceeds cores and this repartition is skippable —
     # but it is one round-robin shuffle of (id, vec), cheap either way.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_to_cores(df)
     return (
         spread.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -118,7 +147,6 @@ def lsh_topk(
 
     probe = {qbucket ^ m for m in _flip_masks(planes, multiprobe_hamming)}
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), dim, planes, seed)
     )
@@ -126,7 +154,7 @@ def lsh_topk(
         bucketed.where(F.col("_bucket").isin(*sorted(probe)))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -149,8 +177,26 @@ def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
         # (array() of nothing is untyped and fails analysis)
         return F.lit(0).cast("int")
     C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(C, lambda c: cosine(vec, c))
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    def from_norm(nv: Column) -> Column:
+        # same arithmetic as cosine(vec, c) with norm(vec) hoisted: the
+        # per-row fold previously re-ran inside every centroid's lambda
+        # (cells × dim instead of dim).
+        def score(c: Column) -> Column:
+            d = dot(vec, c)
+            n = nv * norm(c)
+            return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+        # bind scores too: array_position(scores, array_max(scores))
+        # references the transform twice — one evaluation, not two.
+        return bind(
+            F.transform(C, score),
+            lambda scores: (
+                F.array_position(scores, F.array_max(scores)) - 1
+            ).cast("int"),
+        )
+
+    return bind(norm(vec), from_norm)
 
 
 def ivf_train(
@@ -268,14 +314,13 @@ def ivf_topk(
     sims = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv) + 1e-12)
     probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
 
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    spread = spread_to_cores(df)
     return (
         ivf_assign(spread, vec_col, centroids, "_cell")
         .where(F.col("_cell").isin(probe))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -453,8 +498,7 @@ def ivf_topk_portable(
     sims = [_cosine_lr(c, query_vec) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
 
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    spread = spread_to_cores(df)
     return (
         spread.withColumn(
             "_cell", nearest_cell(F.col(vec_col), centroids)
@@ -462,7 +506,7 @@ def ivf_topk_portable(
         .where(F.col("_cell").isin(probe))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(_cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -536,8 +580,15 @@ def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> list[Column]:
                 lambda acc, v: acc + v,
             ),
         )
+        # bind(): array_position(dists, array_min(dists)) references the
+        # codes × subdim distance transform twice — evaluate it once.
         out.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            bind(
+                dists,
+                lambda ds: (
+                    F.array_position(ds, F.array_min(ds)) - 1
+                ).cast("int"),
+            )
         )
     return out
 
@@ -570,7 +621,7 @@ def pq_topk_portable(
             F.col(id_col), F.lit(0.0).alias("adc_ip")
         ).where(F.lit(False))
     d = len(codebooks[0][0])
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_to_cores(df)
     codes = pq_encode(F.col(vec_col), codebooks)
     score = None
     for m in range(n_sub):
@@ -624,7 +675,7 @@ def ivfpq_topk_portable(
 
     codebooks = pq_codebooks(df, id_col, vec_col, n_sub, n_codes)
     d = len(codebooks[0][0])
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_to_cores(df)
     codes = pq_encode(F.col(vec_col), codebooks)
     score = None
     for m in range(n_sub):

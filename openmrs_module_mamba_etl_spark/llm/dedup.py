@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from openmrs_module_mamba_etl_spark.functions.partitioning import (
+    spread_to_cores,
+)
 from openmrs_module_mamba_etl_spark.functions.similarity import (
     band_hashes,
     dot,
@@ -30,15 +33,11 @@ from openmrs_module_mamba_etl_spark.functions.text import content_hash
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition ahead of expression-heavy per-row work.
-
-    Small corpora often arrive as one parquet file ⇒ one input partition ⇒
-    single-threaded signature computation no matter how many cores exist.
-    At 100 TB the file count provides parallelism and AQE coalesces; this
-    explicit spread only matters when input splits < cores.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target, id_col)
+    """Repartition ahead of expression-heavy per-row work — but ONLY when
+    the scan under-parallelizes the cores (one-file test corpora). At
+    100 TB the splits already exceed cores and the old unconditional form
+    was a full-corpus shuffle for nothing (see partitioning.py)."""
+    return spread_to_cores(df, id_col)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -261,6 +260,13 @@ def _set_jaccard_pairs(
         id_col, "prefix_len", "n_toks", F.explode("toks").alias("token")
     )
     tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    # persist(): the candidate self-join below reads `ranked` on BOTH
+    # sides, and an unpersisted frame is planned twice — the whole
+    # posting ⋈ tok_df ⋈ row_number prefix chain (two exploded-posting
+    # aggregations, two window sorts) ran once per side (r13 plan audit:
+    # the ranked subtree appeared under both join inputs). Caching the
+    # prefix table — the rarest ~(1−t) fraction of each doc's tokens,
+    # far smaller than the posting it contracts — computes it once.
     ranked = (
         posting.join(tok_df, "token")
         .withColumn(
@@ -272,6 +278,7 @@ def _set_jaccard_pairs(
             ),
         )
         .where(F.col("rn") <= F.col("prefix_len"))
+        .persist()
     )
     # Length filter (PPJoin): J ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|) —
     # prune size-incompatible candidates before the verification join.
@@ -388,12 +395,19 @@ def minhash_lsh_pairs(
             F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("sig"),
         )
     )
+    # persist(): `_pair_join` reads `buckets` on both sides of the
+    # (band, bucket) self-join; unpersisted, the full signature pipeline
+    # (shingle explode → 32-way min hash-aggregate → band hashing) was
+    # planned once PER SIDE (r13 plan audit). The bucket table is three
+    # narrow columns per (doc, band) — cache it and sign each doc once.
     buckets = sigs.select(
         id_col,
         F.explode(
             band_hashes(F.col("sig"), bands, rows_per_band, portable=portable)
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist()
 
     candidates = _pair_join(buckets, id_col, ["band", "bucket"]).distinct()
 
@@ -515,9 +529,7 @@ def _cosine_pairs_bruteforce_arrow(
                 }
             )
 
-    spread = df.select(id_col, vec_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    spread = spread_to_cores(df.select(id_col, vec_col))
     return spread.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
@@ -571,8 +583,9 @@ def embedding_cosine_pairs(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
     ]
     # Round-robin both sides: single-file inputs arrive as one partition and
-    # the O(n²) scoring must spread across all cores.
-    spread = vecs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the O(n²) scoring must spread across all cores (skipped when the scan
+    # already parallelizes — see partitioning.py).
+    spread = spread_to_cores(vecs)
     a, b = spread.alias("a"), spread.alias("b")
     d = dot(F.col("a.vec"), F.col("b.vec"))
     n = F.col("a.nrm") * F.col("b.nrm")
@@ -873,10 +886,14 @@ def minhash_bucket_table(
     source) and keeps only (band, bucket, id) in the hot index.
     """
     rows_per_band = num_hashes // bands
+    # persist(): `base` feeds both the signature aggregation and the
+    # final sigs ⋈ base re-attach — unpersisted, the shingling projection
+    # ran twice (r13 plan audit; same self-join-duplication class as
+    # minhash_lsh_pairs/_set_jaccard_pairs).
     base = _spread(df, id_col).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_len).alias("shingles"),
-    )
+    ).persist()
 
     def shingle_hash(seed: int):
         if portable:

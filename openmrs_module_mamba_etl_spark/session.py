@@ -47,6 +47,25 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.cleaner.periodicGC.interval": "5min",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Joins: let the planner pick shuffled-hash over sort-merge when the
+    # per-partition build side fits (guide-recommended baseline; strategy
+    # choice never changes values). The AQE threshold additionally
+    # rewrites an already-planned sort-merge to shuffled-hash at runtime
+    # when every post-shuffle partition is under it — r13 same-session
+    # A/B: no query slower, shuffle-join paths (dedup_semantic, tpch_q9,
+    # join_asof) equal-or-faster. Parameterized: at cluster scale size it
+    # to executor memory / cores (a build partition must fit in memory).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64MB"
+    ),
+    # Scan split size: at 100 TB bigger sequential splits cut task count
+    # and the M in the M×R shuffle-block product (guide §2.2/§6); locally
+    # every table is one small file so the default changes nothing —
+    # parameterized rather than hard-coded so the bench stays comparable.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"
+    ),
 }
 
 

@@ -89,8 +89,13 @@ def test_ivf_pair_shares_scoring_core():
     # the stage the portable oracle hash-verifies
     assert "ivf_topk" in _calls(lq.ann_topk_ivf)
     assert "ivf_topk_portable" in _calls(lq.ann_topk_ivf_portable)
-    assert "cosine" in _calls(ann.ivf_topk)
-    assert "cosine" in _calls(ann.ivf_topk_portable)
+    # r13: the shared scoring core is _cosine_to_query — cosine(vec, q)
+    # with the literal query's norm folded driver-side (bit-identical
+    # values, one fewer O(dim) fold per row); the coupling invariant is
+    # unchanged: ONE helper, used by both the production and the
+    # oracle-hash-verified portable variant.
+    assert "_cosine_to_query" in _calls(ann.ivf_topk)
+    assert "_cosine_to_query" in _calls(ann.ivf_topk_portable)
     assert ann.cosine is sim.cosine
     # both share the same query-vector bootstrap in the query layer
     assert "_query_vec" in _calls(lq.ann_topk_ivf)
