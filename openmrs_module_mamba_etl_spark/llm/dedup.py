@@ -13,7 +13,7 @@ except inside LSH buckets / shared-token groups):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from openmrs_module_mamba_etl_spark.functions.partitioning import (
     spread_to_cores,
@@ -170,7 +170,24 @@ def containment_pairs(
         .alias("prefix_len"),
     ).persist()
     posting = sizes.select(id_col, "prefix_len", F.explode("toks").alias("token"))
-    tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    # Vocabulary + xxhash64 injectivity probe — same exact fast path as
+    # _set_jaccard_pairs: when the hash is a verified bijection on this
+    # corpus' shingle vocabulary, the probe/post join keys and the
+    # verification arrays use 8-byte hashes (specialized long codegen)
+    # instead of strings; otherwise the string path is kept.
+    tok_df = (
+        posting.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_df"))
+        .persist()
+    )
+    probe = tok_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("token")).alias("nh"),
+    ).first()
+    hash_injective = bool(probe is not None and probe["n"] == probe["nh"])
+    join_token = (
+        F.xxhash64("token") if hash_injective else F.col("token")
+    ).alias("token")
     a_prefix = (
         posting.join(tok_df, "token")
         .withColumn(
@@ -182,9 +199,9 @@ def containment_pairs(
             ),
         )
         .where(F.col("rn") <= F.col("prefix_len"))
-        .select(F.col(id_col).alias("id_a"), "token")
+        .select(F.col(id_col).alias("id_a"), join_token)
     )
-    b_full = posting.select(F.col(id_col).alias("id_b"), "token")
+    b_full = posting.select(F.col(id_col).alias("id_b"), join_token)
     candidates = (
         a_prefix.join(
             b_full,
@@ -196,13 +213,19 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    def verify_toks(c: Column) -> Column:
+        if hash_injective:
+            return F.transform(c, lambda t: F.xxhash64(t))
+        return c
+
     a = sizes.select(
         F.col(id_col).alias("id_a"),
-        F.col("toks").alias("toks_a"),
+        verify_toks(F.col("toks")).alias("toks_a"),
         F.col("n_toks").alias("n_a"),
     )
     b = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+        F.col(id_col).alias("id_b"),
+        verify_toks(F.col("toks")).alias("toks_b"),
     )
     return (
         candidates.join(a, "id_a")
@@ -259,7 +282,33 @@ def _set_jaccard_pairs(
     posting = sizes.select(
         id_col, "prefix_len", "n_toks", F.explode("toks").alias("token")
     )
-    tok_df = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    # persist(): the vocabulary table feeds BOTH the prefix ranking and
+    # the injectivity probe below; cached, the exploded-posting
+    # aggregation runs once for the pair of them.
+    tok_df = (
+        posting.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_df"))
+        .persist()
+    )
+    # Injectivity probe (r14): verification re-intersects full token
+    # arrays per candidate pair, and ArrayIntersect over array<string>
+    # runs on a boxed generic hash set, while array<bigint> gets the
+    # specialized long OpenHashSet codegen. xxhash64 is injective on
+    # this corpus' vocabulary iff distinct(token) == distinct(hash) —
+    # ONE tiny aggregate over the already-computed vocab. Under a
+    # verified bijection, hash-equality ⟺ token-equality, so candidate
+    # matches and |x∩y| are IDENTICAL — this is an exact rewrite with a
+    # data-dependent guard, not a probabilistic one (guide §1.2 per-task
+    # work; §2.3 narrower types — the pair join then ships 8-byte
+    # elements instead of strings). The probe is an eager driver-side
+    # job (like duplicate_clusters' size gate); it also pre-populates
+    # the cached token/vocab tables the main action reuses.
+    probe = tok_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("token")).alias("nh"),
+    ).first()
+    hash_injective = bool(probe is not None and probe["n"] == probe["nh"])
+
     # persist(): the candidate self-join below reads `ranked` on BOTH
     # sides, and an unpersisted frame is planned twice — the whole
     # posting ⋈ tok_df ⋈ row_number prefix chain (two exploded-posting
@@ -267,6 +316,11 @@ def _set_jaccard_pairs(
     # the ranked subtree appeared under both join inputs). Caching the
     # prefix table — the rarest ~(1−t) fraction of each doc's tokens,
     # far smaller than the posting it contracts — computes it once.
+    # Only the four join-relevant columns are cached (r14: tok_df and
+    # prefix_len dropped; token hashed to long on the fast path).
+    join_token = (
+        F.xxhash64("token") if hash_injective else F.col("token")
+    ).alias("token")
     ranked = (
         posting.join(tok_df, "token")
         .withColumn(
@@ -278,6 +332,7 @@ def _set_jaccard_pairs(
             ),
         )
         .where(F.col("rn") <= F.col("prefix_len"))
+        .select(F.col(id_col), "n_toks", "rn", join_token)
         .persist()
     )
     # Length filter (PPJoin): J ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|) —
@@ -316,14 +371,23 @@ def _set_jaccard_pairs(
         .distinct()
     )
 
+    # Verification arrays: on the injective fast path intersect the
+    # hashed (long) arrays — same sizes as the string intersect under
+    # the proven bijection, specialized codegen instead of boxed
+    # hashing, and 8-byte elements through the pair join.
+    def verify_toks(c: Column) -> Column:
+        if hash_injective:
+            return F.transform(c, lambda t: F.xxhash64(t))
+        return c
+
     a = sizes.select(
         F.col(id_col).alias("id_a"),
-        F.col("toks").alias("toks_a"),
+        verify_toks(F.col("toks")).alias("toks_a"),
         F.col("n_toks").alias("n_a"),
     )
     b = sizes.select(
         F.col(id_col).alias("id_b"),
-        F.col("toks").alias("toks_b"),
+        verify_toks(F.col("toks")).alias("toks_b"),
         F.col("n_toks").alias("n_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
