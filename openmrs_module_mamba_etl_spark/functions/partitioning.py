@@ -13,20 +13,43 @@ round; guide §2.4 "remove shuffles outright").
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: Analyzed-plan node heads that imply an exchange (or an explicit
+#: repartition) somewhere below: any of these already spreads rows across
+#: ``spark.sql.shuffle.partitions``, so no repartition is needed — and,
+#: decisive for the probe below, converting such a plan to an RDD under
+#: AQE materializes its upstream query stages (runs real jobs) just to
+#: count partitions.
+_WIDE_NODE = re.compile(
+    r"^[\s:+\-']*(Join|Aggregate|Window|Sort|Distinct|Deduplicate|"
+    r"Repartition|RepartitionByExpression|RebalancePartitions|"
+    r"GlobalLimit|Intersect|Except)\b"
+)
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return any(_WIDE_NODE.match(ln) for ln in plan.splitlines())
 
 
 def spread_to_cores(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition to ``defaultParallelism`` ONLY when the plan would
     otherwise run on fewer partitions than cores.
 
-    The partition probe plans the RDD lineage without executing a job, so
-    the check is driver-side and cheap relative to any query that needs
-    it. When the scan already provides ≥ cores partitions the input is
-    returned untouched — no exchange. Results are partitioning-invariant
-    for every caller (pinned by tools/determinism_sweep.py, which runs
-    each key under opposing physical layouts).
+    Intended input: a scan/projection/filter frame (every in-tree caller
+    passes one) — for those, planning the RDD lineage to read its
+    partition count is driver-side and runs no job. A frame that already
+    contains a wide node (join/aggregate/window/sort/repartition/...) is
+    returned untouched instead of probed: its shuffle already spreads
+    rows across ``spark.sql.shuffle.partitions``, and under AQE the
+    ``df.rdd`` probe itself would materialize the upstream query stages —
+    eagerly running jobs at expression-build time (r14, ADVICE item).
     """
+    if _has_wide_node(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -84,27 +84,31 @@ def tokens(text: Column) -> Column:
     return F.filter(t, lambda x: x != "")
 
 
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an already-bound token array
+    (see ``bind``) — single-scan composites tokenize once and derive
+    shingles, hashes and scores from the same bound array."""
+    count = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
     Built as transform over token-start offsets + slice/join — stays in
     codegen, no explode needed until the caller wants posting lists.
     """
-    def from_toks(toks: Column) -> Column:
-        count = F.size(toks) - F.lit(n - 1)
-        return F.array_distinct(
-            F.when(
-                count > 0,
-                F.transform(
-                    F.sequence(F.lit(1), count),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join(toks, " ")))
-        )
-
     # bind(): tokens(text) is referenced three times (count, slices,
     # short-doc fallback) — evaluate the tokenizer once per row.
-    return bind(tokens(text), from_toks)
+    return bind(tokens(text), lambda toks: word_shingles_of(toks, n))
 
 
 def word_ngrams(text: Column, n: int) -> Column:

@@ -103,38 +103,41 @@ def mean_word_length(text: Column) -> Column:
     return bind(tokens(text), _mean_word_length_of)  # tokenize once, not 3×
 
 
+def quality_score_of(toks: Column, text: Column) -> Column:
+    """quality score over an already-bound token array (see ``bind``) —
+    single-scan composites tokenize once and derive every per-doc value
+    from the same bound array."""
+    n_tok = F.size(toks)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(0.4)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ok = F.when(
+        _stopword_ratio_of(toks, "en") >= 0.01, F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    # mwl is an O(tokens) fold referenced from both band bounds — bind
+    # it too so the fold runs once.
+    shape_ok = bind(
+        _mean_word_length_of(toks),
+        lambda mwl: F.when(
+            (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.2)
+        ).otherwise(F.lit(0.0)),
+    )
+    punct_ok = F.when(
+        punct_count(text) <= F.length(text) * 0.1, F.lit(0.1)
+    ).otherwise(F.lit(0.0))
+    return F.round(len_ok + stop_ok + shape_ok + punct_ok, 2)
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic [0,1] quality score: length band + stopword evidence +
     word-shape sanity − punctuation noise. The exact formula matters less
     than determinism + SQL-expressibility; weights follow common web-corpus
     filters (Gopher/C4-style length & symbol heuristics)."""
-
-    def from_toks(toks: Column) -> Column:
-        n_tok = F.size(toks)
-        len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(0.4)).otherwise(
-            F.lit(0.0)
-        )
-        stop_ok = F.when(
-            _stopword_ratio_of(toks, "en") >= 0.01, F.lit(0.3)
-        ).otherwise(F.lit(0.0))
-        # mwl is an O(tokens) fold referenced from both band bounds — bind
-        # it too so the fold runs once.
-        shape_ok = bind(
-            _mean_word_length_of(toks),
-            lambda mwl: F.when(
-                (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.2)
-            ).otherwise(F.lit(0.0)),
-        )
-        punct_ok = F.when(
-            punct_count(text) <= F.length(text) * 0.1, F.lit(0.1)
-        ).otherwise(F.lit(0.0))
-        return F.round(len_ok + stop_ok + shape_ok + punct_ok, 2)
-
     # bind(): the four score terms previously re-ran the whitespace
     # tokenizer ~8× per row (HOFs are CodegenFallback — no subexpression
     # elimination). Measured 2-3× faster on text_quality at sf0.1 with
     # identical values (r13 prototype: 0 differing rows).
-    return bind(tokens(text), from_toks)
+    return bind(tokens(text), lambda toks: quality_score_of(toks, text))
 
 
 def fingerprint(text: Column, shingle_len: int = 4) -> Column:
@@ -150,7 +153,12 @@ def fingerprint(text: Column, shingle_len: int = 4) -> Column:
     )
 
 
+def content_hash_of(toks: Column) -> Column:
+    """content hash over an already-bound token array (see ``bind``)."""
+    return F.md5(F.array_join(toks, " "))
+
+
 def content_hash(text: Column) -> Column:
     """Exact-dup key: md5 of the canonicalized (lowercased, space-joined)
     token stream — whitespace-normalization-invariant exact hashing."""
-    return F.md5(F.array_join(tokens(text), " "))
+    return content_hash_of(tokens(text))

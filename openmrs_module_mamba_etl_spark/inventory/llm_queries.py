@@ -9,7 +9,7 @@ have no DuckDB equivalent and register rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from openmrs_module_mamba_etl_spark.functions import text as T
 from openmrs_module_mamba_etl_spark.llm.ann import (
@@ -1384,27 +1384,42 @@ def text_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     word and post-merge symbol counts (what a token-budgeted packing
     stage consumes). The oracle replays the full chain: merge selection
     CTEs, then the identical double-space replaces per word."""
-    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.functions.similarity import bind, tokens
     from openmrs_module_mamba_etl_spark.llm.bpe import apply_merges_col, bpe_train
 
     docs = table(spark, sf_dir, "documents")
     pairs = [p for _, p, _ in bpe_train(docs, "text", n_merges=3)]
-    toks = tokens(F.col("text"))
-    n_syms = F.aggregate(
-        F.transform(
-            toks, lambda w: F.size(F.split(apply_merges_col(w, pairs), " "))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    # bind(): n_words and n_syms both reference the token array — HOFs
+    # get no codegen subexpression elimination, so unbound the tokenizer
+    # ran twice per row on this map-only 100 TB pass (r14 sweep).
+    def counts_of(t: Column) -> Column:
+        n_syms = F.aggregate(
+            F.transform(
+                t, lambda w: F.size(F.split(apply_merges_col(w, pairs), " "))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n_words"), n_syms.alias("n_syms")
+        )
+
+    # The n_words>0 gate runs BELOW the projection as its cheap
+    # equivalent (size(tokens)>0): a post-projection filter on a derived
+    # column gets alias-inlined by predicate pushdown — which would
+    # re-evaluate the whole bound struct (incl. the per-word merge chain)
+    # a second time per row (measured +60% — the guide-§4.4 duplication,
+    # HOF edition).
     return (
         docs.where(F.col("text").isNotNull())
+        .where(F.size(tokens(F.col("text"))) > 0)
+        .select("doc_id", bind(tokens(F.col("text")), counts_of).alias("_d"))
         .select(
             "doc_id",
-            F.size(toks).cast("long").alias("n_words"),
-            n_syms.alias("n_syms"),
+            F.col("_d.n_words").alias("n_words"),
+            F.col("_d.n_syms").alias("n_syms"),
         )
-        .where(F.col("n_words") > 0)
     )
 
 
@@ -2239,25 +2254,40 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``%.6f`` per element) rather than a raw ``array<double>`` — the
     driver's pandas canonicalizer cannot sort list cells (round-3 red),
     and a scalar string compares engine-portably."""
-    from openmrs_module_mamba_etl_spark.functions.similarity import norm
+    from openmrs_module_mamba_etl_spark.functions.similarity import bind, norm
 
     e = table(spark, sf_dir, "embeddings")
-    nrm = norm(F.col("embedding"))
-    unit = F.when(
-        nrm > 0,
-        F.transform(
-            "embedding",
-            lambda x: F.format_string(
-                "%.6f", F.round(x.cast("double") / nrm, 6)
+
+    # bind(): the norm is an O(dim) fold previously referenced from
+    # INSIDE the per-element division lambda — an O(dim²)-per-row
+    # re-evaluation (the same class quantize_int8 had before r13) plus
+    # two more references (guard, output). One evaluation per row
+    # restores the intended O(dim); values unchanged.
+    def from_nrm(nv: Column) -> Column:
+        unit = F.when(
+            nv > 0,
+            F.transform(
+                "embedding",
+                lambda x: F.format_string(
+                    "%.6f", F.round(x.cast("double") / nv, 6)
+                ),
             ),
-        ),
-    ).otherwise(
-        F.transform("embedding", lambda x: F.format_string("%.6f", F.lit(0.0)))
-    )
+        ).otherwise(
+            F.transform(
+                "embedding", lambda x: F.format_string("%.6f", F.lit(0.0))
+            )
+        )
+        return F.struct(
+            F.round(nv, 6).alias("nrm"),
+            F.array_join(unit, ",").alias("unit"),
+        )
+
     return e.select(
+        "vec_id", bind(norm(F.col("embedding")), from_nrm).alias("_d")
+    ).select(
         "vec_id",
-        F.round(nrm, 6).alias("nrm"),
-        F.array_join(unit, ",").alias("unit"),
+        F.col("_d.nrm").alias("nrm"),
+        F.col("_d.unit").alias("unit"),
     )
 
 
@@ -2819,27 +2849,75 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scale-killer) and the tainted set. The loser join is
     unhinted so AQE broadcasts it exactly when it is in fact small; no
     extra corpus shuffles beyond the dedup hash-agg. The oracle replays
-    the full chain."""
-    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
-    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
-    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
+    the full chain.
+
+    Single-scan shape (r14, guide §1.1/§1.2): the r13 plan scanned
+    `documents` FOUR times (loser hashes, corpus shingles, bench
+    shingles, quality+token counts) and ran the whitespace tokenizer in
+    each. One shared projection now tokenizes once per row (one bound
+    array feeds hash, quality, token count and shingles — the exact
+    ``*_of`` forms of the standalone operators) and is persisted as a
+    narrow derived table every branch reads: one FileScan of the corpus
+    per run, document text never flows past the projection. At 100 TB
+    the cached relation is bounded by the shingle column (≈ text-sized,
+    MEMORY_AND_DISK spill) — the trade is 3 saved corpus scans + 3 saved
+    tokenization passes for one local-disk-backed materialization."""
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        bind,
+        tokens,
+        word_shingles_of,
+    )
+    from openmrs_module_mamba_etl_spark.functions.caching import (
+        attach_caches,
+    )
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        decontaminate_from_shingles,
+    )
+    from openmrs_module_mamba_etl_spark.llm.dedup import (
+        _spread,
+        losers_from_hashes,
+    )
     from openmrs_module_mamba_etl_spark.llm.sampling import hash_split
 
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("source") != "src9")
-    bench = docs.where(F.col("source") == "src9")
-
-    losers = dedup_losers(corpus, "doc_id", "text")
-    tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
-        "doc_id"
+    # All four per-doc derived values from ONE bound token array; the
+    # two-step select keeps the non-cheap bound struct a single
+    # evaluation (CollapseProject does not inline a non-trivial alias
+    # referenced more than once — pinned by tests/test_bind_equivalence).
+    derived = bind(
+        tokens(F.col("text")),
+        lambda t: F.struct(
+            T.content_hash_of(t).alias("content_hash"),
+            T.quality_score_of(t, F.col("text")).alias("quality"),
+            F.size(t).alias("n_tok"),
+            word_shingles_of(t, 5).alias("sh"),
+        ),
     )
-    kept = (
-        corpus.select(
+    base = (
+        _spread(docs, "doc_id")
+        .select("doc_id", "lang", "source", derived.alias("_d"))
+        .select(
             "doc_id",
             "lang",
-            "text",
-            T.quality_score(F.col("text")).alias("quality"),
+            "source",
+            F.col("_d.content_hash").alias("content_hash"),
+            F.col("_d.quality").alias("quality"),
+            F.col("_d.n_tok").alias("n_tok"),
+            F.col("_d.sh").alias("sh"),
         )
+        .persist()
+    )
+    corpus = base.where(F.col("source") != "src9")
+    bench = base.where(F.col("source") == "src9")
+
+    losers = losers_from_hashes(
+        corpus.select("doc_id", "content_hash"), "doc_id"
+    )
+    tainted = decontaminate_from_shingles(
+        corpus.select("doc_id", "sh"), bench.select("sh"), "doc_id"
+    ).select("doc_id")
+    kept = (
+        corpus.select("doc_id", "lang", "quality", "n_tok")
         .where(F.col("quality") >= 0.7)
         .join(losers, "doc_id", "left_anti")
         .join(F.broadcast(tainted), "doc_id", "left_anti")
@@ -2847,18 +2925,19 @@ def etl_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(
         kept, "doc_id", [("train", 900), ("valid", 950), ("test", 1000)]
     )
-    return (
+    return attach_caches(
         split.groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+            F.sum("n_tok").alias("n_tokens"),
             # order-independent mean (see etl_pretok_shards)
             F.round(
                 F.sum(F.round(F.col("quality") * 10).cast("long"))
                 / (F.count(F.lit(1)) * 10.0),
                 2,
             ).alias("avg_quality"),
-        )
+        ),
+        base,
     )
 
 
@@ -2941,15 +3020,32 @@ def etl_pretok_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     when small, so the corpus never shuffles for it); BPE application and
     shard assignment are map-only literal expressions computed AFTER the
     keep decision (never on dropped docs); the only other exchange is the
-    8-group rollup. The oracle replays the entire chain."""
+    8-group rollup. The oracle replays the entire chain.
+
+    Single-scan shape (r14, guide §1.1): the loser branch and the kept
+    branch each scanned+tokenized documents, and the quality>=0.7 filter
+    on the derived column was alias-inlined by predicate pushdown —
+    re-running the whole score per row. One shared projection now
+    tokenizes once (hash + quality from the same bound array) and is
+    persisted; the filter reads the materialized column. text rides the
+    cache so BPE application still runs only on kept docs."""
     from pyspark.sql import Window
 
-    from openmrs_module_mamba_etl_spark.functions.similarity import tokens
+    from openmrs_module_mamba_etl_spark.functions.caching import (
+        attach_caches,
+    )
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        bind,
+        tokens,
+    )
     from openmrs_module_mamba_etl_spark.llm.bpe import (
         apply_merges_col,
         bpe_train,
     )
-    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
+    from openmrs_module_mamba_etl_spark.llm.dedup import (
+        _spread,
+        losers_from_hashes,
+    )
     from openmrs_module_mamba_etl_spark.llm.sampling import hash_bucket
 
     docs = table(spark, sf_dir, "documents")
@@ -2962,11 +3058,29 @@ def etl_pretok_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    losers = dedup_losers(docs, "doc_id", "text")
-    kept = (
-        docs.select(
-            "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
+    derived = bind(
+        tokens(F.col("text")),
+        lambda t: F.struct(
+            T.content_hash_of(t).alias("content_hash"),
+            T.quality_score_of(t, F.col("text")).alias("quality"),
+        ),
+    )
+    base = (
+        _spread(docs, "doc_id")
+        .select("doc_id", "text", derived.alias("_d"))
+        .select(
+            "doc_id",
+            "text",
+            F.col("_d.content_hash").alias("content_hash"),
+            F.col("_d.quality").alias("quality"),
         )
+        .persist()
+    )
+    losers = losers_from_hashes(
+        base.select("doc_id", "content_hash"), "doc_id"
+    )
+    kept = (
+        base.select("doc_id", "text", "quality")
         .where(F.col("quality") >= 0.7)
         .join(losers, "doc_id", "left_anti")
     )
@@ -2975,7 +3089,7 @@ def etl_pretok_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         n_syms.alias("n_syms"),
     )
-    return stats.groupBy("shard").agg(
+    return attach_caches(stats.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.ceil(F.col("n_syms") / F.lit(512.0)).cast("long")).alias(
             "n_chunks"
@@ -2990,7 +3104,7 @@ def etl_pretok_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 10.0),
             2,
         ).alias("avg_quality"),
-    )
+    ), base)
 
 
 @query(
@@ -3059,24 +3173,60 @@ def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (churn-sized; never the ~corpus-sized survivor set, the round-4
     broadcast scale-killer — unhinted so AQE broadcasts it only when
     actually small), the decontamination flag the tainted set, then four
-    conditional counts — one corpus scan, not one scan per stage."""
-    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
-    from openmrs_module_mamba_etl_spark.llm.dedup import dedup_losers
+    conditional counts — one corpus scan, not one scan per stage.
+
+    Single-scan shape (r14, guide §1.1): like etl_llm_corpus, the four
+    branches each re-scanned+re-tokenized documents; one shared bound
+    projection (hash + quality + shingles from the same token array) is
+    persisted and feeds them all — one FileScan per run."""
+    from openmrs_module_mamba_etl_spark.functions.caching import (
+        attach_caches,
+    )
+    from openmrs_module_mamba_etl_spark.functions.similarity import (
+        bind,
+        tokens,
+        word_shingles_of,
+    )
+    from openmrs_module_mamba_etl_spark.llm.curation import (
+        decontaminate_from_shingles,
+    )
+    from openmrs_module_mamba_etl_spark.llm.dedup import (
+        _spread,
+        losers_from_hashes,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("source") != "src9")
-    bench = docs.where(F.col("source") == "src9")
-
-    losers = dedup_losers(corpus, "doc_id", "text").select(
-        "doc_id", F.lit(True).alias("l_hit")
+    derived = bind(
+        tokens(F.col("text")),
+        lambda t: F.struct(
+            T.content_hash_of(t).alias("content_hash"),
+            T.quality_score_of(t, F.col("text")).alias("quality"),
+            word_shingles_of(t, 5).alias("sh"),
+        ),
     )
-    tainted = decontaminate(corpus, bench, "doc_id", "text", n=5).select(
-        "doc_id", F.lit(True).alias("t_hit")
-    )
-    staged = (
-        corpus.select(
-            "doc_id", T.quality_score(F.col("text")).alias("quality")
+    base = (
+        _spread(docs, "doc_id")
+        .select("doc_id", "source", derived.alias("_d"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("_d.content_hash").alias("content_hash"),
+            F.col("_d.quality").alias("quality"),
+            F.col("_d.sh").alias("sh"),
         )
+        .persist()
+    )
+    corpus = base.where(F.col("source") != "src9")
+    bench = base.where(F.col("source") == "src9")
+
+    losers = losers_from_hashes(
+        corpus.select("doc_id", "content_hash"), "doc_id"
+    ).select("doc_id", F.lit(True).alias("l_hit"))
+    tainted = decontaminate_from_shingles(
+        corpus.select("doc_id", "sh"), bench.select("sh"), "doc_id"
+    ).select("doc_id", F.lit(True).alias("t_hit"))
+    staged = (
+        corpus.select("doc_id", "quality")
         .join(losers, "doc_id", "left")
         .join(F.broadcast(tainted), "doc_id", "left")
         .select(
@@ -3097,19 +3247,22 @@ def etl_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stages = ["ingested", "after_quality", "after_dedup", "after_decontam"]
     # union of literal-labeled rows, not a pivot/cross join — join-free
-    return counts.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("stage"),
-                        F.col(s).alias("n_docs"),
-                    )
-                    for s in stages
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.stage", "kv.n_docs")
+    return attach_caches(
+        counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("stage"),
+                            F.col(s).alias("n_docs"),
+                        )
+                        for s in stages
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.stage", "kv.n_docs"),
+        base,
+    )
 
 
 @query(

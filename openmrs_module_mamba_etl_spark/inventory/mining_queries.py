@@ -178,14 +178,29 @@ def train_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
         .select("lang", F.explode(tokens(F.col("text"))).alias("token"))
     )
-    counts = posting.groupBy("lang", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # persist(): counts is the model-sized contraction (#langs × vocab
+    # rows) and every downstream branch can derive from IT — unpersisted,
+    # the corpus scan + tokenizer + posting shuffle were planned once per
+    # branch (r14 plan audit: 3 documents FileScans). totals re-aggregates
+    # the cached counts, and the vocabulary scalar is countDistinct over
+    # counts' token column — identical to countDistinct over the posting
+    # (counts already holds every distinct (lang, token)) without the
+    # third corpus pass (guide §1.1: don't re-run passes a contracted
+    # intermediate already answers).
+    counts = (
+        posting.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = posting.agg(
+    vocab = counts.agg(
         F.count_distinct("token").cast("double").alias("v")
     )
-    return (
+    from openmrs_module_mamba_etl_spark.functions.caching import (
+        attach_caches,
+    )
+
+    return attach_caches(
         counts.join(F.broadcast(totals), "lang")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -196,7 +211,8 @@ def train_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + F.col("v"))),
                 6,
             ).alias("log_prob"),
-        )
+        ),
+        counts,
     )
 
 

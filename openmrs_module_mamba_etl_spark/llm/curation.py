@@ -36,7 +36,15 @@ def decontaminate(
     (partial-agg on id). Shingle sets are per-doc distinct on both sides,
     so n_hit_shingles counts distinct overlapping n-grams.
     """
-    # spread both sides: a single-file corpus otherwise shingles on 1 core
+    # spread both sides: a single-file corpus otherwise shingles on 1 core.
+    # The shingle expressions stay INLINE under the explode (not projected
+    # to a named column first): InferFiltersFromGenerate skips complex
+    # generator children, but given an attribute it infers a size()>0
+    # filter that predicate pushdown then inlines below the projection —
+    # re-evaluating the whole shingle pipeline 2 extra times per row
+    # (measured +25% on text_decontaminate, r14). The *_from_shingles
+    # form is for composites whose shingle column is CACHE-materialized —
+    # there the persist boundary blocks the pushdown.
     bench_sh = (
         _spread(benchmark, id_col)
         .select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
@@ -48,6 +56,29 @@ def decontaminate(
     )
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+def decontaminate_from_shingles(
+    corpus_sh: DataFrame,
+    bench_sh: DataFrame,
+    id_col: str,
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """:func:`decontaminate` over pre-shingled frames — single-scan
+    composites shingle once in a shared projection and feed both sides
+    from it. Same shape: benchmark's distinct shingles BROADCAST, corpus
+    exploded and counted per doc."""
+    bench = (
+        bench_sh.select(F.explode(shingle_col).alias("shingle")).distinct()
+    )
+    corp = corpus_sh.select(
+        F.col(id_col), F.explode(shingle_col).alias("shingle")
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )

@@ -15,6 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from openmrs_module_mamba_etl_spark.functions.caching import (
+    attach_caches,
+    release_caches,
+)
 from openmrs_module_mamba_etl_spark.functions.partitioning import (
     spread_to_cores,
 )
@@ -74,11 +78,22 @@ def dedup_losers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     content-duplicate group at a time (bounded by the corpus's max dup
     multiplicity, not by corpus size).
     """
-    groups = (
+    return losers_from_hashes(
         df.select(
             F.col(id_col), content_hash(F.col(text_col)).alias("content_hash")
-        )
-        .groupBy("content_hash")
+        ),
+        id_col,
+    )
+
+
+def losers_from_hashes(
+    hashed: DataFrame, id_col: str, hash_col: str = "content_hash"
+) -> DataFrame:
+    """``dedup_losers`` over an already-hashed (id, content_hash) frame —
+    single-scan composites compute the hash once in a shared projection
+    and feed every branch from it."""
+    groups = (
+        hashed.groupBy(hash_col)
         .agg(
             F.min(id_col).alias("kept_id"),
             F.collect_list(id_col).alias("ids"),
@@ -227,7 +242,7 @@ def containment_pairs(
         F.col(id_col).alias("id_b"),
         verify_toks(F.col("toks")).alias("toks_b"),
     )
-    return (
+    return attach_caches(
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -241,7 +256,9 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select(
             "id_a", "id_b", F.round("containment", 6).alias("containment")
-        )
+        ),
+        sizes,
+        tok_df,
     )
 
 
@@ -391,7 +408,7 @@ def _set_jaccard_pairs(
         F.col("n_toks").alias("n_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
+    return attach_caches(
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -399,7 +416,10 @@ def _set_jaccard_pairs(
             F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        toked,
+        tok_df,
+        ranked,
     )
 
 
@@ -490,7 +510,9 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= verify_threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    return attach_caches(
+        verified.select("id_a", "id_b", "jaccard"), base, buckets
+    )
 
 
 def simhash_pairs(
@@ -530,12 +552,13 @@ def simhash_pairs(
 
     candidates = _pair_join(buckets, id_col, ["band", "value"]).distinct()
     bits = sigs
-    return (
+    return attach_caches(
         candidates.join(bits.withColumnRenamed(id_col, "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
         .join(bits.withColumnRenamed(id_col, "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
         .withColumn("hamming", hamming(F.col("bits_a"), F.col("bits_b")))
         .where(F.col("hamming") <= hamming_max)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sigs,
     )
 
 
@@ -771,9 +794,10 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return (
+    return attach_caches(
         vecs.join(dropped, id_col, "left_anti")
-        .select(F.col(id_col).alias("kept_id"), "cell")
+        .select(F.col(id_col).alias("kept_id"), "cell"),
+        vecs,
     )
 
 
@@ -924,8 +948,11 @@ def duplicate_clusters(
             "jumping — pathological for a near-dup graph)"
         )
 
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    return attach_caches(
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        ),
+        inherit=(pairs,),
     )
 
 
@@ -978,7 +1005,7 @@ def minhash_bucket_table(
             F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("sig"),
         )
     )
-    return (
+    return attach_caches(
         sigs.join(base, id_col)
         .select(
             id_col,
@@ -994,7 +1021,8 @@ def minhash_bucket_table(
             "shingles",
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
-        )
+        ),
+        base,
     )
 
 
@@ -1108,6 +1136,11 @@ class FuzzyDedupIndex:
         bk.write.mode("append").parquet(self.idx_dir)
         self.has_index = True
         bk.unpersist()
+        # release minhash_bucket_table's internal persisted base too —
+        # without this every microbatch leaked one cached relation
+        # (CacheManager holds strong refs; tests/test_caching.py pins the
+        # no-growth invariant across a 10-batch ingest loop).
+        release_caches(bk)
 
     def kept(self, spark: SparkSession, id_col: str) -> DataFrame:
         out = spark.read.parquet(self.seen_dir).distinct()

@@ -55,7 +55,14 @@ DEFAULT_CONF: dict[str, str] = {
     # A/B: no query slower, shuffle-join paths (dedup_semantic, tpch_q9,
     # join_asof) equal-or-faster. Parameterized: at cluster scale size it
     # to executor memory / cores (a build partition must fit in memory).
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # The static preference is env-gated like its AQE threshold sibling
+    # (r14, ADVICE): a deployment whose stats misestimate build sides can
+    # restore sort-merge (which spills; a static-planned SHJ build map
+    # cannot) with SPARK_GRAFT_PREFER_SMJ=true and keep the runtime AQE
+    # rewrite, which decides from true sizes.
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
         "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64MB"
     ),

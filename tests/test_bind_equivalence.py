@@ -143,3 +143,101 @@ def test_query_norm_fold_is_bit_exact():
     assert repr(math.sqrt(acc)) == repr(
         math.sqrt(((((0.0 + 0.1 * 0.1) + 0.2 * 0.2) + 0.3 * 0.3) + 1e-17 * 1e-17) + 4.0 * 4.0)
     )
+
+
+# --- r14: plan-shape pins — the bind() single evaluation must SURVIVE the
+# optimizer (ADVICE r13: a future Spark rule re-inlining lambda variables
+# or collapsing single-element transforms would silently restore the
+# k-fold re-evaluation with values unchanged; value tests alone cannot
+# catch that). The optimized-plan TEXT carries each expression occurrence,
+# so "tokenizer appears once" is the regression tripwire.
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_quality_score_plan_tokenizes_once(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    plan = _optimized(df.select(T.quality_score(F.col("text")).alias("q")))
+    assert plan.count("split(") == 1, plan
+
+
+def test_lang_id_plan_tokenizes_once(spark):
+    df = spark.createDataFrame([("le la les",)], "text string")
+    plan = _optimized(df.select(T.lang_id(F.col("text")).alias("lang")))
+    assert plan.count("split(") == 1, plan
+
+
+def test_struct_bind_two_step_select_single_eval(spark):
+    """The r14 single-scan composites derive several output columns from
+    ONE bound struct via a two-step select; CollapseProject must not
+    inline the non-cheap struct into its (multiple) field references."""
+    df = spark.createDataFrame([("a b c",)], "text string")
+    derived = bind(
+        tokens(F.col("text")),
+        lambda t: F.struct(
+            F.size(t).alias("n"), F.md5(F.array_join(t, " ")).alias("h")
+        ),
+    )
+    out = df.select(derived.alias("_d")).select(
+        F.col("_d.n").alias("n"), F.col("_d.h").alias("h")
+    )
+    assert _optimized(out).count("split(") == 1, _optimized(out)
+
+
+def test_etl_llm_corpus_single_scan_single_tokenize(spark):
+    """The headline composite: exactly ONE documents FileScan and ONE
+    tokenizer occurrence in the formatted physical plan (r13: four scans,
+    nine tokenizer occurrences). The formatted form is used because the
+    logical toString reprints each InMemoryRelation's child scan per
+    occurrence."""
+    import contextlib
+    import io
+
+    from openmrs_module_mamba_etl_spark import registry
+
+    registry.load_all()
+    spark.catalog.clearCache()
+    df = registry.QUERIES["etl_llm_corpus"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("split(") == 1, plan
+
+
+def test_emb_normalize_norm_fold_once(spark):
+    """emb_normalize's norm fold: one occurrence in the optimized plan
+    (pre-r14 it sat inside the per-element division lambda — O(dim²) per
+    row — plus the guard and the output, three occurrences)."""
+    from openmrs_module_mamba_etl_spark import registry
+
+    registry.load_all()
+    plan = _optimized(
+        registry.QUERIES["emb_normalize"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("aggregate(") == 1, plan
+
+
+def test_decontaminate_shingles_once_per_side(spark):
+    """Generate-inferred filters must not re-evaluate the shingle
+    pipeline: exploding a PROJECTED shingle column lets
+    InferFiltersFromGenerate add a size()>0 filter on the attribute that
+    predicate pushdown then inlines below the projection — tokenizer ran
+    3x per row per side (r14 measured +25%). Pinned: one tokenizer
+    occurrence per side in the physical plan."""
+    import contextlib
+    import io
+
+    from openmrs_module_mamba_etl_spark.llm.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    out = decontaminate(docs, docs.limit(1), "doc_id", "text", n=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert buf.getvalue().count("split(") == 2, buf.getvalue()
